@@ -1,0 +1,184 @@
+package graft
+
+import graft.agg._
+import graft.functions._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+
+/** Function registry + Column facade for the graft sketch engine.
+  *
+  * All functions are registered into the session's FunctionRegistry so they
+  * work from SQL and via `call_function` — which keeps the whole pipeline
+  * inside Catalyst (codegen'd expressions, partial aggregation) rather than
+  * opaque Scala UDFs.
+  *
+  * User columns are hashed with the built-in codegen'd `xxhash64` before
+  * they reach a sketch aggregate, so every aggregate consumes LONG hashes
+  * (reference analogue: everything downstream of the tokenizers operates on
+  * 64-bit hash sets, /root/reference/src/hixf/build/compute_hashes.cpp).
+  */
+object GraftFunctions {
+  val DefaultSeed: Long = TextOps.DefaultSeed
+
+  private def arg(e: Expression, name: String): Any = {
+    require(e.foldable, s"graft function argument '$name' must be a literal")
+    e.eval()
+  }
+  private def intArg(e: Expression, name: String): Int = arg(e, name) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case o => throw new IllegalArgumentException(s"$name: expected int, got $o")
+  }
+  private def longArg(e: Expression, name: String): Long = arg(e, name) match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case o => throw new IllegalArgumentException(s"$name: expected long, got $o")
+  }
+  private def doubleArg(e: Expression, name: String): Double =
+    arg(e, name) match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: java.math.BigDecimal => d.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case o =>
+        throw new IllegalArgumentException(s"$name: expected double, got $o")
+    }
+
+  private val builders: Map[String, Seq[Expression] => Expression] = Map(
+    "graft_shingles" -> { es =>
+      ShingleHashes(es.head, intArg(es(1), "k"), longArg(es(2), "seed"),
+        longArg(es(3), "scale"))
+    },
+    "graft_minimizers" -> { es =>
+      MinimizerHashes(es.head, intArg(es(1), "k"), intArg(es(2), "w"),
+        longArg(es(3), "seed"))
+    },
+    "graft_token_count" -> { es => TokenCount(es.head) },
+    "graft_fingerprint" -> { es => Fingerprint(es.head) },
+    "graft_hll_agg" -> { es => HllAgg(es.head, intArg(es(1), "p")) },
+    "graft_hll_merge_agg" -> { es =>
+      HllAgg(es.head, intArg(es(1), "p"), mergeInput = true)
+    },
+    "graft_hll_estimate" -> { es => HllEstimate(es.head) },
+    "graft_bloom_agg" -> { es =>
+      BloomAgg(es.head, longArg(es(1), "items"), doubleArg(es(2), "fpp"),
+        longArg(es(3), "seed"))
+    },
+    "graft_bloom_merge_agg" -> { es =>
+      BloomAgg(es.head, longArg(es(1), "items"), doubleArg(es(2), "fpp"),
+        longArg(es(3), "seed"), mergeInput = true)
+    },
+    "graft_bloom_contains" -> { es => BloomContains(es.head, es(1)) },
+    "graft_bloom_count_contained" -> { es =>
+      BloomCountContained(es.head, es(1))
+    },
+    "graft_bloom_fpp" -> { es => BloomFpp(es.head) },
+    "graft_cms_agg" -> { es =>
+      CmsAgg(es.head, doubleArg(es(1), "eps"), doubleArg(es(2), "delta"),
+        longArg(es(3), "seed"))
+    },
+    "graft_cms_merge_agg" -> { es =>
+      CmsAgg(es.head, doubleArg(es(1), "eps"), doubleArg(es(2), "delta"),
+        longArg(es(3), "seed"), mergeInput = true)
+    },
+    "graft_cms_estimate" -> { es => CmsEstimate(es.head, es(1)) },
+    "graft_cms_total" -> { es => CmsTotal(es.head) },
+    "graft_kll_agg" -> { es => KllAgg(es.head, intArg(es(1), "k")) },
+    "graft_kll_merge_agg" -> { es =>
+      KllAgg(es.head, intArg(es(1), "k"), mergeInput = true)
+    },
+    "graft_kll_quantile" -> { es => KllQuantile(es.head, es(1)) },
+    "graft_kll_rank" -> { es => KllRank(es.head, es(1)) },
+    "graft_tdigest_agg" -> { es =>
+      TDigestAgg(es.head, doubleArg(es(1), "delta"))
+    },
+    "graft_tdigest_merge_agg" -> { es =>
+      TDigestAgg(es.head, doubleArg(es(1), "delta"), mergeInput = true)
+    },
+    "graft_tdigest_quantile" -> { es => TDigestQuantile(es.head, es(1)) },
+    "graft_tdigest_cdf" -> { es => TDigestCdf(es.head, es(1)) }
+  )
+
+  /** Idempotent; call once per session before using the facade. */
+  def register(spark: SparkSession): Unit = builders.foreach {
+    case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+  }
+
+  // ---- Column facade ------------------------------------------------------
+
+  /** Distinct k-shingle hashes of a text column; `scale` > 1 applies
+    * FracMinHash downsampling (keep iff hash <= MAX/scale). */
+  def shingles(c: Column, k: Int, scale: Long = 1L,
+      seed: Long = DefaultSeed): Column =
+    call_function("graft_shingles", c, lit(k), lit(seed), lit(scale))
+
+  def minimizers(c: Column, k: Int, w: Int, seed: Long = DefaultSeed): Column =
+    call_function("graft_minimizers", c, lit(k), lit(w), lit(seed))
+
+  def token_count(c: Column): Column = call_function("graft_token_count", c)
+  def fingerprint(c: Column): Column = call_function("graft_fingerprint", c)
+
+  /** HLL over any column (hashed internally with xxhash64). */
+  def hll_agg(c: Column, p: Int = 14): Column =
+    call_function("graft_hll_agg", xxhash64(c), lit(p))
+  /** HLL over an already-hashed LONG column (e.g. exploded shingles). */
+  def hll_agg_hashed(c: Column, p: Int): Column =
+    call_function("graft_hll_agg", c, lit(p))
+  def hll_merge_agg(c: Column, p: Int): Column =
+    call_function("graft_hll_merge_agg", c, lit(p))
+  def hll_estimate(c: Column): Column = call_function("graft_hll_estimate", c)
+
+  def bloom_agg_hashed(c: Column, items: Long, fpp: Double,
+      seed: Long = DefaultSeed): Column =
+    call_function("graft_bloom_agg", c, lit(items), lit(fpp), lit(seed))
+  def bloom_agg(c: Column, items: Long, fpp: Double): Column =
+    bloom_agg_hashed(xxhash64(c), items, fpp)
+  def bloom_merge_agg(c: Column, items: Long, fpp: Double,
+      seed: Long = DefaultSeed): Column =
+    call_function("graft_bloom_merge_agg", c, lit(items), lit(fpp), lit(seed))
+  def bloom_contains_hashed(sketch: Column, hash: Column): Column =
+    call_function("graft_bloom_contains", sketch, hash)
+  def bloom_contains(sketch: Column, value: Column): Column =
+    bloom_contains_hashed(sketch, xxhash64(value))
+  def bloom_count_contained(sketch: Column, hashes: Column): Column =
+    call_function("graft_bloom_count_contained", sketch, hashes)
+  def bloom_fpp(sketch: Column): Column = call_function("graft_bloom_fpp", sketch)
+
+  def cms_agg(c: Column, eps: Double = 0.0001, delta: Double = 0.01,
+      seed: Long = DefaultSeed): Column =
+    call_function("graft_cms_agg", xxhash64(c), lit(eps), lit(delta), lit(seed))
+  def cms_agg_hashed(c: Column, eps: Double, delta: Double,
+      seed: Long = DefaultSeed): Column =
+    call_function("graft_cms_agg", c, lit(eps), lit(delta), lit(seed))
+  def cms_merge_agg(c: Column, eps: Double, delta: Double,
+      seed: Long = DefaultSeed): Column =
+    call_function("graft_cms_merge_agg", c, lit(eps), lit(delta), lit(seed))
+  def cms_estimate(sketch: Column, value: Column): Column =
+    call_function("graft_cms_estimate", sketch, xxhash64(value))
+  def cms_estimate_hashed(sketch: Column, hash: Column): Column =
+    call_function("graft_cms_estimate", sketch, hash)
+  def cms_total(sketch: Column): Column = call_function("graft_cms_total", sketch)
+
+  def kll_agg(c: Column, k: Int = 200): Column =
+    call_function("graft_kll_agg", c.cast("double"), lit(k))
+  def kll_merge_agg(c: Column, k: Int = 200): Column =
+    call_function("graft_kll_merge_agg", c, lit(k))
+  def kll_quantile(sketch: Column, q: Double): Column =
+    call_function("graft_kll_quantile", sketch, lit(q))
+  def kll_rank(sketch: Column, x: Column): Column =
+    call_function("graft_kll_rank", sketch, x.cast("double"))
+
+  def tdigest_agg(c: Column, delta: Double = 100.0): Column =
+    call_function("graft_tdigest_agg", c.cast("double"), lit(delta))
+  def tdigest_merge_agg(c: Column, delta: Double = 100.0): Column =
+    call_function("graft_tdigest_merge_agg", c, lit(delta))
+  def tdigest_quantile(sketch: Column, q: Double): Column =
+    call_function("graft_tdigest_quantile", sketch, lit(q))
+  def tdigest_cdf(sketch: Column, x: Column): Column =
+    call_function("graft_tdigest_cdf", sketch, x.cast("double"))
+}

@@ -1,0 +1,232 @@
+package graft.functions
+
+import graft.sketch._
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime helpers invoked from generated code (static forwarders). */
+object SketchOps {
+  def hllEstimate(buf: Array[Byte]): Double = Hll.estimate(buf)
+  def bloomContains(buf: Array[Byte], hash: Long): Boolean =
+    Bloom.contains(buf, hash)
+  def bloomFpp(buf: Array[Byte]): Double = Bloom.expectedFpp(buf)
+  def cmsEstimate(buf: Array[Byte], hash: Long): Long =
+    CountMin.estimate(buf, hash)
+  def cmsTotal(buf: Array[Byte]): Long = CountMin.totalWeight(buf)
+  def cmsEpsilon(buf: Array[Byte]): Double = CountMin.epsilon(buf)
+  def kllQuantile(buf: Array[Byte], q: Double): Double =
+    Kll.fromBytes(buf).quantile(q)
+  def kllRank(buf: Array[Byte], x: Double): Double = Kll.fromBytes(buf).rank(x)
+  def kllCount(buf: Array[Byte]): Long = Kll.fromBytes(buf).n
+  def tdigestQuantile(buf: Array[Byte], q: Double): Double =
+    TDigest.fromBytes(buf).quantile(q)
+  def tdigestCdf(buf: Array[Byte], x: Double): Double =
+    TDigest.fromBytes(buf).cdf(x)
+  /** Count how many of `hashes` are contained in the Bloom filter — the
+    * analogue of the reference's interleaved bulk count
+    * (/root/reference/src/hixf/build/hierarchical_interleaved_xor_filter.hpp:
+    * 307-334): one pass over a query's hash set against one group's filter.
+    */
+  def bloomCountContained(
+      buf: Array[Byte], hashes: org.apache.spark.sql.catalyst.util.ArrayData)
+      : Long = {
+    var c = 0L
+    var i = 0
+    val n = hashes.numElements()
+    while (i < n) {
+      if (Bloom.contains(buf, hashes.getLong(i))) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** Distinct byte-k-gram hashes of a text column (see TextOps.shingleHashes). */
+case class ShingleHashes(child: Expression, k: Int, seed: Long, scale: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextOps.shingleHashes(v.asInstanceOf[UTF8String], k, seed, scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextOps.shingleHashes($c, $k, ${seed}L, ${scale}L)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+  override def prettyName: String = "graft_shingles"
+}
+
+/** Deduplicated minimizer hashes over windows of w consecutive k-grams. */
+case class MinimizerHashes(child: Expression, k: Int, w: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextOps.minimizerHashes(v.asInstanceOf[UTF8String], k, w, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextOps.minimizerHashes($c, $k, $w, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): MinimizerHashes =
+    copy(child = c)
+  override def prettyName: String = "graft_minimizers"
+}
+
+case class TokenCount(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextOps.tokenCount(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.tokenCount($c)")
+  override protected def withNewChildInternal(c: Expression): TokenCount =
+    copy(child = c)
+  override def prettyName: String = "graft_token_count"
+}
+
+case class Fingerprint(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextOps.fingerprint(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.fingerprint($c)")
+  override protected def withNewChildInternal(c: Expression): Fingerprint =
+    copy(child = c)
+  override def prettyName: String = "graft_fingerprint"
+}
+
+case class HllEstimate(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.hllEstimate(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.hllEstimate($c)")
+  override protected def withNewChildInternal(c: Expression): HllEstimate =
+    copy(child = c)
+  override def prettyName: String = "graft_hll_estimate"
+}
+
+case class BloomContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(sketch: Any, hash: Any): Any =
+    SketchOps.bloomContains(
+      sketch.asInstanceOf[Array[Byte]], hash.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, h) => s"graft.functions.SketchOps.bloomContains($s, $h)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BloomContains = copy(left = l, right = r)
+  override def prettyName: String = "graft_bloom_contains"
+}
+
+/** Count of query hashes contained in a group's Bloom filter. */
+case class BloomCountContained(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(sketch: Any, hashes: Any): Any =
+    SketchOps.bloomCountContained(
+      sketch.asInstanceOf[Array[Byte]],
+      hashes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, h) => s"graft.functions.SketchOps.bloomCountContained($s, $h)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BloomCountContained =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_bloom_count_contained"
+}
+
+case class BloomFpp(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.bloomFpp(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.bloomFpp($c)")
+  override protected def withNewChildInternal(c: Expression): BloomFpp =
+    copy(child = c)
+  override def prettyName: String = "graft_bloom_fpp"
+}
+
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(sketch: Any, hash: Any): Any =
+    SketchOps.cmsEstimate(
+      sketch.asInstanceOf[Array[Byte]], hash.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, h) => s"graft.functions.SketchOps.cmsEstimate($s, $h)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CmsEstimate = copy(left = l, right = r)
+  override def prettyName: String = "graft_cms_estimate"
+}
+
+case class CmsTotal(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.cmsTotal(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.cmsTotal($c)")
+  override protected def withNewChildInternal(c: Expression): CmsTotal =
+    copy(child = c)
+  override def prettyName: String = "graft_cms_total"
+}
+
+case class KllQuantile(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(sketch: Any, q: Any): Any =
+    SketchOps.kllQuantile(
+      sketch.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, q) => s"graft.functions.SketchOps.kllQuantile($s, $q)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KllQuantile = copy(left = l, right = r)
+  override def prettyName: String = "graft_kll_quantile"
+}
+
+case class KllRank(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(sketch: Any, x: Any): Any =
+    SketchOps.kllRank(sketch.asInstanceOf[Array[Byte]], x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, x) => s"graft.functions.SketchOps.kllRank($s, $x)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KllRank = copy(left = l, right = r)
+  override def prettyName: String = "graft_kll_rank"
+}
+
+case class TDigestQuantile(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(sketch: Any, q: Any): Any =
+    SketchOps.tdigestQuantile(
+      sketch.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, q) => s"graft.functions.SketchOps.tdigestQuantile($s, $q)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TDigestQuantile = copy(left = l, right = r)
+  override def prettyName: String = "graft_tdigest_quantile"
+}
+
+case class TDigestCdf(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(sketch: Any, x: Any): Any =
+    SketchOps.tdigestCdf(
+      sketch.asInstanceOf[Array[Byte]], x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, x) => s"graft.functions.SketchOps.tdigestCdf($s, $x)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TDigestCdf = copy(left = l, right = r)
+  override def prettyName: String = "graft_tdigest_cdf"
+}

@@ -1,0 +1,128 @@
+package graft.functions
+
+import graft.sketch.Bytes
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tokenization runtime called from generated code (static forwarders).
+  *
+  * Reference analogues: k-mer/minimizer/syncmer tokenizers producing a
+  * distinct 64-bit hash set per record
+  * (/root/reference/src/hashing/syncmer.cpp:80-165,
+  * /root/reference/src/hixf/build/compute_hashes.cpp:76-142) and the
+  * FracMinHash scaling filter (`hash <= U64_MAX / scaling`,
+  * /root/reference/src/main/taxor_build.cpp:335-340). Here a "k-mer" is a
+  * UTF-8 byte k-gram of turn/document text.
+  */
+object TextOps {
+  val DefaultSeed: Long = 0x9e3779b97f4a7c15L // golden-ratio constant
+
+  /** FNV-1a over a byte window, then murmur-finalized with the seed. */
+  @inline private def hashWindow(
+      bytes: Array[Byte], start: Int, k: Int, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = start
+    val end = start + k
+    while (i < end) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    Bytes.mix64(h ^ seed)
+  }
+
+  private def sortedDistinct(hs: Array[Long], len: Int): Array[Long] = {
+    if (len == 0) return Array.emptyLongArray
+    java.util.Arrays.sort(hs, 0, len)
+    var out = 1
+    var i = 1
+    while (i < len) {
+      if (hs(i) != hs(i - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(hs, out)
+  }
+
+  /** Distinct hashes of all byte k-grams of `s`, FracMinHash-downsampled by
+    * `scale` (keep iff hash <= Long.MaxValue / scale; scale=1 keeps all).
+    */
+  def shingleHashes(s: UTF8String, k: Int, seed: Long, scale: Long): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val keepBelow = if (scale <= 1L) Long.MaxValue else Long.MaxValue / scale
+    val hs = new Array[Long](n)
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      val h = hashWindow(bytes, i, k, seed)
+      if ((h & Long.MaxValue) <= keepBelow) { hs(cnt) = h; cnt += 1 }
+      i += 1
+    }
+    new GenericArrayData(sortedDistinct(hs, cnt))
+  }
+
+  /** Minimizer scheme: the minimum shingle hash of every window of `w`
+    * consecutive k-grams (monotone-deque algorithm), deduplicated.
+    * Generalizes the reference's minimizer/syncmer down-selection
+    * (/root/reference/src/hixf/build/compute_hashes.cpp:118-138).
+    */
+  def minimizerHashes(s: UTF8String, k: Int, w: Int, seed: Long): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    if (n <= w) {
+      var min = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val h = hashWindow(bytes, i, k, seed); if (h < min) min = h; i += 1
+      }
+      return new GenericArrayData(Array(min))
+    }
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = hashWindow(bytes, i, k, seed); i += 1 }
+    val out = new Array[Long](n - w + 1)
+    val dq = new Array[Int](n) // indices, increasing hash values
+    var head = 0; var tail = 0 // [head, tail)
+    var cnt = 0
+    i = 0
+    while (i < n) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) { out(cnt) = hs(dq(head)); cnt += 1 }
+      i += 1
+    }
+    new GenericArrayData(sortedDistinct(out, cnt))
+  }
+
+  /** Count of whitespace-delimited tokens (cheap token counting). */
+  def tokenCount(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var count = 0L
+    var inTok = false
+    var i = 0
+    while (i < bytes.length) {
+      val ws = bytes(i) == ' ' || bytes(i) == '\t' || bytes(i) == '\n' ||
+        bytes(i) == '\r'
+      if (!ws && !inTok) count += 1
+      inTok = !ws
+      i += 1
+    }
+    count
+  }
+
+  /** Polynomial rolling-hash document fingerprint (order-sensitive, unlike
+    * the shingle set). Base/modulus public constants. */
+  def fingerprint(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 1125899906842597L // large prime
+    var i = 0
+    while (i < bytes.length) {
+      h = 31 * h + (bytes(i) & 0xff)
+      i += 1
+    }
+    h
+  }
+}

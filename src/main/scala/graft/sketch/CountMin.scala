@@ -1,0 +1,91 @@
+package graft.sketch
+
+/** From-scratch count-min sketch (Cormode & Muthukrishnan 2005) over
+  * pre-hashed 64-bit values. depth = ceil(ln(1/delta)) rows, width =
+  * ceil(e/eps) counters; estimate = min over rows; merge = element-wise add
+  * (associative, commutative).
+  *
+  * Reference analogue: the HIXF counting agent's per-bin hit-count vectors
+  * (/root/reference/src/hixf/build/hierarchical_interleaved_xor_filter.hpp:
+  * 307-334) — heavy-hitter counting per group, re-expressed as a mergeable
+  * aggregation. Published bound: estimate ∈ [true, true + eps*N] with
+  * probability ≥ 1 − delta.
+  *
+  * Layout: [0]=type(3) [1]=ver(1) [2..5]=depth [6..9]=width [10..17]=seed
+  * [18..25]=N(total weight) [26..)=depth*width longs, row-major.
+  */
+object CountMin {
+  val TYPE: Byte = 3
+  val VER: Byte = 1
+  val HEADER = 26
+
+  def dims(eps: Double, delta: Double): (Int, Int) = {
+    require(eps > 0 && eps < 1 && delta > 0 && delta < 1)
+    val depth = math.max(1, math.ceil(math.log(1.0 / delta)).toInt)
+    val width = math.max(2, math.ceil(math.E / eps).toInt)
+    (depth, width)
+  }
+
+  def empty(eps: Double, delta: Double, seed: Long): Array[Byte] = {
+    val (depth, width) = dims(eps, delta)
+    emptyRaw(depth, width, seed)
+  }
+
+  def emptyRaw(depth: Int, width: Int, seed: Long): Array[Byte] = {
+    val a = new Array[Byte](HEADER + depth * width * 8)
+    a(0) = TYPE; a(1) = VER
+    Bytes.putInt(a, 2, depth)
+    Bytes.putInt(a, 6, width)
+    Bytes.putLong(a, 10, seed)
+    a
+  }
+
+  @inline def depth(buf: Array[Byte]): Int = Bytes.getInt(buf, 2)
+  @inline def width(buf: Array[Byte]): Int = Bytes.getInt(buf, 6)
+  @inline def seed(buf: Array[Byte]): Long = Bytes.getLong(buf, 10)
+  @inline def totalWeight(buf: Array[Byte]): Long = Bytes.getLong(buf, 18)
+  def epsilon(buf: Array[Byte]): Double = math.E / width(buf)
+
+  def update(buf: Array[Byte], hash: Long, inc: Long): Unit = {
+    val d = depth(buf); val w = width(buf)
+    val h1 = Bytes.mix64(hash ^ seed(buf))
+    val h2 = Bytes.mix64(h1) | 1L
+    var r = 0
+    while (r < d) {
+      val c = ((h1 + r * h2) & Long.MaxValue) % w
+      val off = HEADER + (r * w + c.toInt) * 8
+      Bytes.putLong(buf, off, Bytes.getLong(buf, off) + inc)
+      r += 1
+    }
+    Bytes.putLong(buf, 18, totalWeight(buf) + inc)
+  }
+
+  def estimate(buf: Array[Byte], hash: Long): Long = {
+    val d = depth(buf); val w = width(buf)
+    val h1 = Bytes.mix64(hash ^ seed(buf))
+    val h2 = Bytes.mix64(h1) | 1L
+    var min = Long.MaxValue
+    var r = 0
+    while (r < d) {
+      val c = ((h1 + r * h2) & Long.MaxValue) % w
+      val v = Bytes.getLong(buf, HEADER + (r * w + c.toInt) * 8)
+      if (v < min) min = v
+      r += 1
+    }
+    min
+  }
+
+  /** In-place merge of `b` into `a`: element-wise counter add. */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(
+      a.length == b.length && depth(a) == depth(b) && width(a) == width(b) &&
+        seed(a) == seed(b),
+      "count-min parameter mismatch")
+    var off = 18 // includes the N field, then all counters
+    while (off < a.length) {
+      Bytes.putLong(a, off, Bytes.getLong(a, off) + Bytes.getLong(b, off))
+      off += 8
+    }
+    a
+  }
+}

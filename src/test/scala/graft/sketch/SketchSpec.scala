@@ -1,0 +1,207 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Pure-Scala sketch correctness: published error bounds vs exact answers,
+  * and merge associativity / split-merge equivalence (north rule; the
+  * reference only gets this trivially by unioning raw hash sets before
+  * construction, /root/reference/src/hixf/build/insert_into_bins.cpp:14-28).
+  */
+class SketchSpec extends AnyFunSuite {
+  private def hashes(n: Int, seed: Long): Array[Long] = {
+    val r = new Random(seed)
+    Array.fill(n)(r.nextLong())
+  }
+
+  // ---- HLL ----------------------------------------------------------------
+
+  test("hll estimate within 3x published bound (1.04/sqrt(m))") {
+    for (p <- Seq(10, 12, 14); n <- Seq(100, 10000, 500000)) {
+      val h = Hll.empty(p)
+      val data = hashes(n, seed = p * 1000L + n)
+      data.foreach(Hll.update(h, _))
+      val exact = data.distinct.length
+      val est = Hll.estimate(h)
+      val bound = 3 * Hll.stdError(p) * exact
+      assert(math.abs(est - exact) <= math.max(bound, 2.0),
+        s"p=$p n=$n est=$est exact=$exact")
+    }
+  }
+
+  test("hll merge == sketch of union, and merge is associative") {
+    val p = 12
+    val a = hashes(5000, 1); val b = hashes(5000, 2); val c = hashes(5000, 3)
+    def sk(xs: Array[Long]*): Array[Byte] = {
+      val h = Hll.empty(p); xs.foreach(_.foreach(Hll.update(h, _))); h
+    }
+    val merged1 = Hll.merge(Hll.merge(sk(a), sk(b)), sk(c))
+    val merged2 = Hll.merge(sk(a), Hll.merge(sk(b), sk(c)))
+    val union = sk(a, b, c)
+    assert(merged1.sameElements(merged2), "associativity")
+    assert(merged1.sameElements(union), "merge == union sketch")
+  }
+
+  // ---- Bloom ---------------------------------------------------------------
+
+  test("bloom has no false negatives and fpr within 3x configured bound") {
+    val n = 20000
+    val fpp = 0.01
+    val b = Bloom.empty(n, fpp, seed = 7)
+    val members = hashes(n, 11)
+    members.foreach(Bloom.update(b, _))
+    assert(members.forall(Bloom.contains(b, _)), "no false negatives")
+    val nonMembers = hashes(100000, 12).filterNot(members.toSet)
+    val fp = nonMembers.count(Bloom.contains(b, _))
+    val rate = fp.toDouble / nonMembers.length
+    assert(rate <= 3 * fpp, s"fpr=$rate configured=$fpp")
+    assert(Bloom.expectedFpp(b) <= 2 * fpp)
+  }
+
+  test("bloom xor-parity sizing reaches <= 0.0039 fpr") {
+    // FPR parity with the reference's 8-bit XOR fingerprints
+    // (/root/reference/src/main/xorfilter.hpp:60-62).
+    val n = 5000
+    val b = Bloom.empty(n, Bloom.XorParityFpp, seed = 3)
+    val members = hashes(n, 21)
+    members.foreach(Bloom.update(b, _))
+    val nonMembers = hashes(300000, 22).filterNot(members.toSet)
+    val rate = nonMembers.count(Bloom.contains(b, _)).toDouble / nonMembers.length
+    assert(rate <= 2 * Bloom.XorParityFpp, s"rate=$rate")
+  }
+
+  test("bloom merge (OR) == build over union; associative; idempotent") {
+    val a = hashes(3000, 31); val b = hashes(3000, 32); val c = hashes(3000, 33)
+    def sk(xs: Array[Long]*): Array[Byte] = {
+      val s = Bloom.empty(10000, 0.01, seed = 5)
+      xs.foreach(_.foreach(Bloom.update(s, _))); s
+    }
+    val m1 = Bloom.merge(Bloom.merge(sk(a), sk(b)), sk(c))
+    val m2 = Bloom.merge(sk(a), Bloom.merge(sk(b), sk(c)))
+    assert(m1.sameElements(m2))
+    assert(m1.sameElements(sk(a, b, c)))
+    assert(Bloom.merge(sk(a), sk(a)).sameElements(sk(a)), "idempotent")
+  }
+
+  // ---- CountMin -------------------------------------------------------------
+
+  test("cms never undercounts; overcount <= eps*N for most items") {
+    val eps = 0.001; val delta = 0.01
+    val c = CountMin.empty(eps, delta, seed = 9)
+    val r = new Random(99)
+    // zipf-ish: item i gets ~ N/i occurrences
+    val counts = (1 to 2000).map(i => i.toLong -> (20000 / i + 1).toLong).toMap
+    counts.foreach { case (item, cnt) =>
+      var j = 0L
+      while (j < cnt) { CountMin.update(c, item, 1L); j += 1 }
+    }
+    val total = CountMin.totalWeight(c)
+    assert(total == counts.values.sum)
+    var violations = 0
+    counts.foreach { case (item, cnt) =>
+      val est = CountMin.estimate(c, item)
+      assert(est >= cnt, s"undercount for $item")
+      if (est > cnt + eps * total) violations += 1
+    }
+    assert(violations <= math.max(1, delta * counts.size),
+      s"violations=$violations of ${counts.size}")
+  }
+
+  test("cms merge is element-wise add and associative") {
+    def sk(seed: Long, items: Range): Array[Byte] = {
+      val s = CountMin.empty(0.01, 0.01, seed = 4)
+      items.foreach(i => CountMin.update(s, i.toLong, 1L)); s
+    }
+    val a = sk(4, 1 to 100); val b = sk(4, 50 to 150); val c = sk(4, 1 to 10)
+    val m1 = CountMin.merge(CountMin.merge(a.clone, b), c)
+    val m2 = CountMin.merge(a.clone, CountMin.merge(b.clone, c))
+    assert(m1.sameElements(m2))
+    assert(CountMin.estimate(m1, 50L) >= 2)
+    assert(CountMin.totalWeight(m1) == 211) // 100 + 101 + 10 items
+  }
+
+  // ---- KLL -------------------------------------------------------------------
+
+  test("kll quantiles within rank-error bound vs exact") {
+    val k = 200
+    val n = 100000
+    val r = new Random(5)
+    val data = Array.fill(n)(r.nextGaussian() * 100 + 50)
+    val s = Kll.empty(k)
+    data.foreach(s.update)
+    assert(s.n == n)
+    val sorted = data.sorted
+    val eps = 3 * s.rankErrorBound
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = s.quantile(q)
+      // rank of the estimate in the exact data must be within eps of q
+      val rank = sorted.count(_ < est).toDouble / n
+      assert(math.abs(rank - q) <= eps, s"q=$q est=$est rank=$rank eps=$eps")
+    }
+    assert(s.quantile(0.0) == sorted.head && s.quantile(1.0) == sorted.last)
+  }
+
+  test("kll merge keeps rank-error bound and total count") {
+    val r = new Random(6)
+    val parts = Array.fill(10)(Array.fill(5000)(r.nextDouble() * 1000))
+    val sketches = parts.map { p =>
+      val s = Kll.empty(200); p.foreach(s.update); s
+    }
+    val merged = sketches.reduce(_.merge(_))
+    val all = parts.flatten.sorted
+    assert(merged.n == all.length)
+    val eps = 3 * merged.rankErrorBound
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val rank = all.count(_ < merged.quantile(q)).toDouble / all.length
+      assert(math.abs(rank - q) <= eps, s"q=$q rank=$rank")
+    }
+  }
+
+  test("kll codec round-trips") {
+    val s = Kll.empty(128)
+    (1 to 10000).foreach(i => s.update(i.toDouble))
+    val back = Kll.fromBytes(s.toBytes)
+    assert(back.n == s.n && back.quantile(0.5) == s.quantile(0.5))
+    // continues to accept updates after round-trip
+    back.update(1.0)
+    assert(back.n == s.n + 1)
+  }
+
+  // ---- TDigest -----------------------------------------------------------------
+
+  test("tdigest quantiles accurate, tails tighter") {
+    val n = 200000
+    val r = new Random(8)
+    val data = Array.fill(n)(math.exp(r.nextGaussian())) // skewed
+    val t = TDigest.empty(100)
+    data.foreach(t.update)
+    val sorted = data.sorted
+    for ((q, eps) <- Seq(0.001 -> 0.002, 0.01 -> 0.005, 0.5 -> 0.02,
+        0.99 -> 0.005, 0.999 -> 0.002)) {
+      val est = t.quantile(q)
+      val rank = sorted.count(_ < est).toDouble / n
+      assert(math.abs(rank - q) <= eps, s"q=$q rank=$rank")
+    }
+  }
+
+  test("tdigest merge keeps accuracy and weight") {
+    val r = new Random(10)
+    val parts = Array.fill(8)(Array.fill(20000)(r.nextDouble() * 100))
+    val ds = parts.map { p => val t = TDigest.empty(100); p.foreach(t.update); t }
+    val merged = ds.reduce(_.merge(_))
+    val all = parts.flatten.sorted
+    assert(math.abs(merged.totalWeight - all.length) < 1e-6)
+    for (q <- Seq(0.05, 0.5, 0.95)) {
+      val rank = all.count(_ < merged.quantile(q)).toDouble / all.length
+      assert(math.abs(rank - q) <= 0.03, s"q=$q rank=$rank")
+    }
+  }
+
+  test("tdigest codec round-trips") {
+    val t = TDigest.empty(100)
+    (1 to 50000).foreach(i => t.update(i.toDouble))
+    val back = TDigest.fromBytes(t.toBytes)
+    assert(math.abs(back.quantile(0.5) - t.quantile(0.5)) < 1e-9)
+    assert(back.totalWeight == t.totalWeight)
+  }
+}
