@@ -58,6 +58,14 @@ object GraftFunctions {
     },
     "graft_token_count" -> { es => TokenCount(es.head) },
     "graft_fingerprint" -> { es => Fingerprint(es.head) },
+    "graft_minhash" -> { es =>
+      MinHashSignature(es.head, intArg(es(1), "numPerms"), longArg(es(2), "seed"))
+    },
+    "graft_simhash" -> { es => SimHash64(es.head) },
+    "graft_srp_buckets" -> { es =>
+      SrpBuckets(es.head, intArg(es(1), "tables"), intArg(es(2), "bits"),
+        longArg(es(3), "seed"))
+    },
     "graft_hll_agg" -> { es => HllAgg(es.head, intArg(es(1), "p")) },
     "graft_hll_merge_agg" -> { es =>
       HllAgg(es.head, intArg(es(1), "p"), mergeInput = true)
@@ -122,6 +130,15 @@ object GraftFunctions {
 
   def token_count(c: Column): Column = call_function("graft_token_count", c)
   def fingerprint(c: Column): Column = call_function("graft_fingerprint", c)
+
+  /** MinHash signature over a shingle-hash array column. */
+  def minhash(hashes: Column, numPerms: Int = 128,
+      seed: Long = DefaultSeed): Column =
+    call_function("graft_minhash", hashes, lit(numPerms), lit(seed))
+  def simhash(hashes: Column): Column = call_function("graft_simhash", hashes)
+  def srp_buckets(vec: Column, tables: Int = 8, bits: Int = 12,
+      seed: Long = DefaultSeed): Column =
+    call_function("graft_srp_buckets", vec, lit(tables), lit(bits), lit(seed))
 
   /** HLL over any column (hashed internally with xxhash64). */
   def hll_agg(c: Column, p: Int = 14): Column =

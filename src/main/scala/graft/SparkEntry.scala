@@ -1,6 +1,7 @@
 package graft
 
 import graft.GraftFunctions._
+import graft.operators._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,7 +12,9 @@ import org.apache.spark.sql.functions._
   *  - reads only `$sfDir/<table>.parquet`;
   *  - any column that must hash-match the DuckDB oracle is integral,
   *    string, or boolean (cents via per-row round() then integer sum),
-  *    never a float aggregate — IEEE sum order would break byte equality;
+  *    never a float aggregate — IEEE sum order would break byte equality
+  *    (exception: doubles that both engines derive from identical integer
+  *    inputs with the same expression, e.g. Jaccard = i/(na+nb-i));
   *  - sketch queries output exact values (computable by the oracle) plus
   *    `within_*` booleans asserting the published error bound, so the
   *    DuckDB gate verifies the bound itself (the reference's analogue:
@@ -21,8 +24,32 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  private def cents(c: Column): Column =
-    round(c * 100).cast("long")
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Corpus/query split of the documents table for classification demos:
+    * every 10th doc is a query, the rest are the grouped reference corpus. */
+  private def corpusQueries(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    (docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+       .select(col("source").as("group"), col("text")),
+     docs.where(pmod(col("doc_id"), lit(10)) === 0)
+       .select(col("doc_id").as("query_id"), col("text")))
+  }
+
+  /** (query_id=user_id, ref=event_type) match table for the profile-filter
+    * demos — the transcript-domain analogue of the search-results TSV. The
+    * relative-max cut keeps each user's dominant event types only, so
+    * uniqueness actually occurs (as it does for reads in the reference). */
+  private def eventMatches(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("query_id")
+    t(s, dir, "events")
+      .groupBy(col("user_id").as("query_id"), col("event_type").as("ref"))
+      .agg(count(lit(1)).as("match_cnt"))
+      .withColumn("query_n", sum(col("match_cnt")).over(w))
+      .withColumn("__mx", max(col("match_cnt")).over(w))
+      .where(col("match_cnt") >= lit(0.8) * col("__mx"))
+      .drop("__mx")
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -30,9 +57,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1/A12-style exact aggregation (baseline relational path).
+    // ---- baseline relational (A1/A12, F2/A4, J1) --------------------------
     "q01_pricing_summary" -> { (s, dir) =>
-      GraftFunctions.register(s)
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -41,8 +67,6 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")
     },
-    // F2/A4: per-query relative-count filter (count >= 0.8 * max over group),
-    // the reference's 0.8*max_count match filter (taxor_search.cpp:275-286).
     "q02_relative_max_filter" -> { (s, dir) =>
       val w = Window.partitionBy("l_orderkey")
       t(s, dir, "lineitem")
@@ -51,7 +75,6 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber")
         .orderBy("l_orderkey", "l_linenumber")
     },
-    // J1-style broadcast dimension join + exact rollup metrics.
     "q03_segment_revenue" -> { (s, dir) =>
       val orders = t(s, dir, "orders")
       val customer = t(s, dir, "customer")
@@ -62,8 +85,7 @@ object SparkEntry {
           sum(cents(col("o_totalprice"))).as("revenue_cents"))
         .orderBy("c_mktsegment")
     },
-    // S5/A2: HLL distinct cardinality per group, bound-checked in-query
-    // against the exact distinct (which the oracle recomputes).
+    // ---- sketch bound checks (S5/A2, S3/A3, S1/S2/S4, quantiles) ----------
     "hll_distinct_users" -> { (s, dir) =>
       GraftFunctions.register(s)
       val p = 14
@@ -78,7 +100,6 @@ object SparkEntry {
               lit(2.0)).as("within_bound"))
         .orderBy("event_type")
     },
-    // S3/A3: count-min heavy-hitter counts, eps-bounded vs exact.
     "cms_event_type_counts" -> { (s, dir) =>
       GraftFunctions.register(s)
       val eps = 0.0005
@@ -95,8 +116,6 @@ object SparkEntry {
             .as("within_eps"))
         .orderBy("event_type")
     },
-    // S1/S2/S4: partitioned Bloom filter — zero false negatives on members,
-    // measured FPR on held-out keys within 3x the configured bound.
     "bloom_membership" -> { (s, dir) =>
       GraftFunctions.register(s)
       val fpp = 0.01
@@ -107,7 +126,6 @@ object SparkEntry {
       val missed = members.crossJoin(broadcast(bf))
         .where(!bloom_contains(col("bf"), col("o_custkey")))
         .count()
-      // held-out probes: synthetic keys far above any real custkey
       val probes = 200000L
       val fps = s.range(probes)
         .select((col("id") + 1000000000L).as("k"))
@@ -118,7 +136,6 @@ object SparkEntry {
       Seq((missed, fps <= (3 * fpp * probes).toLong))
         .toDF("members_missed", "fpr_bounded")
     },
-    // KLL quantiles of l_extendedprice: realized rank error <= bound.
     "kll_price_quantiles" -> { (s, dir) =>
       GraftFunctions.register(s)
       val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
@@ -135,8 +152,6 @@ object SparkEntry {
       import s.implicits._
       rows.toDF("q_label", "within_rank_error").orderBy("q_label")
     },
-    // t-digest quantiles of events.value: realized rank error small,
-    // tails tighter than the middle (the t-digest selling point).
     "tdigest_value_quantiles" -> { (s, dir) =>
       GraftFunctions.register(s)
       val ev = t(s, dir, "events").select(col("value").as("x"))
@@ -152,6 +167,171 @@ object SparkEntry {
       }
       import s.implicits._
       rows.toDF("q_label", "within_rank_error").orderBy("q_label")
+    },
+    // ---- taxor search analogue (S2/S3, F2/F3, J1) -------------------------
+    "classify_exact" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val (corpus, qs) = corpusQueries(s, dir)
+      Classify.exact(corpus, qs, shingleK = 8, minFraction = 0.1)
+        .orderBy("query_id", "group")
+    },
+    "classify_bloom_bounds" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val (corpus, qs) = corpusQueries(s, dir)
+      val fpp = 0.0039
+      val exact = Classify.exactCounts(corpus, qs)
+        .withColumnRenamed("match_cnt", "exact_cnt")
+      val bloom = Classify.sketchCounts(corpus, qs, fpp = fpp)
+        .select(col("query_id"), col("group"), col("match_cnt").as("bloom_cnt"))
+      exact.join(bloom, Seq("query_id", "group"))
+        .select(col("query_id"), col("group"), col("exact_cnt"),
+          (col("bloom_cnt") >= col("exact_cnt")).as("no_false_negative"),
+          (col("bloom_cnt") <= col("exact_cnt") +
+            greatest(lit(5.0), lit(3 * fpp) * col("query_n")))
+            .as("within_slack"))
+        .orderBy("query_id", "group")
+    },
+    // ---- taxor profile analogues (F5, F6, A11) ----------------------------
+    "profile_unique_filter" -> { (s, dir) =>
+      ProfilePipeline.uniqueMappingFilter(eventMatches(s, dir))
+        .select("query_id", "ref", "match_cnt")
+        .orderBy("query_id", "ref")
+    },
+    "profile_low_confidence" -> { (s, dir) =>
+      ProfilePipeline.lowConfidenceFilter(eventMatches(s, dir),
+          minUnique = 3, minRatio = 0.01)
+        .select("query_id", "ref", "match_cnt")
+        .orderBy("query_id", "ref")
+    },
+    "rollup_nation_counts" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      t(s, dir, "region").createOrReplaceTempView("region_v")
+      s.sql(
+        """SELECT coalesce(r_name, 'ALL') AS region,
+                  coalesce(n_name, 'ALL') AS nation,
+                  count(1) AS n_cust
+           FROM customer_v
+           JOIN nation_v ON c_nationkey = n_nationkey
+           JOIN region_v ON n_regionkey = r_regionkey
+           GROUP BY ROLLUP(r_name, n_name)
+           ORDER BY region, nation""")
+    },
+    // full profile chain incl. association filter + EM (iterative — no SQL
+    // oracle; covered by ProfilePipelineSpec instead)
+    "profile_full_cami" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val (corpus, qs) = corpusQueries(s, dir)
+      val matches = Classify.exact(corpus, qs, minFraction = 0.05)
+        .withColumnRenamed("group", "ref")
+      val filtered = ProfilePipeline.lowConfidenceFilter(
+        ProfilePipeline.uniqueMappingFilter(matches), minUnique = 2,
+        minRatio = 0.01)
+      val resolved = ProfilePipeline.associationFilter(filtered)
+      val assigned = ProfilePipeline.emAssign(resolved, maxIters = 20)
+      val abund = ProfilePipeline.abundance(assigned)
+      val taxonomy = t(s, dir, "documents").select(col("source").as("ref"))
+        .distinct()
+        .withColumn("path", array(
+          struct(lit(0).as("rank"), lit("all").as("node")),
+          struct(lit(1).as("rank"),
+            concat(lit("grp"),
+              pmod(xxhash64(col("ref")), lit(5))).as("node")),
+          struct(lit(2).as("rank"), col("ref").as("node"))))
+      ProfilePipeline.camiReport(
+        ProfilePipeline.rollup(abund, taxonomy), minPct = 0.001)
+    },
+    // ---- dedup suite -------------------------------------------------------
+    "dedup_exact_canonical" -> { (s, dir) =>
+      Dedup.exactCanonical(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 8, numBands = 32, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") * 1000000).cast("long").as("jaccard_x1m"))
+        .orderBy("id_a", "id_b")
+    },
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      Dedup.exactJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 8, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") * 1000000).cast("long").as("jaccard_x1m"))
+        .orderBy("id_a", "id_b")
+    },
+    // simhash near-dups: banded hamming join; oracle = the same planted
+    // near-duplicate pairs found by exact Jaccard (verified equivalent on
+    // this corpus; DedupSpec covers the general case)
+    "dedup_simhash" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 8, maxHamming = 3)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    },
+    // ---- similarity search -------------------------------------------------
+    "ann_topk" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = emb.where(pmod(col("vec_id"), lit(25)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(corpus, qs, k = 5)
+        .select("qid", "rank", "id")
+        .orderBy("qid", "rank")
+    },
+    "cosine_neardup_exact" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      emb.as("a").join(emb.as("b"), col("a.id") < col("b.id"))
+        .withColumn("sim",
+          Similarity.cosine(col("a.vec"), col("b.vec")))
+        .where(col("sim") >= 0.4)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .orderBy("id_a", "id_b")
+    },
+    // ---- text analysis -----------------------------------------------------
+    "text_doc_stats" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      TextStats.docStats(t(s, dir, "documents"), "doc_id", "text")
+        .drop("fingerprint")
+        .orderBy("doc_id")
+    },
+    "text_quality" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      TextStats.qualityFlags(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    // ---- multimodal plumbing ----------------------------------------------
+    "multimodal_frame_meta" -> { (s, dir) =>
+      Multimodal.frameMeta(
+        t(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload")
+        .orderBy("id")
+    },
+    // ---- flagship sketch-build over the canonical transcripts table -------
+    // (rows-only: the generator is Spark-side; bound booleans self-assert)
+    "sketch_build_transcripts" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val turns = graft.sources.Transcripts.generate(s, nConvs = 2000).cache()
+      val p = 12
+      val byRole = turns.groupBy("role").agg(
+        countDistinct(col("conv_id")).as("exact_convs"),
+        hll_estimate(hll_agg(col("conv_id"), p)).as("est"),
+        kll_quantile(kll_agg(length(col("text")), 200), 0.5).as("med_len"),
+        tdigest_quantile(tdigest_agg(length(col("text")), 100), 0.99)
+          .as("p99_len"))
+      byRole.select(col("role"), col("exact_convs"),
+          (abs(col("est") - col("exact_convs")) <=
+            lit(3 * graft.sketch.Hll.stdError(p)) * col("exact_convs") + 2)
+            .as("hll_within_bound"),
+          (col("med_len") > 0 && col("p99_len") >= col("med_len"))
+            .as("quantiles_sane"))
+        .orderBy("role")
     }
   )
 
@@ -188,6 +368,184 @@ object SparkEntry {
          ('q50'),('q90'),('q99')) AS t(q_label) ORDER BY q_label""",
     "tdigest_value_quantiles" ->
       """SELECT q_label, true AS within_rank_error FROM (VALUES ('q01'),
-         ('q50'),('q99')) AS t(q_label) ORDER BY q_label"""
+         ('q50'),('q99')) AS t(q_label) ORDER BY q_label""",
+    "classify_exact" ->
+      """WITH corpus AS (SELECT source AS grp, text FROM documents
+                         WHERE doc_id % 10 <> 0),
+         q AS (SELECT doc_id AS query_id, text FROM documents
+               WHERE doc_id % 10 = 0),
+         gsh AS (SELECT DISTINCT grp, substr(text, CAST(i AS INT), 8) AS s
+                 FROM corpus, generate_series(1, 1000) t(i)
+                 WHERE i <= length(text)-7),
+         qsh AS (SELECT DISTINCT query_id, substr(text, CAST(i AS INT), 8) AS s
+                 FROM q, generate_series(1, 1000) t(i)
+                 WHERE i <= length(text)-7),
+         qn AS (SELECT query_id, count(*) AS query_n FROM qsh GROUP BY 1),
+         cnt AS (SELECT query_id, grp, count(*) AS match_cnt
+                 FROM qsh JOIN gsh USING (s) GROUP BY 1,2),
+         filt AS (SELECT c.query_id, c.grp, c.match_cnt, qn.query_n
+                  FROM cnt c JOIN qn USING (query_id)
+                  WHERE c.match_cnt >= 0.1*qn.query_n),
+         mx AS (SELECT *, max(match_cnt) OVER (PARTITION BY query_id) AS m
+                FROM filt)
+         SELECT query_id, grp AS "group", match_cnt, query_n FROM mx
+         WHERE match_cnt >= 0.8*m ORDER BY query_id, "group"""",
+    "classify_bloom_bounds" ->
+      """WITH corpus AS (SELECT source AS grp, text FROM documents
+                         WHERE doc_id % 10 <> 0),
+         q AS (SELECT doc_id AS query_id, text FROM documents
+               WHERE doc_id % 10 = 0),
+         gsh AS (SELECT DISTINCT grp, substr(text, CAST(i AS INT), 8) AS s
+                 FROM corpus, generate_series(1, 1000) t(i)
+                 WHERE i <= length(text)-7),
+         qsh AS (SELECT DISTINCT query_id, substr(text, CAST(i AS INT), 8) AS s
+                 FROM q, generate_series(1, 1000) t(i)
+                 WHERE i <= length(text)-7),
+         cnt AS (SELECT query_id, grp, count(*) AS exact_cnt
+                 FROM qsh JOIN gsh USING (s) GROUP BY 1,2)
+         SELECT query_id, grp AS "group", exact_cnt,
+                true AS no_false_negative, true AS within_slack
+         FROM cnt ORDER BY query_id, "group"""",
+    "profile_unique_filter" ->
+      """WITH m0 AS (SELECT user_id AS query_id, event_type AS ref,
+                    count(*) AS match_cnt FROM events GROUP BY 1,2),
+         m AS (SELECT query_id, ref, match_cnt FROM (
+                SELECT *, max(match_cnt) OVER (PARTITION BY query_id) AS mxc
+                FROM m0) WHERE match_cnt >= 0.8*mxc),
+         mn AS (SELECT *, count(*) OVER (PARTITION BY query_id) AS n FROM m),
+         uref AS (SELECT DISTINCT ref FROM mn WHERE n = 1)
+         SELECT query_id, ref, match_cnt FROM mn
+         WHERE n = 1 OR ref IN (SELECT ref FROM uref)
+         ORDER BY query_id, ref""",
+    "profile_low_confidence" ->
+      """WITH m0 AS (SELECT user_id AS query_id, event_type AS ref,
+                    count(*) AS match_cnt FROM events GROUP BY 1,2),
+         m AS (SELECT query_id, ref, match_cnt FROM (
+                SELECT *, max(match_cnt) OVER (PARTITION BY query_id) AS mxc
+                FROM m0) WHERE match_cnt >= 0.8*mxc),
+         mn AS (SELECT *, count(*) OVER (PARTITION BY query_id) AS n FROM m),
+         stats AS (SELECT ref,
+                   sum(CASE WHEN n=1 THEN 1 ELSE 0 END) AS u,
+                   sum(CASE WHEN n>1 THEN 1 ELSE 0 END) AS a
+                   FROM mn GROUP BY 1),
+         good AS (SELECT ref FROM stats WHERE u >= 3 AND u/(u+a) >= 0.01),
+         f1 AS (SELECT query_id, ref, match_cnt FROM mn
+                WHERE ref IN (SELECT ref FROM good)),
+         f1n AS (SELECT *, count(*) OVER (PARTITION BY query_id) AS n2 FROM f1),
+         uref2 AS (SELECT DISTINCT ref FROM f1n WHERE n2 = 1)
+         SELECT query_id, ref, match_cnt FROM f1n
+         WHERE n2 = 1 OR ref IN (SELECT ref FROM uref2)
+         ORDER BY query_id, ref""",
+    "rollup_nation_counts" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+         coalesce(n_name, 'ALL') AS nation, count(*) AS n_cust
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""",
+    "dedup_exact_canonical" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+         doc_id = min(doc_id) OVER (PARTITION BY text) AS is_canonical
+         FROM documents ORDER BY doc_id""",
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS s
+                     FROM documents, generate_series(1, 1000) t(i)
+                     WHERE i <= length(text)-7),
+         cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1,2)
+         SELECT id_a, id_b,
+           CAST(round(i*1000000.0/(ca.c + cb.c - i)) AS BIGINT) AS jaccard_x1m
+         FROM inter JOIN cnt ca ON ca.doc_id = id_a
+                    JOIN cnt cb ON cb.doc_id = id_b
+         WHERE i*1.0/(ca.c + cb.c - i) >= 0.5 ORDER BY id_a, id_b""",
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS s
+                     FROM documents, generate_series(1, 1000) t(i)
+                     WHERE i <= length(text)-7),
+         cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1,2)
+         SELECT id_a, id_b,
+           CAST(round(i*1000000.0/(ca.c + cb.c - i)) AS BIGINT) AS jaccard_x1m
+         FROM inter JOIN cnt ca ON ca.doc_id = id_a
+                    JOIN cnt cb ON cb.doc_id = id_b
+         WHERE i*1.0/(ca.c + cb.c - i) >= 0.5 ORDER BY id_a, id_b""",
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id % 25 = 0),
+         c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         s AS (SELECT qid, id, list_cosine_similarity(qv, v) AS sim
+               FROM q, c WHERE id <> qid),
+         r AS (SELECT qid, id, row_number() OVER
+                 (PARTITION BY qid ORDER BY sim DESC, id) AS rnk FROM s)
+         SELECT qid, rnk AS "rank", id FROM r WHERE rnk <= 5
+         ORDER BY qid, rnk""",
+    "cosine_neardup_exact" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings)
+         SELECT a.id AS id_a, b.id AS id_b
+         FROM e a JOIN e b ON a.id < b.id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+         ORDER BY id_a, id_b""",
+    "text_doc_stats" -> textDocStatsSql,
+    "text_quality" ->
+      """SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         CAST(floor(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+           * 100 / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))
+           AS BIGINT) AS distinct_ratio_x100,
+         (len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 5 AND 100000)
+         AND (floor(length(regexp_replace(text, '\s', '', 'g')) * 100 /
+              greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))
+              BETWEEN 150 AND 1500)
+         AND (CAST(floor(len(list_distinct(regexp_split_to_array(trim(text),
+              '\s+'))) * 100 /
+              greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))
+              AS BIGINT) >= 5) AS is_quality
+         FROM documents ORDER BY doc_id""",
+    "multimodal_frame_meta" ->
+      """WITH chars AS (SELECT doc_id,
+           CAST(count(DISTINCT substr(text, CAST(i AS INT), 1)) AS INT) AS dc
+           FROM documents, generate_series(1, 1000) t(i)
+           WHERE i <= length(text) GROUP BY 1)
+         SELECT d.doc_id AS id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+                c.dc AS n_distinct_bytes,
+                CAST(length(d.text)//64 + 1 AS INT) AS n_frames
+         FROM documents d JOIN chars c USING (doc_id) ORDER BY id"""
   )
+
+  /** docStats oracle: marker-count language heuristic mirrored in SQL. */
+  private def textDocStatsSql: String = {
+    def occ(w: String): String =
+      s"(length(text) - length(replace(text, '$w', '')))/${w.length}"
+    val score = Map(
+      "en" -> Seq(" the ", " and ", " of "),
+      "es" -> Seq(" el ", " la ", " que "),
+      "de" -> Seq(" der ", " die ", " und "),
+      "fr" -> Seq(" le ", " la ", " et "),
+      "zh" -> Seq(" de ", " shi ", " le "))
+      .map { case (l, ws) => l -> ws.map(occ).mkString("(", " + ", ")") }
+    val best =
+      s"greatest(${score("en")}, ${score("es")}, ${score("de")}, ${score("fr")}, ${score("zh")})"
+    val langCase =
+      s"""CASE WHEN ${score("en")} = $best AND ${score("en")} > 0 THEN 'en'
+              WHEN ${score("es")} = $best AND ${score("es")} > 0 THEN 'es'
+              WHEN ${score("de")} = $best AND ${score("de")} > 0 THEN 'de'
+              WHEN ${score("fr")} = $best AND ${score("fr")} > 0 THEN 'fr'
+              WHEN ${score("zh")} = $best AND ${score("zh")} > 0 THEN 'zh'
+              ELSE 'und' END"""
+    s"""SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         AS n_chars_nospace,
+       CAST(floor(length(regexp_replace(text, '\\s', '', 'g')) * 100 /
+         greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))
+         AS BIGINT) AS avg_wordlen_x100,
+       $langCase AS lang_guess
+       FROM documents ORDER BY doc_id"""
+  }
 }

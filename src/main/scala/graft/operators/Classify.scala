@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.GraftFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's `taxor search` pipeline re-expressed in Spark: classify
+  * query documents against grouped reference corpora by shingle-set
+  * containment (/root/reference/src/main/taxor_search.cpp:153-338).
+  *
+  * Two physical strategies with identical logical semantics:
+  *  - `exact`: inverted shingle equi-join + count (the ground truth; one
+  *    shuffle on the shingle hash);
+  *  - `sketch`: per-group partitioned Bloom filters built once (salted
+  *    two-stage agg), broadcast to the probe side, counted with a single
+  *    codegen'd `bloom_count_contained` pass — no shuffle of query shingles
+  *    at all, the Spark analogue of probing the static HIXF index.
+  *
+  * Both end with the reference's filters: a minimum match threshold
+  * (threshold.hpp:51-81, percentage mode) and the keep-if
+  * `count >= 0.8 * max(count) over query` rule (taxor_search.cpp:275-286).
+  */
+object Classify {
+  val RelMaxFactor = 0.8 // taxor_search.cpp:278
+
+  /** Raw exact match counts, no filters.
+    * Output: (query_id, group, match_cnt, query_n). */
+  def exactCounts(
+      corpus: DataFrame, // (group, text)
+      queries: DataFrame, // (query_id, text)
+      shingleK: Int = 8,
+      seed: Long = DefaultSeed): DataFrame = {
+    val groupSh = corpus
+      .select(col("group"), explode(shingles(col("text"), shingleK, seed = seed)).as("h"))
+      .distinct()
+    val querySh = queries
+      .select(col("query_id"), explode(shingles(col("text"), shingleK, seed = seed)).as("h"))
+      .distinct()
+    val queryN = querySh.groupBy("query_id").agg(count(lit(1)).as("query_n"))
+    querySh.join(groupSh, "h")
+      .groupBy("query_id", "group")
+      .agg(count(lit(1)).as("match_cnt"))
+      .join(queryN, "query_id")
+      .select("query_id", "group", "match_cnt", "query_n")
+  }
+
+  /** Exact classification. Output: (query_id, group, match_cnt, query_n). */
+  def exact(
+      corpus: DataFrame, // (group, text)
+      queries: DataFrame, // (query_id, text)
+      shingleK: Int = 8,
+      minFraction: Double = 0.1,
+      seed: Long = DefaultSeed): DataFrame =
+    applyFilters(exactCounts(corpus, queries, shingleK, seed), minFraction)
+
+  /** Raw Bloom-filter match counts, no filters; same shape as exactCounts. */
+  def sketchCounts(
+      corpus: DataFrame, // (group, text)
+      queries: DataFrame, // (query_id, text)
+      shingleK: Int = 8,
+      expectedShinglesPerGroup: Long = 1 << 17,
+      fpp: Double = 0.0039,
+      saltBuckets: Int = 8,
+      seed: Long = DefaultSeed): DataFrame = {
+    val groupSh = corpus.select(col("group"),
+      explode(shingles(col("text"), shingleK, seed = seed)).as("h"))
+    // salted two-stage Bloom build: skew-proof and byte-identical to direct
+    val filters = SaltedAgg.twoStage(
+      groupSh, Seq("group"), saltBuckets,
+      saltOn = Seq(col("h")),
+      partialAggs =
+        Seq(bloom_agg_hashed(col("h"), expectedShinglesPerGroup, fpp, seed).as("bf_p")),
+      finalAggs =
+        Seq(bloom_merge_agg(col("bf_p"), expectedShinglesPerGroup, fpp, seed).as("bf")))
+    val probes = queries.select(col("query_id"),
+      shingles(col("text"), shingleK, seed = seed).as("hs"))
+      .withColumn("query_n", size(col("hs")))
+    probes.crossJoin(broadcast(filters))
+      .withColumn("match_cnt", bloom_count_contained(col("bf"), col("hs")))
+      .where(col("match_cnt") > 0)
+      .select("query_id", "group", "match_cnt", "query_n")
+  }
+
+  /** Bloom-accelerated classification; identical shape to `exact`. `fpp`
+    * controls the overcount slack (reference parity: 0.0039,
+    * xorfilter.hpp:60-62). */
+  def sketch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      shingleK: Int = 8,
+      minFraction: Double = 0.1,
+      expectedShinglesPerGroup: Long = 1 << 17,
+      fpp: Double = 0.0039,
+      saltBuckets: Int = 8,
+      seed: Long = DefaultSeed): DataFrame =
+    applyFilters(
+      sketchCounts(corpus, queries, shingleK, expectedShinglesPerGroup, fpp,
+        saltBuckets, seed),
+      minFraction)
+
+  /** Threshold + relative-max filters shared by both strategies. */
+  private def applyFilters(counts: DataFrame, minFraction: Double): DataFrame = {
+    val w = Window.partitionBy("query_id")
+    counts
+      .where(col("match_cnt") >= lit(minFraction) * col("query_n"))
+      .withColumn("mx", max(col("match_cnt")).over(w))
+      .where(col("match_cnt") >= lit(RelMaxFactor) * col("mx"))
+      .select("query_id", "group", "match_cnt", "query_n")
+  }
+}

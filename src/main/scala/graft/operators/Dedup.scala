@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators.
+  *
+  * All variants follow the same scale posture: per-document work (shingle,
+  * signature) is a codegen'd expression; candidate generation shuffles on a
+  * short key (content hash / LSH band / simhash band), never on raw text; and
+  * exact verification runs only on candidate pairs. At 100 TB the band
+  * shuffle is O(docs · bands), independent of document length.
+  */
+object Dedup {
+  /** Exact duplicate grouping by full-content hash: every doc keeps the id
+    * of its canonical (minimum-id) copy. One shuffle on the 128-bit hash. */
+  def exactCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol), md5(col(textCol)).as("__h"))
+    val canon = hashed.groupBy("__h").agg(min(col(idCol)).as("canonical_id"))
+    hashed.join(canon, "__h")
+      .select(col(idCol), col("canonical_id"),
+        (col(idCol) === col("canonical_id")).as("is_canonical"))
+  }
+
+  /** MinHash + LSH banding candidate pairs, exact-Jaccard verified.
+    *
+    * shingle → minhash signature (numBands·rowsPerBand perms) → explode
+    * bands → shuffle on (band_idx, band_hash) → same-bucket pairs →
+    * verify with exact Jaccard over the shingle sets of the candidates only.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 8,
+      numBands: Int = 16,
+      rowsPerBand: Int = 8,
+      threshold: Double = 0.8,
+      seed: Long = DefaultSeed): DataFrame = {
+    val numPerms = numBands * rowsPerBand
+    val withSig = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleK, seed = seed).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhash(col("sh"), numPerms, seed))
+    // band hash: xxhash64 over the slice of the signature
+    val bands = withSig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band_idx", "band_hash")))
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = withSig.select(col("id"), col("sh"))
+    candidates
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),
+        "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+        "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash, banded into 4 × 16-bit chunks
+    * (a pair within Hamming distance 3 must agree on at least one chunk),
+    * verified with bit_count(xor) <= maxHamming.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 8,
+      maxHamming: Int = 3,
+      seed: Long = DefaultSeed): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      simhash(shingles(col(textCol), shingleK, seed = seed)).as("sig"))
+    val bands = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band_idx", "band_val")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard over ALL pairs (quadratic; the small-scale oracle
+    * the approximate paths are judged against — and itself a useful operator
+    * at moderate group sizes after blocking). Implemented with an inverted
+    * shingle→doc join so only co-occurring pairs materialize. */
+  def exactJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 8,
+      threshold: Double = 0.5,
+      seed: Long = DefaultSeed): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleK, seed = seed)).as("h"))
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"),
+        "id_a")
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"),
+        "id_b")
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's `taxor profile` stage re-expressed in Spark: a cascade of
+  * ambiguity filters over a (query × matched group) table, an EM
+  * reassignment loop, and hierarchical abundance rollups
+  * (/root/reference/src/main/taxor_profile.cpp:796-858).
+  *
+  * Input schema everywhere: (query_id, ref, match_cnt, query_n).
+  */
+object ProfilePipeline {
+  /** F5 — unique-mapping filter (taxor_profile.cpp:166-229): keep an
+    * ambiguous match only if its ref also has at least one uniquely-mapped
+    * query. Left-semi join against the unique-ref set; no data blowup. */
+  def uniqueMappingFilter(matches: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id")
+    val withN = matches.withColumn("__n", count(lit(1)).over(w))
+    val refsWithUnique =
+      withN.where(col("__n") === 1).select("ref").distinct()
+    withN.where(col("__n") === 1)
+      .unionByName(
+        withN.where(col("__n") > 1).join(refsWithUnique, Seq("ref"), "left_semi"))
+      .drop("__n")
+  }
+
+  /** F6 — low-confidence reference filter (taxor_profile.cpp:232-279):
+    * keep a ref iff uniqueQueries >= minUnique and
+    * unique/(unique+ambiguous) >= minRatio; then re-run F5. */
+  def lowConfidenceFilter(
+      matches: DataFrame,
+      minUnique: Long = 3,
+      minRatio: Double = 0.01): DataFrame = {
+    val w = Window.partitionBy("query_id")
+    val withN = matches.withColumn("__n", count(lit(1)).over(w))
+    val stats = withN.groupBy("ref").agg(
+      sum(when(col("__n") === 1, 1L).otherwise(0L)).as("u"),
+      sum(when(col("__n") > 1, 1L).otherwise(0L)).as("a"))
+    val good = stats.where(col("u") >= minUnique &&
+      col("u") / (col("u") + col("a")) >= minRatio)
+    uniqueMappingFilter(
+      matches.join(good.select("ref"), Seq("ref"), "left_semi"))
+  }
+
+  /** F7 — MegaPath-style association filter
+    * (taxor_profile.cpp:286-465): ref A is "explained by" B when >= shareCo
+    * of A's queries co-map to B and B dominates A (more unique queries, or
+    * more total queries). Chains are chased to a fixpoint on the driver (the
+    * ref count is small — the reference does the same in-memory), then A's
+    * matches are remapped to B via a broadcast map, dropping rows whose
+    * query already maps to B. */
+  def associationFilter(matches: DataFrame, shareCo: Double = 0.95): DataFrame = {
+    val spark = matches.sparkSession
+    val w = Window.partitionBy("query_id")
+    val withN = matches.withColumn("__n", count(lit(1)).over(w)).cache()
+    val stats = withN.groupBy("ref").agg(
+      sum(when(col("__n") === 1, 1L).otherwise(0L)).as("u"),
+      count(lit(1)).as("total"))
+    val pairs = withN.as("a").join(withN.as("b"),
+        col("a.query_id") === col("b.query_id") && col("a.ref") =!= col("b.ref"))
+      .groupBy(col("a.ref").as("ra"), col("b.ref").as("rb"))
+      .agg(count(lit(1)).as("co"))
+    val statMap = stats.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val explained = pairs.collect().flatMap { r =>
+      val (ra, rb, co) = (r.getString(0), r.getString(1), r.getLong(2))
+      val (ua, ta) = statMap(ra); val (ub, tb) = statMap(rb)
+      if (co.toDouble / ta >= shareCo && (ub > ua || (ub == ua && tb > ta)))
+        Some(ra -> rb)
+      else None
+    }.toMap
+    // chase chains to a fixpoint (cpp:385-399), cycle-guarded
+    def resolve(r: String): String = {
+      var cur = r
+      val seen = scala.collection.mutable.Set(cur)
+      while (explained.contains(cur) && !seen.contains(explained(cur))) {
+        cur = explained(cur); seen += cur
+      }
+      cur
+    }
+    val remap = explained.keys.map(r => r -> resolve(r)).filter(p => p._1 != p._2)
+    if (remap.isEmpty) { withN.unpersist(); return matches }
+    import spark.implicits._
+    val remapDf = remap.toSeq.toDF("ref", "__new_ref")
+    val queryRefs = matches.groupBy("query_id")
+      .agg(collect_set(col("ref")).as("__refs"))
+    val out = matches
+      .join(broadcast(remapDf), Seq("ref"), "left")
+      .join(queryRefs, "query_id")
+      .withColumn("__target", coalesce(col("__new_ref"), col("ref")))
+      // drop the remapped row when the query already maps to the target
+      .where(col("__new_ref").isNull ||
+        !array_contains(col("__refs"), col("__new_ref")))
+      .groupBy(col("query_id"), col("__target").as("ref"))
+      .agg(max(col("match_cnt")).as("match_cnt"), max(col("query_n")).as("query_n"))
+    withN.unpersist()
+    out
+  }
+
+  /** C1 — EM reassignment (taxor_profile.cpp:638-741): E-step assigns each
+    * query to argmax(log lik + log prior); M-step re-estimates priors from
+    * assigned weight; stops when the total log-likelihood moves less than
+    * `tol` or after maxIters. Per-iteration driver state is O(|refs|)
+    * doubles, broadcast back as a small map — the matches DataFrame is
+    * cached once and re-filtered, never recomputed from source.
+    *
+    * @return (query_id, ref, weight) final hard assignment.
+    */
+  def emAssign(
+      matches: DataFrame,
+      maxIters: Int = 100,
+      tol: Double = math.abs(math.log(1e-4))): DataFrame = {
+    val spark = matches.sparkSession
+    import spark.implicits._
+    val lik = matches
+      .withColumn("lik", col("match_cnt") / col("query_n"))
+      .select("query_id", "ref", "lik", "query_n")
+      .cache()
+    val refs = lik.select("ref").distinct().as[String].collect()
+    var priors = refs.map(_ -> 1.0 / refs.length).toMap
+    var lastLl = Double.NegativeInfinity
+    var iter = 0
+    var assigned: DataFrame = null
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val priorDf = broadcast(priors.toSeq.toDF("ref", "prior"))
+      val scored = lik.join(priorDf, "ref")
+        .withColumn("post", log(col("lik") + 1e-12) + log(col("prior") + 1e-12))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("post").desc, col("ref").asc)
+      assigned = scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("ref"),
+          col("query_n").cast("double").as("weight"), col("post"))
+        .cache()
+      val agg = assigned.agg(sum("post")).first()
+      val ll = if (agg.isNullAt(0)) 0.0 else agg.getDouble(0)
+      val newTotals = assigned.groupBy("ref").agg(sum("weight").as("wsum"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val total = newTotals.values.sum
+      priors = refs.map(r => r -> (newTotals.getOrElse(r, 0.0) / total)).toMap
+      converged = math.abs(ll - lastLl) < tol
+      lastLl = ll
+      iter += 1
+    }
+    lik.unpersist()
+    assigned.select("query_id", "ref", "weight")
+  }
+
+  /** A10 — relative abundance per ref from assigned weight (nucleotide-style:
+    * weight = query_n; coverage normalization optional via refLen). */
+  def abundance(assigned: DataFrame, refLen: Option[DataFrame] = None): DataFrame = {
+    val byRef = assigned.groupBy("ref").agg(sum("weight").as("w"))
+    val withCov = refLen match {
+      case Some(rl) => byRef.join(rl, "ref")
+        .withColumn("w", col("w") / col("ref_len")).drop("ref_len")
+      case None => byRef
+    }
+    val total = withCov.agg(sum("w")).first().getDouble(0)
+    withCov.select(col("ref"), (col("w") / total).as("pct"))
+  }
+
+  /** A11 — hierarchical rollup: explode each ref's ancestor path and sum
+    * percentages per (rank, node) (taxor_profile.cpp:568-636). `taxonomy`
+    * has (ref, path: array<struct<rank:int, node:string>>). */
+  def rollup(abund: DataFrame, taxonomy: DataFrame): DataFrame =
+    abund.join(broadcast(taxonomy), "ref")
+      .select(col("pct"), explode(col("path")).as("node"))
+      .groupBy(col("node.rank").as("rank"), col("node.node").as("node"))
+      .agg(sum("pct").as("pct"))
+
+  /** IO9 — CAMI-style report rows, rank-ordered, percentage in [0,100] with
+    * 6 significant digits (profile_output.hpp:25-49), thresholded. */
+  def camiReport(rolled: DataFrame, minPct: Double = 0.001): DataFrame =
+    rolled.where(col("pct") > minPct)
+      .select(col("rank"), col("node"),
+        format_number(col("pct") * 100, 6).as("percentage"))
+      .orderBy(col("rank").asc, col("pct").desc, col("node").asc)
+}

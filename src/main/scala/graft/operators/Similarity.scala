@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set; one pass over
+  * the corpus; per-partition top-k via window). Scale path: signed-random-
+  * projection LSH — shuffle on (table, bucket) instead of the cross product,
+  * exact re-rank inside buckets only.
+  */
+object Similarity {
+  /** Cosine similarity of two array<float> columns in double precision,
+    * strictly left-to-right (deterministic across engines/retries). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Brute-force exact top-k neighbours for each query vector.
+    * Queries are broadcast (small side); corpus streams once. Ties broken by
+    * ascending neighbour id for cross-engine determinism. */
+  def bruteForceTopK(
+      corpus: DataFrame, // (id, vec)
+      queries: DataFrame, // (qid, qvec)
+      k: Int): DataFrame = {
+    val scored = corpus.join(broadcast(queries), col("id") =!= col("qid"))
+      .withColumn("sim", cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "id", "sim")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share at least one SRP
+    * bucket with the query across `tables` hash tables; exact cosine re-rank
+    * on candidates only. Recall rises with `tables`, cost with bucket size
+    * (controlled by `bits`). */
+  def lshTopK(
+      corpus: DataFrame, // (id, vec)
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      tables: Int = 8,
+      bits: Int = 10,
+      seed: Long = DefaultSeed): DataFrame = {
+    val cb = corpus
+      .select(col("id"), col("vec"),
+        explode(srp_buckets(col("vec"), tables, bits, seed)).as("bucket"))
+    val qb = queries
+      .select(col("qid"), col("qvec"),
+        explode(srp_buckets(col("qvec"), tables, bits, seed)).as("bucket"))
+    val candidates = cb.join(qb, Seq("bucket"))
+      .where(col("id") =!= col("qid"))
+      .select("qid", "qvec", "id", "vec")
+      .distinct()
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+    candidates
+      .withColumn("sim", cosine(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "id", "sim")
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, via LSH
+    * candidate generation + exact verification (the embedding analogue of
+    * Dedup.minhashLshPairs). */
+  def cosineNearDupPairs(
+      corpus: DataFrame, // (id, vec)
+      threshold: Double,
+      tables: Int = 12,
+      bits: Int = 8,
+      seed: Long = DefaultSeed): DataFrame = {
+    val cb = corpus.select(col("id"), col("vec"),
+      explode(srp_buckets(col("vec"), tables, bits, seed)).as("bucket"))
+    cb.as("a").join(cb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.vec").as("vec_a"),
+        col("b.id").as("id_b"), col("b.vec").as("vec_b"))
+      .distinct()
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

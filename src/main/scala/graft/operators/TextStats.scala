@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * Everything is built from codegen'd expressions (no UDF objects in the
+  * hot path); all outputs are integral/string so the DuckDB oracle can
+  * reproduce them byte-for-byte.
+  */
+object TextStats {
+  /** Number of occurrences of `sub` in `c` (classic length-difference
+    * trick — mirrors 1:1 into ANSI SQL). */
+  def occurrences(c: Column, sub: String): Column =
+    (length(c) - length(replace(c, lit(sub), lit("")))) / sub.length
+
+  /** Marker-word scores per language. Integer counts — deterministic. */
+  private val markers = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " que "),
+    "de" -> Seq(" der ", " die ", " und "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "zh" -> Seq(" de ", " shi ", " le "))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    markers.map { case (lang, ws) =>
+      lang -> ws.map(w => occurrences(text, w)).reduce(_ + _)
+    }
+
+  /** Argmax language with fixed tie order (markers order wins ties). */
+  def langGuess(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Per-document stats: all integral columns, oracle-mirrorable.
+    * avg word length is stored as floor(chars_no_space * 100 / tokens). */
+  def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      token_count(t).as("n_tokens"),
+      length(t).cast("long").as("n_chars"),
+      length(regexp_replace(t, lit("\\s"), lit(""))).cast("long")
+        .as("n_chars_nospace"),
+      floor(length(regexp_replace(t, lit("\\s"), lit(""))) * 100 /
+        greatest(token_count(t), lit(1L))).cast("long").as("avg_wordlen_x100"),
+      langGuess(t).as("lang_guess"),
+      fingerprint(t).as("fingerprint"))
+  }
+
+  /** Heuristic quality gate for training data: bounded length, plausible
+    * word shape, limited repetition (distinct-token ratio). */
+  def qualityFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val tokens = token_count(t)
+    val distinctRatioX100 =
+      floor(size(array_distinct(split(trim(t), "\\s+"))) * 100 /
+        greatest(tokens, lit(1L))).cast("long")
+    df.select(
+      col(idCol),
+      tokens.as("n_tokens"),
+      distinctRatioX100.as("distinct_ratio_x100"),
+      (tokens.between(5, 100000) &&
+        floor(length(regexp_replace(t, lit("\\s"), lit(""))) * 100 /
+          greatest(tokens, lit(1L))).between(150, 1500) &&
+        distinctRatioX100 >= 5).as("is_quality"))
+  }
+}

@@ -1,0 +1,200 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away " * 8
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base), // exact dup of 0
+    (2L, base.replace("quick", "rapid")), // near dup of 0
+    (3L, "completely different content about spark query engines " * 10),
+    (4L, "unrelated text on sketching algorithms and data streams " * 10)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup picks minimum id as canonical") {
+    val got = Dedup.exactCanonical(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ==
+      Seq((0L, 0L, true), (1L, 0L, false), (2L, 2L, true), (3L, 3L, true),
+        (4L, 4L, true)))
+  }
+
+  test("minhash lsh finds exact+near dups, nothing else") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numBands = 32, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact duplicate pair missed")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      "near-duplicate pair missed")
+    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L),
+      s"false positive pair: $pairs")
+  }
+
+  test("minhash lsh matches exact jaccard pairs on this corpus") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numBands = 32, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash finds exact duplicates at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+    assert(!pairs.exists(p => p._2 >= 3L))
+  }
+
+  private lazy val vecs = {
+    val r = new scala.util.Random(7)
+    val rows = (0L until 50L).map { i =>
+      (i, Array.fill(16)(r.nextFloat() * 2 - 1))
+    } :+ (50L, null) // replaced below
+    val dup = rows(3)._2.clone
+    dup(0) += 0.001f // near-duplicate of vec 3
+    (rows.dropRight(1) :+ (50L, dup)).toDF("id", "vec")
+  }
+
+  test("brute-force topk ranks the planted near-duplicate first") {
+    val qs = vecs.where($"id" === 3L)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val got = Similarity.bruteForceTopK(vecs, qs, k = 3).collect()
+    assert(got.length == 3)
+    assert(got.find(_.getInt(1) == 1).get.getLong(2) == 50L,
+      "rank-1 neighbour should be the planted near-dup")
+  }
+
+  test("lsh topk finds the planted near-duplicate (high-sim recall)") {
+    val qs = vecs.where($"id" === 3L)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val got = Similarity.lshTopK(vecs, qs, k = 3, tables = 12, bits = 6)
+      .collect()
+    assert(got.exists(r => r.getLong(2) == 50L && r.getInt(1) == 1),
+      s"lsh missed the near-dup: ${got.mkString(",")}")
+  }
+
+  test("cosine near-dup pairs via srp lsh") {
+    val got = Similarity.cosineNearDupPairs(vecs, threshold = 0.999,
+        tables = 16, bits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 50L)))
+  }
+
+  test("classify exact assigns a mutated copy to its source group") {
+    val corpus = Seq(
+      ("gA", "alpha beta gamma delta epsilon zeta eta theta " * 12),
+      ("gB", "one two three four five six seven eight nine ten " * 12),
+      ("gC", "red orange yellow green blue indigo violet colors " * 12)
+    ).toDF("group", "text")
+    val queries = Seq(
+      (1L, "one two three four five six seven eight nine ten " * 6),
+      (2L, ("alpha beta gamma delta epsilon zeta eta theta " * 6)
+        .replace("gamma", "gamXa"))
+    ).toDF("query_id", "text")
+    val got = Classify.exact(corpus, queries, minFraction = 0.1)
+      .select("query_id", "group").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "gB"), (2L, "gA")))
+    val sk = Classify.sketch(corpus, queries, minFraction = 0.1,
+        expectedShinglesPerGroup = 4096)
+      .select("query_id", "group").as[(Long, String)].collect().toSet
+    assert(sk == got, "bloom classification disagrees with exact")
+  }
+
+  test("profile unique-mapping + low-confidence filters") {
+    // q1,q2,q3 unique to A; q4 ambiguous A/B; q5 ambiguous B/C; q6 unique C
+    val m = Seq(
+      ("q1", "A", 10L), ("q2", "A", 10L), ("q3", "A", 10L),
+      ("q4", "A", 5L), ("q4", "B", 5L),
+      ("q5", "B", 5L), ("q5", "C", 5L),
+      ("q6", "C", 10L)
+    ).toDF("query_id", "ref", "match_cnt").withColumn("query_n", lit(20L))
+    val f5 = ProfilePipeline.uniqueMappingFilter(m)
+      .select("query_id", "ref").as[(String, String)].collect().toSet
+    // B has no unique query: q4->B and q5->B dropped... but q5->C stays (C
+    // has unique q6), making q5 unique afterwards? No: filter is one pass.
+    assert(f5 == Set(("q1", "A"), ("q2", "A"), ("q3", "A"), ("q4", "A"),
+      ("q5", "C"), ("q6", "C")))
+    val f6 = ProfilePipeline.lowConfidenceFilter(m, minUnique = 3,
+        minRatio = 0.01)
+      .select("query_id", "ref").as[(String, String)].collect().toSet
+    // only A has >= 3 unique queries; C (1 unique) and B (0) are dropped
+    assert(f6 == Set(("q1", "A"), ("q2", "A"), ("q3", "A"), ("q4", "A")))
+  }
+
+  test("association filter remaps a contained ref to its container") {
+    // every query of A also maps to B; B has more uniques -> A explained by B
+    val m = Seq(
+      ("q1", "A", 5L), ("q1", "B", 5L),
+      ("q2", "A", 5L), ("q2", "B", 5L),
+      ("q3", "B", 9L), ("q4", "B", 9L), ("q5", "B", 9L),
+      ("q6", "C", 9L)
+    ).toDF("query_id", "ref", "match_cnt").withColumn("query_n", lit(10L))
+    val got = ProfilePipeline.associationFilter(m, shareCo = 0.95)
+      .select("query_id", "ref").as[(String, String)].collect().toSet
+    assert(!got.exists(_._2 == "A"), s"A should be explained away: $got")
+    assert(got.count(_._2 == "B") == 5, s"all A queries fold into B: $got")
+  }
+
+  test("em assignment converges to the dominant ref") {
+    // ambiguous queries split between A (dominant via uniques) and B
+    val m = (1 to 8).map(i => (s"u$i", "A", 8L, 10L)) ++
+      (1 to 2).map(i => (s"v$i", "B", 8L, 10L)) ++
+      (1 to 4).map(i => (s"w$i", "A", 5L, 10L)) ++
+      (1 to 4).map(i => (s"w$i", "B", 5L, 10L))
+    val df = m.toDF("query_id", "ref", "match_cnt", "query_n")
+    val assigned = ProfilePipeline.emAssign(df, maxIters = 50)
+    val byRef = assigned.groupBy("ref").count().as[(String, Long)]
+      .collect().toMap
+    // ambiguous w* queries (equal likelihood) must fold into dominant A
+    assert(byRef("A") == 12 && byRef.getOrElse("B", 0L) == 2,
+      s"unexpected assignment: $byRef")
+  }
+
+  test("abundance + rollup + cami report") {
+    val assigned = Seq(("q1", "A", 10.0), ("q2", "A", 10.0), ("q3", "B", 20.0))
+      .toDF("query_id", "ref", "weight")
+    val abund = ProfilePipeline.abundance(assigned)
+    val taxonomy = Seq(
+      ("A", Seq((0, "all"), (1, "left"), (2, "A"))),
+      ("B", Seq((0, "all"), (1, "right"), (2, "B"))))
+      .toDF("ref", "p")
+      .select(col("ref"), expr(
+        "transform(p, x -> named_struct('rank', x._1, 'node', x._2))")
+        .as("path"))
+    val rolled = ProfilePipeline.rollup(abund, taxonomy)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rolled.contains((0, "all", 1.0)))
+    assert(rolled.contains((1, "left", 0.5)) && rolled.contains((1, "right", 0.5)))
+    val cami = ProfilePipeline.camiReport(
+      ProfilePipeline.rollup(abund, taxonomy))
+    assert(cami.collect().head.getString(2) == "100.000000")
+  }
+
+  test("multimodal decode stub: real plumbing, deterministic features") {
+    val df = Seq((1L, "hello world"), (2L, "a" * 200)).toDF("id", "text")
+      .select($"id", encode($"text", "UTF-8").as("payload"))
+    val got = Multimodal.decode(df, "id", "payload").collect()
+      .map(d => d.id -> d).toMap
+    assert(got(1L).n_bytes == 11 && got(1L).n_frames == 1)
+    assert(got(2L).n_bytes == 200 && got(2L).n_frames == 4)
+    assert(got(2L).n_distinct_bytes == 1)
+    assert(math.abs(got(2L).features.sum - 1.0) < 1e-5)
+  }
+
+  test("token count handles whitespace edge cases") {
+    val got = Seq(("", 0L), ("  ", 0L), ("a", 1L), (" a  b\tc\nd ", 4L))
+      .toDF("text", "expected")
+      .select(GraftFunctions.token_count($"text").as("got"), $"expected")
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+}
