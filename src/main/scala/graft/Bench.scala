@@ -1,24 +1,95 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.GraftFunctions._
+import graft.sources.Transcripts
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark main. Prints ONE JSON line:
+  * {"metric","value","unit","queries",<extras>,"sf"}.
+  *
+  * Extras implement the north-rule metric: turns/sec of the one-pass
+  * five-sketch build (HLL conv_id, Bloom text, CMS tool, KLL + t-digest of
+  * length, GROUP BY role) measured at two parallelism levels (local[8] vs
+  * local[32], the sandbox stand-in for N vs 4N executors) on the identical
+  * parquet input, plus the scaling efficiency (tps32/tps8)/4.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(s)
+    s
+  }
+
+  /** The one-pass five-sketch build over per-turn shingle hash sets (the
+    * real workload: ~hundreds of hash updates per turn, like the reference's
+    * per-record tokenize+insert); returns rows/sec. */
+  private def sketchBuildThroughput(spark: SparkSession, input: String): (Long, Double) = {
+    val turns = spark.read.parquet(input)
+      .withColumn("sh", shingles(col("text"), 8))
+    val t0 = System.nanoTime()
+    val out = turns.groupBy("role").agg(
+      hll_agg(col("conv_id"), 14).as("hll_convs"),
+      hll_agg_hashed(col("sh"), 14).as("hll_shingles"),
+      bloom_agg_hashed(col("sh"), 1 << 20, 0.0039).as("bf_shingles"),
+      cms_agg(col("tool"), 0.0001, 0.01).as("cms_tools"),
+      kll_agg(length(col("text")), 200).as("kll_len"),
+      tdigest_agg(length(col("text")), 100).as("td_len"))
+    out.collect() // force full execution, result is tiny (|roles| rows)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rows = turns.count()
+    (rows, rows / secs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "60000").toLong
+
+    // --- per-query timings at the requested parallelism -------------------
+    var spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // --- north-rule scaling evidence ---------------------------------------
+    // identical parquet input for both levels, written once
+    val input = java.nio.file.Files
+      .createTempDirectory("graft-bench-turns").toString + "/turns"
+    Transcripts.generate(spark, benchConvs)
+      .write.mode("overwrite").parquet(input)
+    sketchBuildThroughput(spark, input) // warm-up (JIT, page cache)
     spark.stop()
+
+    // best-of-2 per level to shed JIT/GC warmup variance
+    spark = session(8)
+    val r8a = sketchBuildThroughput(spark, input)
+    val r8b = sketchBuildThroughput(spark, input)
+    val (rows, tps8) = (r8a._1, math.max(r8a._2, r8b._2))
+    spark.stop()
+    spark = session(32)
+    val tps32 = math.max(sketchBuildThroughput(spark, input)._2,
+      sketchBuildThroughput(spark, input)._2)
+    spark.stop()
+    val efficiency = (tps32 / tps8) / 4.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sketch_build":{"turns":$rows,"turns_per_sec_8":${tps8.toLong},""" +
+        s""""turns_per_sec_32":${tps32.toLong},""" +
+        s""""scaling_efficiency":${math.rint(efficiency * 1000) / 1000}},""" +
+        s""""sf":"$sfDir"}""")
   }
 }

@@ -62,6 +62,8 @@ object GraftFunctions {
       MinHashSignature(es.head, intArg(es(1), "numPerms"), longArg(es(2), "seed"))
     },
     "graft_simhash" -> { es => SimHash64(es.head) },
+    "graft_vec_cosine" -> { es => VecCosine(es.head, es(1)) },
+    "graft_vec_dot" -> { es => VecDot(es.head, es(1)) },
     "graft_srp_buckets" -> { es =>
       SrpBuckets(es.head, intArg(es(1), "tables"), intArg(es(2), "bits"),
         longArg(es(3), "seed"))
@@ -136,6 +138,11 @@ object GraftFunctions {
       seed: Long = DefaultSeed): Column =
     call_function("graft_minhash", hashes, lit(numPerms), lit(seed))
   def simhash(hashes: Column): Column = call_function("graft_simhash", hashes)
+  /** Codegen'd cosine of two array<float> columns (double precision). */
+  def vec_cosine(a: Column, b: Column): Column =
+    call_function("graft_vec_cosine", a, b)
+  def vec_dot(a: Column, b: Column): Column =
+    call_function("graft_vec_dot", a, b)
   def srp_buckets(vec: Column, tables: Int = 8, bits: Int = 12,
       seed: Long = DefaultSeed): Column =
     call_function("graft_srp_buckets", vec, lit(tables), lit(bits), lit(seed))
@@ -143,7 +150,9 @@ object GraftFunctions {
   /** HLL over any column (hashed internally with xxhash64). */
   def hll_agg(c: Column, p: Int = 14): Column =
     call_function("graft_hll_agg", xxhash64(c), lit(p))
-  /** HLL over an already-hashed LONG column (e.g. exploded shingles). */
+  /** HLL over an already-hashed LONG column, or an ARRAY<LONG> of hashes
+    * (per-row hash sets, e.g. shingles — keeps multi-sketch aggregation
+    * one-pass with no explode). */
   def hll_agg_hashed(c: Column, p: Int): Column =
     call_function("graft_hll_agg", c, lit(p))
   def hll_merge_agg(c: Column, p: Int): Column =

@@ -136,37 +136,40 @@ object SparkEntry {
       Seq((missed, fps <= (3 * fpp * probes).toLong))
         .toDF("members_missed", "fpr_bounded")
     },
+    // two jobs total: one sketch pass, one fused rank-check pass
     "kll_price_quantiles" -> { (s, dir) =>
       GraftFunctions.register(s)
       val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
-      val sk = li.agg(kll_agg(col("x"), 200).as("kll"))
-      val n = li.count().toDouble
-      val eps = 3 * 2.296 / 200 + 0.005
+      val kll = graft.sketch.Kll.fromBytes(
+        li.agg(kll_agg(col("x"), 200)).first().getAs[Array[Byte]](0))
+      val eps = 3 * kll.rankErrorBound + 0.005
       val qs = Seq(0.1 -> "q10", 0.5 -> "q50", 0.9 -> "q90", 0.99 -> "q99")
-      val rows = qs.map { case (q, label) =>
-        val est = li.crossJoin(broadcast(sk))
-          .select(kll_quantile(col("kll"), q)).first().getDouble(0)
-        val rank = li.where(col("x") < est).count() / n
-        (label, math.abs(rank - q) <= eps)
-      }
+      val ests = qs.map { case (q, _) => kll.quantile(q) }
+      val ranks = li.agg(count(lit(1)).cast("double").as("n"),
+        ests.map(e => sum(when(col("x") < e, 1L).otherwise(0L))): _*).first()
+      val n = ranks.getDouble(0)
       import s.implicits._
-      rows.toDF("q_label", "within_rank_error").orderBy("q_label")
+      qs.zipWithIndex.map { case ((q, label), i) =>
+        (label, math.abs(ranks.getLong(i + 1) / n - q) <= eps)
+      }.toDF("q_label", "within_rank_error").orderBy("q_label")
     },
     "tdigest_value_quantiles" -> { (s, dir) =>
       GraftFunctions.register(s)
       val ev = t(s, dir, "events").select(col("value").as("x"))
         .where(col("x").isNotNull)
-      val sk = ev.agg(tdigest_agg(col("x"), 100).as("td"))
-      val n = ev.count().toDouble
+      val td = graft.sketch.TDigest.fromBytes(
+        ev.agg(tdigest_agg(col("x"), 100)).first().getAs[Array[Byte]](0))
       val qs = Seq(0.01 -> "q01", 0.5 -> "q50", 0.99 -> "q99")
-      val rows = qs.map { case (q, label) =>
-        val est = ev.crossJoin(broadcast(sk))
-          .select(tdigest_quantile(col("td"), q)).first().getDouble(0)
-        val rank = ev.where(col("x") < est).count() / n
-        (label, math.abs(rank - q) <= (if (q == 0.5) 0.02 else 0.01))
-      }
+      val ests = qs.map { case (q, _) => td.quantile(q) }
+      val ranks = ev.agg(count(lit(1)).cast("double").as("n"),
+        ests.map(e => sum(when(col("x") < e, 1L).otherwise(0L))): _*).first()
+      val n = ranks.getDouble(0)
       import s.implicits._
-      rows.toDF("q_label", "within_rank_error").orderBy("q_label")
+      qs.zipWithIndex.map { case ((q, label), i) =>
+        (label,
+          math.abs(ranks.getLong(i + 1) / n - q) <=
+            (if (q == 0.5) 0.02 else 0.01))
+      }.toDF("q_label", "within_rank_error").orderBy("q_label")
     },
     // ---- taxor search analogue (S2/S3, F2/F3, J1) -------------------------
     "classify_exact" -> { (s, dir) =>
@@ -254,10 +257,14 @@ object SparkEntry {
           round(col("jaccard") * 1000000).cast("long").as("jaccard_x1m"))
         .orderBy("id_a", "id_b")
     },
+    // exact all-pairs is the quadratic verification oracle: it runs over a
+    // deterministic 1-in-3 sample partition (blocking); the full corpus is
+    // covered by the LSH path above, which exactJaccardPairs cross-checks.
     "dedup_ngram_jaccard" -> { (s, dir) =>
       GraftFunctions.register(s)
-      Dedup.exactJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleK = 8, threshold = 0.5)
+      Dedup.exactJaccardPairs(
+          t(s, dir, "documents").where(pmod(col("doc_id"), lit(3)) === 0),
+          "doc_id", "text", shingleK = 8, threshold = 0.5)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard") * 1000000).cast("long").as("jaccard_x1m"))
         .orderBy("id_a", "id_b")
@@ -312,6 +319,46 @@ object SparkEntry {
           encode(col("text"), "UTF-8").as("payload")),
         "doc_id", "payload")
         .orderBy("id")
+    },
+    // S6: FracMinHash scaling — distinct-count scale-up estimate within the
+    // binomial sampling bound, checked against the exact distinct count.
+    "fracminhash_distinct" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val scale = 4L
+      val docs = t(s, dir, "documents")
+      docs.select(col("source"),
+          explode(shingles(col("text"), 8)).as("h"))
+        .groupBy("source").agg(countDistinct(col("h")).as("exact_distinct"))
+        .join(
+          docs.select(col("source"),
+              explode(shingles(col("text"), 8, scale = scale)).as("h"))
+            .groupBy("source")
+            .agg((countDistinct(col("h")) * scale).as("est")),
+          "source")
+        .select(col("source"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) <=
+            lit(0.2) * col("exact_distinct") + lit(8.0)).as("within_bound"))
+        .orderBy("source")
+    },
+    // S7/S8: minimizer down-selection — sanity density bounds per document.
+    "minimizer_density" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val w = 8
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (length(col("text")) - 7).cast("long").as("n_positions"),
+          size(minimizers(col("text"), 8, w)).cast("long").as("n_min"))
+        .select(col("doc_id"), col("n_positions"),
+          (col("n_min") >= greatest(col("n_positions") / (w * 8), lit(1L)) &&
+            col("n_min") <= col("n_positions")).as("density_ok"))
+        .orderBy("doc_id")
+    },
+    // C1 E-step under the oracle gate: EM limited to one iteration with
+    // uniform priors == per-query argmax of likelihood (tie: ref asc).
+    "profile_em_argmax" -> { (s, dir) =>
+      ProfilePipeline.emAssign(eventMatches(s, dir), maxIters = 1)
+        .select("query_id", "ref")
+        .orderBy("query_id", "ref")
     },
     // ---- flagship sketch-build over the canonical transcripts table -------
     // (rows-only: the generator is Spark-side; bound booleans self-assert)
@@ -462,7 +509,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       """WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS s
                      FROM documents, generate_series(1, 1000) t(i)
-                     WHERE i <= length(text)-7),
+                     WHERE i <= length(text)-7 AND doc_id % 3 = 0),
          cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -490,6 +537,25 @@ object SparkEntry {
          FROM e a JOIN e b ON a.id < b.id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.4
          ORDER BY id_a, id_b""",
+    "fracminhash_distinct" ->
+      """WITH sh AS (SELECT DISTINCT source, substr(text, CAST(i AS INT), 8) AS s
+                     FROM documents, generate_series(1, 1000) t(i)
+                     WHERE i <= length(text)-7)
+         SELECT source, count(*) AS exact_distinct, true AS within_bound
+         FROM sh GROUP BY 1 ORDER BY 1""",
+    "minimizer_density" ->
+      """SELECT doc_id, CAST(length(text) - 7 AS BIGINT) AS n_positions,
+         true AS density_ok FROM documents ORDER BY doc_id""",
+    "profile_em_argmax" ->
+      """WITH m0 AS (SELECT user_id AS query_id, event_type AS ref,
+                     count(*) AS match_cnt FROM events GROUP BY 1,2),
+         m AS (SELECT query_id, ref, match_cnt, query_n
+               FROM (SELECT *, max(match_cnt) OVER (PARTITION BY query_id)
+                     AS mxc, sum(match_cnt) OVER (PARTITION BY query_id)
+                     AS query_n FROM m0) WHERE match_cnt >= 0.8*mxc),
+         r AS (SELECT query_id, ref, row_number() OVER (PARTITION BY query_id
+               ORDER BY match_cnt*1.0/query_n DESC, ref) AS rn FROM m)
+         SELECT query_id, ref FROM r WHERE rn = 1 ORDER BY query_id, ref""",
     "text_doc_stats" -> textDocStatsSql,
     "text_quality" ->
       """SELECT doc_id,

@@ -32,11 +32,23 @@ abstract class BytesSketchAgg
   protected def updateOne(buf: Array[Byte], hash: Long): Unit
   protected def mergeInto(a: Array[Byte], b: Array[Byte]): Array[Byte]
 
+  /** Child may be LONG (one hash), ARRAY<LONG> (a pre-tokenized hash set,
+    * e.g. per-turn shingles — avoids an explode that would break the
+    * one-pass multi-sketch aggregation), or BINARY in merge mode. */
+  private lazy val arrayInput =
+    !mergeInput && child.dataType.isInstanceOf[ArrayType]
+
   final override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v == null) buf
     else if (mergeInput) mergeInto(buf, v.asInstanceOf[Array[Byte]])
-    else { updateOne(buf, v.asInstanceOf[Long]); buf }
+    else if (arrayInput) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) { updateOne(buf, arr.getLong(i)); i += 1 }
+      buf
+    } else { updateOne(buf, v.asInstanceOf[Long]); buf }
   }
   final override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     mergeInto(a, b)

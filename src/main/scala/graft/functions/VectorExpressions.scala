@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Vector math runtime (static forwarders for generated code).
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`) are
+  * CodegenFallback — interpreted per row with closure allocation, which
+  * made brute-force cosine scans ~50x slower than necessary. These
+  * expressions run one fused primitive loop under whole-stage codegen.
+  */
+object VecOps {
+  /** Cosine similarity over two float vectors, accumulated in double,
+    * strictly left-to-right: dot / (sqrt(na) * sqrt(nb)) — the exact
+    * formula the DuckDB oracle parity was validated against. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i); i += 1 }
+    dot
+  }
+}
+
+/** Cosine similarity of two array<float> columns (double result). */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecOps.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecCosine = copy(left = l, right = r)
+  override def prettyName: String = "graft_vec_cosine"
+}
+
+/** Dot product of two array<float> columns (double result). */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dotF($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecDot = copy(left = l, right = r)
+  override def prettyName: String = "graft_vec_dot"
+}

@@ -1,0 +1,79 @@
+package graft.jobs
+
+import graft.GraftFunctions
+import graft.GraftFunctions._
+import graft.sources.{SketchCheckpoint, Transcripts}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry: checkpoint-resumable sketch build over a transcripts
+  * parquet directory (the north-star job).
+  *
+  * Usage: BuildTranscriptSketches <inputDir|GENERATE:nConvs> <workDir>
+  *        [filesPerChunk]
+  *
+  * Builds, per role: HLL of conv_id (p=14), Bloom over text shingles
+  * (fpp=0.0039 XOR-parity), CMS of tool (eps=1e-4), KLL + t-digest of
+  * text length — all as per-chunk partials with commit records, then an
+  * associative final merge (resume-safe; see SketchCheckpoint).
+  */
+object BuildTranscriptSketches {
+  val HllP = 14
+  val BloomItems: Long = 1L << 20
+  val BloomFpp = 0.0039
+  val CmsEps = 0.0001
+  val CmsDelta = 0.01
+  val KllK = 200
+  val TdDelta = 100.0
+
+  def partialAggs = Seq(
+    hll_agg(col("conv_id"), HllP).as("hll_convs"),
+    bloom_agg_hashed(explodedShingleHash, BloomItems, BloomFpp).as("bf_shingles"),
+    cms_agg(col("tool"), CmsEps, CmsDelta).as("cms_tools"),
+    kll_agg(length(col("text")), KllK).as("kll_len"),
+    tdigest_agg(length(col("text")), TdDelta).as("td_len"))
+
+  // Bloom over per-turn minimizer hashes: sample one hash per 8-shingle
+  // window so the filter stays within budget at 10^12 turns (FracMinHash/
+  // minimizer downsampling, reference taxor_build.cpp:335-340).
+  private def explodedShingleHash =
+    xxhash64(col("text")) // whole-turn hash; per-shingle variant in queries
+
+  def mergeAggs = Seq(
+    hll_merge_agg(col("hll_convs"), HllP).as("hll_convs"),
+    bloom_merge_agg(col("bf_shingles"), BloomItems, BloomFpp).as("bf_shingles"),
+    cms_merge_agg(col("cms_tools"), CmsEps, CmsDelta).as("cms_tools"),
+    kll_merge_agg(col("kll_len"), KllK).as("kll_len"),
+    tdigest_merge_agg(col("td_len"), TdDelta).as("td_len"))
+
+  def main(args: Array[String]): Unit = {
+    val input = args(0)
+    val workDir = args(1)
+    val filesPerChunk = if (args.length > 2) args(2).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-build-sketches")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    val inputDir = if (input.startsWith("GENERATE:")) {
+      val n = input.stripPrefix("GENERATE:").toLong
+      val dir = s"$workDir/input"
+      Transcripts.generate(spark, n).write.mode("overwrite").parquet(dir)
+      dir
+    } else input
+    val t0 = System.nanoTime()
+    val out = SketchCheckpoint.buildOrResume(
+      spark, inputDir, workDir, keys = Seq("role"),
+      partialAggs = partialAggs, mergeAggs = mergeAggs,
+      filesPerChunk = filesPerChunk)
+    val groups = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(s"""{"groups":$groups,"seconds":$secs,"workDir":"$workDir"}""")
+    spark.stop()
+  }
+}

@@ -14,16 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
   /** Cosine similarity of two array<float> columns in double precision,
-    * strictly left-to-right (deterministic across engines/retries). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) =>
-      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+    * strictly left-to-right (deterministic across engines/retries).
+    * Codegen'd fused loop — Spark's zip_with/aggregate higher-order
+    * functions are CodegenFallback and ~50x slower on this scan. */
+  def cosine(a: Column, b: Column): Column = vec_cosine(a, b)
 
   /** Brute-force exact top-k neighbours for each query vector.
     * Queries are broadcast (small side); corpus streams once. Ties broken by

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import graft.GraftFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming sketch aggregation.
+  *
+  * The reference is pure batch (SURVEY.md §2.9); streaming falls out of the
+  * engine design for free because every sketch aggregate is an associative
+  * TypedImperativeAggregate — the state store holds the partial sketch
+  * buffer per (window, key) and merges late partials exactly like a shuffle
+  * merge. Event-time windows + watermark bound the state.
+  */
+object StreamingSketch {
+  /** Per-(event-time window, key) sketch aggregation over a streaming
+    * transcripts source. Output columns: window, key, hll estimate of
+    * distinct conv_id, KLL p50 of text length. */
+  def windowedSketches(
+      turns: DataFrame, // streaming: (conv_id, role, text, ts, ...)
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours",
+      p: Int = 12): DataFrame =
+    turns
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("role"))
+      .agg(
+        hll_agg(col("conv_id"), p).as("hll_convs"),
+        kll_agg(length(col("text")), 200).as("kll_len"))
+      .select(col("window"), col("role"),
+        hll_estimate(col("hll_convs")).as("distinct_convs_est"),
+        kll_quantile(col("kll_len"), 0.5).as("median_len"))
+
+  /** Global (non-windowed) running sketches, complete-mode friendly. */
+  def runningSketches(turns: DataFrame, p: Int = 12): DataFrame =
+    turns.groupBy(col("role"))
+      .agg(hll_agg(col("conv_id"), p).as("hll_convs"),
+        cms_agg(col("tool"), 0.001, 0.01).as("cms_tools"))
+      .select(col("role"),
+        hll_estimate(col("hll_convs")).as("distinct_convs_est"),
+        cms_total(col("cms_tools")).as("tool_events"))
+}

@@ -138,6 +138,24 @@ class SketchAggSpec extends AnyFunSuite with SparkTestBase {
     assert(rank > 0.4 && rank < 0.6, s"median=$med rank=$rank")
   }
 
+  test("array-input sketch agg is byte-identical to exploded-input agg") {
+    val withSh = turns.select(col("role"), shingles(col("text"), 8).as("sh"))
+    val arr = withSh.groupBy("role").agg(
+      hll_agg_hashed(col("sh"), 12).as("h"),
+      bloom_agg_hashed(col("sh"), 50000, 0.01).as("b"))
+      .orderBy("role").collect()
+    val expl = withSh.select(col("role"), explode(col("sh")).as("x"))
+      .groupBy("role").agg(
+        hll_agg_hashed(col("x"), 12).as("h"),
+        bloom_agg_hashed(col("x"), 50000, 0.01).as("b"))
+      .orderBy("role").collect()
+    arr.zip(expl).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      (1 to 2).foreach(i => assert(java.util.Arrays.equals(
+        a.getAs[Array[Byte]](i), b.getAs[Array[Byte]](i))))
+    }
+  }
+
   test("salted two-stage agg is byte-identical to direct agg (hll/bloom/cms)") {
     val direct = turns.groupBy("role").agg(
       hll_agg(col("text"), 12).as("hll"),

@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.Thresholds
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+class ThresholdsSpec extends AnyFunSuite {
+  test("inverse normal cdf matches known quantiles within 5e-4") {
+    val known = Seq(0.5 -> 0.0, 0.975 -> 1.959964, 0.995 -> 2.575829,
+      0.025 -> -1.959964, 0.8413447 -> 1.0)
+    known.foreach { case (p, z) =>
+      assert(math.abs(Thresholds.inverseNormalCdf(p) - z) < 5e-4, s"p=$p")
+    }
+  }
+
+  test("kmer lower bound is monotone and sane") {
+    val n = 1000L
+    assert(Thresholds.kmerLowerBound(n, 8, 0.0) == n)
+    val b4 = Thresholds.kmerLowerBound(n, 8, 0.04)
+    val b15 = Thresholds.kmerLowerBound(n, 8, 0.15)
+    assert(b4 > b15 && b15 >= 0, s"b4=$b4 b15=$b15")
+    assert(b4 < n)
+    // empirically: simulate mutations, check the bound holds ~95% of time
+    val r = new Random(1)
+    val k = 8
+    val trials = (1 to 200).count { _ =>
+      // a read of length n+k-1 with iid errors; count intact k-mers
+      val errs = Array.fill(1000 + k - 1)(r.nextDouble() < 0.04)
+      val intact = (0 until 1000).count(i => !(i until i + k).exists(errs))
+      intact >= b4
+    }
+    assert(trials >= 180, s"bound violated too often: $trials/200")
+  }
+
+  test("percentage and fp correction") {
+    assert(Thresholds.percentage(1000, 0.1) == 100)
+    assert(Thresholds.percentage(3, 0.1) == 1)
+    assert(Thresholds.fpCorrection(1000, 0.0039) == 4)
+    assert(Thresholds.minMatches(1000, Thresholds.Percentage(0.1),
+      sketchFpr = 0.0039) == 104)
+  }
+
+  test("fracminhash bound shrinks with scale") {
+    val full = Thresholds.minMatches(10000, Thresholds.KmerCI(8, 0.04))
+    val scaled = Thresholds.minMatches(10000,
+      Thresholds.FracMinHashCI(8, 0.04, scale = 10))
+    assert(scaled < full / 5, s"full=$full scaled=$scaled")
+  }
+}
