@@ -225,13 +225,16 @@ object SparkEntry {
     "profile_full_cami" -> { (s, dir) =>
       GraftFunctions.register(s)
       val (corpus, qs) = corpusQueries(s, dir)
+      // cache the match table once: the EM loop and the downstream
+      // abundance/rollup actions would otherwise recompute the whole
+      // classify lineage per action
       val matches = Classify.exact(corpus, qs, minFraction = 0.05)
-        .withColumnRenamed("group", "ref")
+        .withColumnRenamed("group", "ref").cache()
       val filtered = ProfilePipeline.lowConfidenceFilter(
         ProfilePipeline.uniqueMappingFilter(matches), minUnique = 2,
         minRatio = 0.01)
-      val resolved = ProfilePipeline.associationFilter(filtered)
-      val assigned = ProfilePipeline.emAssign(resolved, maxIters = 20)
+      val resolved = ProfilePipeline.associationFilter(filtered).cache()
+      val assigned = ProfilePipeline.emAssign(resolved, maxIters = 20).cache()
       val abund = ProfilePipeline.abundance(assigned)
       val taxonomy = t(s, dir, "documents").select(col("source").as("ref"))
         .distinct()

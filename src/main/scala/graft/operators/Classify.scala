@@ -99,6 +99,18 @@ object Classify {
         saltBuckets, seed),
       minFraction)
 
+  /** F4 — null-result preservation: queries with no surviving match are
+    * re-emitted with a null group (the reference's `-` rows,
+    * taxor_search.cpp:268-273 / taxor_profile.cpp:154-158). */
+  def withUnmatched(classified: DataFrame, queries: DataFrame): DataFrame =
+    classified.unionByName(
+      queries.select(col("query_id"))
+        .join(classified.select("query_id").distinct(),
+          Seq("query_id"), "left_anti")
+        .withColumn("group", lit(null).cast("string"))
+        .withColumn("match_cnt", lit(null).cast("long"))
+        .withColumn("query_n", lit(null).cast("long")))
+
   /** Threshold + relative-max filters shared by both strategies. */
   private def applyFilters(counts: DataFrame, minFraction: Double): DataFrame = {
     val w = Window.partitionBy("query_id")

@@ -122,31 +122,36 @@ object ProfilePipeline {
     var priors = refs.map(_ -> 1.0 / refs.length).toMap
     var lastLl = Double.NegativeInfinity
     var iter = 0
-    var assigned: DataFrame = null
     var converged = false
-    while (iter < maxIters && !converged) {
-      val priorDf = broadcast(priors.toSeq.toDF("ref", "prior"))
+    def assignedFor(pr: Map[String, Double]): DataFrame = {
+      val priorDf = broadcast(pr.toSeq.toDF("ref", "prior"))
       val scored = lik.join(priorDf, "ref")
         .withColumn("post", log(col("lik") + 1e-12) + log(col("prior") + 1e-12))
       val w = Window.partitionBy("query_id")
         .orderBy(col("post").desc, col("ref").asc)
-      assigned = scored.withColumn("rn", row_number().over(w))
+      scored.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("query_id"), col("ref"),
           col("query_n").cast("double").as("weight"), col("post"))
-        .cache()
-      val agg = assigned.agg(sum("post")).first()
-      val ll = if (agg.isNullAt(0)) 0.0 else agg.getDouble(0)
-      val newTotals = assigned.groupBy("ref").agg(sum("weight").as("wsum"))
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      val total = newTotals.values.sum
-      priors = refs.map(r => r -> (newTotals.getOrElse(r, 0.0) / total)).toMap
+    }
+    var outPriors = priors // priors of the last executed E-step
+    while (iter < maxIters && !converged) {
+      outPriors = priors
+      // single action per iteration: per-ref (weight sum, post sum)
+      val stats = assignedFor(priors).groupBy("ref")
+        .agg(sum("weight").as("wsum"), sum("post").as("psum"))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .toMap
+      val ll = stats.values.map(_._2).sum
+      val total = stats.values.map(_._1).sum
+      priors = refs.map(r => r -> (stats.get(r).map(_._1).getOrElse(0.0) / total)).toMap
       converged = math.abs(ll - lastLl) < tol
       lastLl = ll
       iter += 1
     }
+    val out = assignedFor(outPriors).select("query_id", "ref", "weight")
     lik.unpersist()
-    assigned.select("query_id", "ref", "weight")
+    out
   }
 
   /** A10 — relative abundance per ref from assigned weight (nucleotide-style:
@@ -178,4 +183,21 @@ object ProfilePipeline {
       .select(col("rank"), col("node"),
         format_number(col("pct") * 100, 6).as("percentage"))
       .orderBy(col("rank").asc, col("pct").desc, col("node").asc)
+
+  /** IO9 — write the CAMI profiling file: `@SampleID`/`@@` header lines then
+    * rank-ordered TSV rows (profile_output.hpp:25-49). Single file; the
+    * report is tiny by construction (one row per taxon above threshold). */
+  def writeCami(report: DataFrame, path: String, sampleId: String): Unit = {
+    val rows = report.collect().map { r =>
+      s"${r.get(0)}\t${r.getString(1)}\t${r.getString(2)}"
+    }
+    val header = Seq(s"@SampleID:$sampleId", "@Version:0.9.1",
+      "@@RANK\tNODE\tPERCENTAGE")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      report.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    out.write((header ++ rows).mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
 }

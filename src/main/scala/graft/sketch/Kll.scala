@@ -20,8 +20,8 @@ final class Kll(val k: Int) extends Serializable {
   var n: Long = 0L
   var minV: Double = Double.PositiveInfinity
   var maxV: Double = Double.NegativeInfinity
-  val levels: ArrayBuffer[ArrayBuffer[Double]] =
-    ArrayBuffer(new ArrayBuffer[Double])
+  val levels: ArrayBuffer[DoubleBuf] =
+    ArrayBuffer(new DoubleBuf)
   private var flip: Boolean = false // deterministic compaction coin
 
   def rankErrorBound: Double = 2.296 / k
@@ -37,14 +37,14 @@ final class Kll(val k: Int) extends Serializable {
 
   private def size: Int = {
     var s = 0; var l = 0
-    while (l < levels.length) { s += levels(l).length; l += 1 }
+    while (l < levels.length) { s += levels(l).size; l += 1 }
     s
   }
 
   def update(x: Double): Unit = {
     if (x < minV) minV = x
     if (x > maxV) maxV = x
-    levels(0) += x
+    levels(0).add(x)
     n += 1
     if (size > totalCapacity) compress()
   }
@@ -52,7 +52,7 @@ final class Kll(val k: Int) extends Serializable {
   private def compress(): Unit = {
     while (size > totalCapacity) {
       var l = 0
-      while (l < levels.length && levels(l).length < capacity(l, levels.length))
+      while (l < levels.length && levels(l).size < capacity(l, levels.length))
         l += 1
       if (l == levels.length) l = 0 // total over cap but no level over: bottom
       compactLevel(l)
@@ -60,15 +60,14 @@ final class Kll(val k: Int) extends Serializable {
   }
 
   private def compactLevel(l: Int): Unit = {
-    if (l == levels.length - 1) levels += new ArrayBuffer[Double]
+    if (l == levels.length - 1) levels += new DoubleBuf
     val items = levels(l)
-    val sorted = items.toArray
-    java.util.Arrays.sort(sorted)
+    val sorted = items.sortedArray
     val offset = if (flip) 1 else 0
     flip = !flip
     val up = levels(l + 1)
     var i = offset
-    while (i < sorted.length) { up += sorted(i); i += 2 }
+    while (i < sorted.length) { up.add(sorted(i)); i += 2 }
     items.clear()
     // odd count with offset 0 keeps nothing extra: weights stay conserved
     // approximately; KLL tolerates the one-item weight slack per compaction.
@@ -81,10 +80,10 @@ final class Kll(val k: Int) extends Serializable {
     if (other.minV < minV) minV = other.minV
     if (other.maxV > maxV) maxV = other.maxV
     while (levels.length < other.levels.length)
-      levels += new ArrayBuffer[Double]
+      levels += new DoubleBuf
     var l = 0
     while (l < other.levels.length) {
-      levels(l) ++= other.levels(l)
+      levels(l).addAll(other.levels(l))
       l += 1
     }
     if (size > totalCapacity) compress()
@@ -143,7 +142,7 @@ final class Kll(val k: Int) extends Serializable {
     Bytes.putDouble(a, 26, maxV)
     a(34) = if (flip) 1 else 0
     var off = Kll.HEADER
-    levels.foreach { lvl => Bytes.putInt(a, off, lvl.length); off += 4 }
+    levels.foreach { lvl => Bytes.putInt(a, off, lvl.size); off += 4 }
     levels.foreach { lvl =>
       lvl.foreach { v => Bytes.putDouble(a, off, v); off += 8 }
     }
@@ -166,7 +165,7 @@ object Kll {
     s.minV = Bytes.getDouble(a, 18)
     s.maxV = Bytes.getDouble(a, 26)
     s.flip = a(34) == 1
-    while (s.levels.length < numLevels) s.levels += new ArrayBuffer[Double]
+    while (s.levels.length < numLevels) s.levels += new DoubleBuf
     val counts = new Array[Int](numLevels)
     var off = HEADER
     var l = 0
@@ -175,7 +174,7 @@ object Kll {
     while (l < numLevels) {
       var i = 0
       while (i < counts(l)) {
-        s.levels(l) += Bytes.getDouble(a, off); off += 8; i += 1
+        s.levels(l).add(Bytes.getDouble(a, off)); off += 8; i += 1
       }
       l += 1
     }

@@ -1,7 +1,5 @@
 package graft.sketch
 
-import scala.collection.mutable.ArrayBuffer
-
 /** From-scratch merging t-digest (Dunning & Ertl, "Computing Extremely
   * Accurate Quantiles Using t-Digests"). Centroid weights are capped by the
   * classic q(1-q) size bound `4·N·q·(1−q)/δ`, giving high accuracy at the
@@ -20,10 +18,10 @@ import scala.collection.mutable.ArrayBuffer
   */
 final class TDigest(val delta: Double) extends Serializable {
   require(delta >= 10 && delta <= 10000, s"tdigest delta out of range: $delta")
-  private[sketch] var means = new ArrayBuffer[Double]
-  private[sketch] var weights = new ArrayBuffer[Double]
-  private[sketch] val bufX = new ArrayBuffer[Double]
-  private[sketch] val bufW = new ArrayBuffer[Double]
+  private[sketch] var means = new DoubleBuf
+  private[sketch] var weights = new DoubleBuf
+  private[sketch] val bufX = new DoubleBuf
+  private[sketch] val bufW = new DoubleBuf
   var totalWeight: Double = 0.0
   var minV: Double = Double.PositiveInfinity
   var maxV: Double = Double.NegativeInfinity
@@ -35,30 +33,30 @@ final class TDigest(val delta: Double) extends Serializable {
   def add(x: Double, w: Double): Unit = {
     if (x < minV) minV = x
     if (x > maxV) maxV = x
-    bufX += x; bufW += w
+    bufX.add(x); bufW.add(w)
     totalWeight += w
-    if (bufX.length >= bufferCap) flush()
+    if (bufX.size >= bufferCap) flush()
   }
 
   private[sketch] def flush(): Unit = {
     if (bufX.isEmpty) return
-    val nAll = means.length + bufX.length
+    val nAll = means.size + bufX.size
     val xs = new Array[Double](nAll)
     val ws = new Array[Double](nAll)
     // merge-sort would be faster; nAll is O(delta) so a full sort is fine
     val idx = new Array[Integer](nAll)
     var i = 0
-    while (i < means.length) { xs(i) = means(i); ws(i) = weights(i); i += 1 }
+    while (i < means.size) { xs(i) = means(i); ws(i) = weights(i); i += 1 }
     var j = 0
-    while (j < bufX.length) {
+    while (j < bufX.size) {
       xs(i) = bufX(j); ws(i) = bufW(j); i += 1; j += 1
     }
     i = 0
     while (i < nAll) { idx(i) = i; i += 1 }
     java.util.Arrays.sort(idx, (a: Integer, b: Integer) =>
       java.lang.Double.compare(xs(a), xs(b)))
-    val outM = new ArrayBuffer[Double](means.length + 16)
-    val outW = new ArrayBuffer[Double](means.length + 16)
+    val outM = new DoubleBuf(means.size + 16)
+    val outW = new DoubleBuf(means.size + 16)
     var curMean = xs(idx(0))
     var curW = ws(idx(0))
     var wSoFar = 0.0
@@ -71,13 +69,13 @@ final class TDigest(val delta: Double) extends Serializable {
         curMean += (m - curMean) * (w / (curW + w))
         curW += w
       } else {
-        outM += curMean; outW += curW
+        outM.add(curMean); outW.add(curW)
         wSoFar += curW
         curMean = m; curW = w
       }
       i += 1
     }
-    outM += curMean; outW += curW
+    outM.add(curMean); outW.add(curW)
     means = outM; weights = outW
     bufX.clear(); bufW.clear()
   }
@@ -85,11 +83,11 @@ final class TDigest(val delta: Double) extends Serializable {
   def merge(other: TDigest): TDigest = {
     require(other.delta == delta, "tdigest delta mismatch")
     var i = 0
-    while (i < other.means.length) {
+    while (i < other.means.size) {
       add2(other.means(i), other.weights(i)); i += 1
     }
     i = 0
-    while (i < other.bufX.length) {
+    while (i < other.bufX.size) {
       add2(other.bufX(i), other.bufW(i)); i += 1
     }
     if (other.minV < minV) minV = other.minV
@@ -98,21 +96,21 @@ final class TDigest(val delta: Double) extends Serializable {
   }
 
   private def add2(x: Double, w: Double): Unit = {
-    bufX += x; bufW += w; totalWeight += w
-    if (bufX.length >= bufferCap) flush()
+    bufX.add(x); bufW.add(w); totalWeight += w
+    if (bufX.size >= bufferCap) flush()
   }
 
   /** Quantile by linear interpolation between centroid midpoints. */
   def quantile(q: Double): Double = {
     flush()
     if (totalWeight == 0) return Double.NaN
-    if (means.length == 1) return means(0)
+    if (means.size == 1) return means(0)
     if (q <= 0.0) return minV
     if (q >= 1.0) return maxV
     val target = q * totalWeight
     var cum = 0.0
     var i = 0
-    while (i < means.length) {
+    while (i < means.size) {
       val mid = cum + weights(i) / 2
       if (target < mid) {
         if (i == 0) {
@@ -140,7 +138,7 @@ final class TDigest(val delta: Double) extends Serializable {
     if (x >= maxV) return 1.0
     var cum = 0.0
     var i = 0
-    while (i < means.length) {
+    while (i < means.size) {
       if (x < means(i)) {
         val loMean = if (i == 0) minV else means(i - 1)
         val loCum = if (i == 0) 0.0 else cum - weights(i - 1) / 2
@@ -154,11 +152,11 @@ final class TDigest(val delta: Double) extends Serializable {
     1.0
   }
 
-  def numCentroids: Int = { flush(); means.length }
+  def numCentroids: Int = { flush(); means.size }
 
   def toBytes: Array[Byte] = {
     flush()
-    val c = means.length
+    val c = means.size
     val a = new Array[Byte](TDigest.HEADER + 16 * c)
     a(0) = TDigest.TYPE; a(1) = TDigest.VER
     Bytes.putDouble(a, 2, delta)
@@ -189,9 +187,9 @@ object TDigest {
     val c = Bytes.getInt(a, 34)
     var off = HEADER
     var i = 0
-    while (i < c) { s.means += Bytes.getDouble(a, off); off += 8; i += 1 }
+    while (i < c) { s.means.add(Bytes.getDouble(a, off)); off += 8; i += 1 }
     i = 0
-    while (i < c) { s.weights += Bytes.getDouble(a, off); off += 8; i += 1 }
+    while (i < c) { s.weights.add(Bytes.getDouble(a, off)); off += 8; i += 1 }
     s
   }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{Classify, ProfilePipeline}
+import graft.sources.{SketchTable, Tsv}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class SourcesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("search-results tsv: header, '-' nulls, read-id space cut") {
+    val tmp = Files.createTempDirectory("graft-tsv")
+    val f = tmp.resolve("res.tsv")
+    Files.writeString(f,
+      "QUERY_NAME\tACCESSION\tREFERENCE_NAME\tTAXID\tREF_LEN\tQUERY_LEN\t" +
+        "QHASH_COUNT\tQHASH_MATCH\tTAX_STR\tTAX_ID_STR\n" +
+        "read1 extra comment\tACC1\tRef One\t123\t1000\t150\t140\t120\tk__A;p__B\t1;2\n" +
+        "read2\t-\t-\t-\t0\t150\t140\t0\t-\t-\n")
+    val df = Tsv.readSearchResults(spark, f.toString)
+    val rows = df.orderBy("QUERY_NAME").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "read1", "space-cut failed")
+    assert(rows(0).getLong(6) == 140)
+    assert(rows(1).getString(1) == null && rows(1).getString(8) == null,
+      "'-' should decode to null")
+  }
+
+  test("taxonomy tsv + path split") {
+    val tmp = Files.createTempDirectory("graft-tax")
+    val f = tmp.resolve("tax.tsv")
+    Files.writeString(f,
+      "ACC1\tACC1.1\t562\t561\tE. coli\tk__Bacteria;p__Proteo;s__coli\n")
+    val df = Tsv.taxonomyPath(Tsv.readTaxonomy(spark, f.toString))
+    val path = df.select(explode(col("path"))).collect()
+    assert(path.length == 3)
+    assert(path(0).getStruct(0).getString(1) == "k__Bacteria")
+    assert(path(2).getStruct(0).getInt(0) == 2)
+  }
+
+  test("classify withUnmatched preserves empty queries as null rows") {
+    val classified = Seq((1L, "gA", 10L, 20L))
+      .toDF("query_id", "group", "match_cnt", "query_n")
+    val queries = Seq((1L, "x"), (2L, "y")).toDF("query_id", "text")
+    val all = Classify.withUnmatched(classified, queries)
+      .orderBy("query_id").collect()
+    assert(all.length == 2)
+    assert(all(1).getLong(0) == 2L && all(1).isNullAt(1))
+  }
+
+  test("cami file writer emits headers and rank-ordered rows") {
+    val report = Seq((0, "all", "100.000000"), (1, "left", "50.000000"))
+      .toDF("rank", "node", "percentage")
+    val tmp = Files.createTempDirectory("graft-cami")
+    val path = s"$tmp/profile.cami"
+    ProfilePipeline.writeCami(report, path, "sample-1")
+    val lines = Files.readAllLines(java.nio.file.Paths.get(path))
+    assert(lines.get(0) == "@SampleID:sample-1")
+    assert(lines.get(2) == "@@RANK\tNODE\tPERCENTAGE")
+    assert(lines.get(3) == "0\tall\t100.000000")
+  }
+
+  test("sketch table save/load round-trips data and manifest") {
+    val df = Seq(("user", Array[Byte](1, 2, 3))).toDF("role", "hll")
+    val tmp = Files.createTempDirectory("graft-st").toString
+    SketchTable.save(df, tmp, Map("hll_p" -> "14", "seed" -> "42"))
+    val (back, manifest) = SketchTable.load(spark, tmp)
+    assert(back.count() == 1)
+    assert(manifest.contains("\"hll_p\":\"14\"") &&
+      manifest.contains("\"version\":1"))
+  }
+}
