@@ -119,6 +119,16 @@ object GraftFunctions {
         .createOrReplaceTempFunction(name, b, "built-in")
   }
 
+  /** SparkSessionExtensions injection (see graft.GraftExtensions). */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.GraftFunctions", name),
+        (es: Seq[Expression]) => b(es)))
+    }
+
   // ---- Column facade ------------------------------------------------------
 
   /** Distinct k-shingle hashes of a text column; `scale` > 1 applies

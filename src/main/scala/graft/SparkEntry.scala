@@ -323,6 +323,48 @@ object SparkEntry {
         "doc_id", "payload")
         .orderBy("id")
     },
+    // north-star "heavy hitters per turn window": CMS over (hour, type)
+    // composite keys, eps-bounded against the exact windowed counts.
+    "cms_windowed_counts" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val eps = 0.0005
+      val keyed = t(s, dir, "events")
+        .withColumn("hour",
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH"))
+        .withColumn("k", concat_ws("|", col("hour"), col("event_type")))
+      val sk = keyed.agg(cms_agg(col("k"), eps, 0.01).as("cms"))
+      keyed.groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(broadcast(sk))
+        .withColumn("est", cms_estimate(col("cms"),
+          concat_ws("|", col("hour"), col("event_type"))))
+        .select(col("hour"), col("event_type"), col("exact_cnt"),
+          (col("est") >= col("exact_cnt")).as("no_undercount"),
+          (col("est") <= col("exact_cnt") + greatest(lit(1L),
+            (lit(eps) * cms_total(col("cms"))).cast("long"))).as("within_eps"))
+        .orderBy("hour", "event_type")
+    },
+    // inter-event latency quantiles from ts (lag window), t-digest bound.
+    "latency_quantiles" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = t(s, dir, "events")
+        .withColumn("tsd", col("ts").cast("timestamp").cast("double"))
+        .withColumn("gap", col("tsd") - lag(col("tsd"), 1).over(w))
+        .where(col("gap").isNotNull)
+        .select(col("gap"))
+      val td = graft.sketch.TDigest.fromBytes(
+        gaps.agg(tdigest_agg(col("gap"), 100)).first().getAs[Array[Byte]](0))
+      val qs = Seq(0.1 -> "q10", 0.5 -> "q50", 0.9 -> "q90")
+      val ests = qs.map { case (q, _) => td.quantile(q) }
+      val ranks = gaps.agg(count(lit(1)).cast("double").as("n"),
+        ests.map(e => sum(when(col("gap") < e, 1L).otherwise(0L))): _*).first()
+      val n = ranks.getDouble(0)
+      import s.implicits._
+      qs.zipWithIndex.map { case ((q, label), i) =>
+        (label, math.abs(ranks.getLong(i + 1) / n - q) <= 0.02)
+      }.toDF("q_label", "within_rank_error").orderBy("q_label")
+    },
     // S6: FracMinHash scaling — distinct-count scale-up estimate within the
     // binomial sampling bound, checked against the exact distinct count.
     "fracminhash_distinct" -> { (s, dir) =>
@@ -540,6 +582,13 @@ object SparkEntry {
          FROM e a JOIN e b ON a.id < b.id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.4
          ORDER BY id_a, id_b""",
+    "cms_windowed_counts" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+         event_type, count(*) AS exact_cnt, true AS no_undercount,
+         true AS within_eps FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "latency_quantiles" ->
+      """SELECT q_label, true AS within_rank_error FROM (VALUES ('q10'),
+         ('q50'),('q90')) AS t(q_label) ORDER BY q_label""",
     "fracminhash_distinct" ->
       """WITH sh AS (SELECT DISTINCT source, substr(text, CAST(i AS INT), 8) AS s
                      FROM documents, generate_series(1, 1000) t(i)

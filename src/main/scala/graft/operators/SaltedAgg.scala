@@ -42,4 +42,33 @@ object SaltedAgg {
     */
   def bucketsFor(maxGroupRows: Long, targetRowsPerTask: Long = 1000000L): Int =
     math.max(1, math.min(1024, (maxGroupRows / targetRowsPerTask).toInt))
+
+  /** C3 planning pre-pass: estimate the biggest group cheaply (sampled exact
+    * count scaled back up) and pick the salt-bucket count from it. One extra
+    * small job; the sample fraction keeps it O(rows·fraction). */
+  def planBuckets(
+      df: DataFrame,
+      keys: Seq[String],
+      sampleFraction: Double = 0.02,
+      targetRowsPerTask: Long = 1000000L): Int = {
+    val top = df.sample(sampleFraction)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")))
+      .first()
+    val maxRows =
+      if (top.isNullAt(0)) 0L else (top.getLong(0) / sampleFraction).toLong
+    bucketsFor(maxRows, targetRowsPerTask)
+  }
+
+  /** twoStage with the bucket count chosen by planBuckets. */
+  def autoTwoStage(
+      df: DataFrame,
+      keys: Seq[String],
+      saltOn: Seq[Column],
+      partialAggs: Seq[Column],
+      finalAggs: Seq[Column],
+      targetRowsPerTask: Long = 1000000L): DataFrame =
+    twoStage(df, keys, planBuckets(df, keys, targetRowsPerTask = targetRowsPerTask),
+      saltOn, partialAggs, finalAggs)
 }

@@ -15,8 +15,24 @@ import org.apache.spark.sql.functions._
   * pre-aggregation (the reference's split-bin motive,
   * /root/reference/src/hixf/build/hierarchical_build.cpp:91-111).
   */
+/** The canonical input row (BASELINE.json `input_hint`). */
+case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: java.sql.Timestamp)
+
 object Transcripts {
   val Roles = Seq("user", "assistant", "tool", "system")
+
+  /** Typed view of the generated table. */
+  def typed(spark: SparkSession, nConvs: Long, avgTurns: Int = 16,
+      seed: Long = 42L): org.apache.spark.sql.Dataset[Turn] = {
+    import spark.implicits._
+    generate(spark, nConvs, avgTurns, seed = seed).as[Turn]
+  }
 
   def generate(
       spark: SparkSession,
