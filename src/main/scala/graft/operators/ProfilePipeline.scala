@@ -119,6 +119,11 @@ object ProfilePipeline {
       .select("query_id", "ref", "lik", "query_n")
       .cache()
     val refs = lik.select("ref").distinct().as[String].collect()
+    if (refs.isEmpty) { // empty input: empty assignment, not a div-by-zero
+      lik.unpersist()
+      return lik.select(col("query_id"), col("ref"),
+        lit(0.0).as("weight")).limit(0)
+    }
     var priors = refs.map(_ -> 1.0 / refs.length).toMap
     var lastLl = Double.NegativeInfinity
     var iter = 0

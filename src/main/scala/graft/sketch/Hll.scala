@@ -50,27 +50,56 @@ object Hll {
     a
   }
 
+  /** Ertl's improved estimator ("New cardinality estimation algorithms for
+    * HyperLogLog sketches", 2017): unbiased across the full range from the
+    * register-value histogram alone — no empirical bias tables, no
+    * small/large-range case split. */
   def estimate(buf: Array[Byte]): Double = {
     val p = buf(2).toInt
     val mm = m(p)
-    var invSum = 0.0
-    var zeros = 0
+    val q = 64 - p // max stored rank is q+1
+    val c = new Array[Int](q + 2)
     var i = 0
     while (i < mm) {
-      val r = buf(HEADER + i) & 0xff
-      invSum += 1.0 / java.lang.Double.longBitsToDouble((1023L + r) << 52)
-      if (r == 0) zeros += 1
+      c(math.min(buf(HEADER + i) & 0xff, q + 1)) += 1
       i += 1
     }
-    val alpha = mm match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _  => 0.7213 / (1.0 + 1.079 / mm)
+    if (c(0) == mm) return 0.0
+    var z = mm * tau(1.0 - c(q + 1).toDouble / mm)
+    var k = q
+    while (k >= 1) { z = 0.5 * (z + c(k)); k -= 1 }
+    z += mm * sigma(c(0).toDouble / mm)
+    val alphaInf = 1.0 / (2.0 * math.log(2.0))
+    alphaInf * mm.toDouble * mm.toDouble / z
+  }
+
+  private def sigma(x0: Double): Double = {
+    if (x0 == 1.0) return Double.PositiveInfinity
+    var x = x0
+    var y = 1.0
+    var z = x
+    var zPrev = -1.0
+    while (z != zPrev) {
+      x = x * x
+      zPrev = z
+      z += x * y
+      y += y
     }
-    val e = alpha * mm.toDouble * mm.toDouble / invSum
-    // Small-range correction: linear counting while registers stay sparse.
-    if (e <= 2.5 * mm && zeros > 0) mm * math.log(mm.toDouble / zeros)
-    else e
+    z
+  }
+
+  private def tau(x0: Double): Double = {
+    if (x0 == 0.0 || x0 == 1.0) return 0.0
+    var x = x0
+    var y = 1.0
+    var z = 1.0 - x
+    var zPrev = -1.0
+    while (z != zPrev) {
+      x = math.sqrt(x)
+      zPrev = z
+      y *= 0.5
+      z -= (1.0 - x) * (1.0 - x) * y
+    }
+    z / 3.0
   }
 }
