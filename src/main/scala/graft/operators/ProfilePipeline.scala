@@ -168,7 +168,10 @@ object ProfilePipeline {
         .withColumn("w", col("w") / col("ref_len")).drop("ref_len")
       case None => byRef
     }
-    val total = withCov.agg(sum("w")).first().getDouble(0)
+    val totalRow = withCov.agg(sum("w")).first()
+    if (totalRow.isNullAt(0)) // empty assignment: empty abundance
+      return withCov.select(col("ref"), lit(0.0).as("pct")).limit(0)
+    val total = totalRow.getDouble(0)
     withCov.select(col("ref"), (col("w") / total).as("pct"))
   }
 

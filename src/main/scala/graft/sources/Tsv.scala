@@ -54,6 +54,21 @@ object Tsv {
   def readTaxonomy(spark: SparkSession, path: String): DataFrame =
     spark.read.option("sep", "\t").schema(TaxonomySchema).csv(path)
 
+  /** IO8 — search-results TSV sink: reference 10-column header, `-` for
+    * nulls (taxor_search.cpp:342-343; atomicity comes from Spark's task
+    * commit protocol instead of the reference's output mutex). */
+  def writeSearchResults(df: DataFrame, path: String): Unit = {
+    val cols = SearchResultsSchema.fields.map { f =>
+      if (f.dataType == StringType)
+        coalesce(col(f.name), lit("-")).as(f.name)
+      else col(f.name)
+    }
+    df.select(cols.toSeq: _*)
+      .write.mode("overwrite")
+      .option("sep", "\t").option("header", "true")
+      .csv(path)
+  }
+
   /** Split a `;`-joined 7-rank taxonomy path into (rank, node) structs for
     * ProfilePipeline.rollup (taxor_profile.cpp:568-636). */
   def taxonomyPath(df: DataFrame, pathCol: String = "taxonomy_string"): DataFrame =

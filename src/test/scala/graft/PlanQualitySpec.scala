@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality gates: assert the physical plans keep the shapes that make
+  * the engine scale — pruned scans, broadcast joins for dimensions, top-k
+  * pushdown, partial aggregation — so a regression (e.g. a lost broadcast
+  * hint or an accidental full-schema scan) fails CI, not a 100 TB run.
+  */
+class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
+  private val sfDir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01 scan is column-pruned to exactly the used columns") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_returnflag:string,l_linestatus:string>"), p)
+    assert(p.contains("partial_sum"), "partial aggregation missing")
+  }
+
+  test("q03 dimension join is a broadcast hash join") {
+    val p = plan("q03_segment_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+  }
+
+  test("ann_topk gets WindowGroupLimit top-k pushdown on both shuffle sides") {
+    val p = plan("ann_topk")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query side should broadcast")
+  }
+
+  test("classify_exact pushes the corpus/query split into the parquet scan") {
+    val p = plan("classify_exact")
+    assert(p.contains("PushedFilters"), p)
+    // the modulo split must reach the scan as a data filter, not a
+    // post-scan Project
+    assert(p.contains("pmod") || p.contains("%"), p)
+  }
+
+  test("sketch aggregation runs as partial + final (map-side combine)") {
+    val p = plan("hll_distinct_users")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("partial_graft_hll_agg") || p.contains("partial_"), p)
+  }
+}
