@@ -303,6 +303,39 @@ object SparkEntry {
         .select("qid", "rank", "id")
         .orderBy("qid", "rank")
     },
+    // approximate-ANN recall floor: aggregate recall@5 of the IVF and SRP-LSH
+    // paths vs the exact brute force, gated at a floor the deterministic
+    // data comfortably clears (unstructured random embeddings cap achievable
+    // recall; the planted-duplicate/high-sim regime is covered in tests)
+    "ann_recall_floor" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = emb.where(pmod(col("vec_id"), lit(25)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(corpus, qs, 5)
+        .select("qid", "id").cache()
+      val total = exact.count().toDouble
+      def recallOf(app: DataFrame): Double =
+        exact.join(app.select("qid", "id"), Seq("qid", "id"), "left_semi")
+          .count() / total
+      val ivf = recallOf(
+        Similarity.ivfTopK(corpus, qs, 5, nCentroids = 32, nProbe = 8))
+      val lsh = recallOf(
+        Similarity.lshTopK(corpus, qs, 5, tables = 12, bits = 6))
+      import s.implicits._
+      Seq(("ivf", ivf >= 0.25), ("lsh", lsh >= 0.25))
+        .toDF("method", "recall_ok").orderBy("method")
+    },
+    // BPE-ish regex token counting (words / numbers / punctuation pieces).
+    "text_bpeish_tokens" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(expr(
+            "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+            .cast("long").as("n_bpeish"))
+        .orderBy("doc_id")
+    },
     "cosine_neardup_exact" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -595,6 +628,13 @@ object SparkEntry {
                  (PARTITION BY qid ORDER BY sim DESC, id) AS rnk FROM s)
          SELECT qid, rnk AS "rank", id FROM r WHERE rnk <= 5
          ORDER BY qid, rnk""",
+    "ann_recall_floor" ->
+      """SELECT method, true AS recall_ok FROM (VALUES ('ivf'),('lsh'))
+         AS t(method) ORDER BY method""",
+    "text_bpeish_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text,
+         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
+         FROM documents ORDER BY doc_id""",
     "cosine_neardup_exact" ->
       """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings)

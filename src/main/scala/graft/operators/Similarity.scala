@@ -63,6 +63,52 @@ object Similarity {
       .select("qid", "rank", "id", "sim")
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path: a small deterministic centroid set partitions the corpus into
+    * cells (one broadcast pass, no shuffle of vectors beyond the cell key);
+    * each query probes its `nProbe` nearest cells and re-ranks exactly
+    * inside them. Centroids are a deterministic 1-in-stride sample (a
+    * k-means refinement would slot in here without changing the plan).
+    */
+  def ivfTopK(
+      corpus: DataFrame, // (id, vec)
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / nCentroids)
+    val centroids = corpus
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("id"))))
+      .where(pmod(col("__rn"), lit(stride)) === 0)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+      .limit(nCentroids)
+    // assign every corpus vector to its nearest centroid (n x C cosines)
+    val wAssign = Window.partitionBy("id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val cells = corpus.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("vec"), col("cvec")))
+      .withColumn("__r", row_number().over(wAssign))
+      .where(col("__r") === 1)
+      .select(col("cid"), col("id"), col("vec"))
+    // queries probe their nProbe nearest cells
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("qvec"), col("cvec")))
+      .withColumn("__r", row_number().over(wProbe))
+      .where(col("__r") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cid"))
+    val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+    probes.join(cells, "cid")
+      .where(col("id") =!= col("qid"))
+      .withColumn("sim", cosine(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "id", "sim")
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, via LSH
     * candidate generation + exact verification (the embedding analogue of
     * Dedup.minhashLshPairs). */

@@ -82,6 +82,16 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       s"lsh missed the near-dup: ${got.mkString(",")}")
   }
 
+  test("ivf topk finds the planted near-duplicate") {
+    val qs = vecs.where($"id" === 3L)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val got = Similarity.ivfTopK(vecs, qs, k = 3, nCentroids = 8, nProbe = 3)
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.exists(r => r.getLong(2) == 50L && r.getInt(1) == 1),
+      s"ivf missed the near-dup: ${got.mkString(",")}")
+  }
+
   test("cosine near-dup pairs via srp lsh") {
     val got = Similarity.cosineNearDupPairs(vecs, threshold = 0.999,
         tables = 16, bits = 6)
