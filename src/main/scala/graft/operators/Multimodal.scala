@@ -58,6 +58,32 @@ object Multimodal {
       }
   }
 
+  /** STUB resize — deterministic stand-in for image resize: nearest-
+    * neighbour sample of the payload onto a w*h byte grid (a real decoder
+    * would produce pixel data here; the Spark-side shape — fixed-size
+    * BINARY output per row, batched per partition — is the real contract). */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (payload.isEmpty) return out
+    var i = 0
+    while (i < out.length) {
+      out(i) = payload((i.toLong * payload.length / out.length).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Batched resize over (id, payload) — (id, thumb BINARY(w*h)). */
+  def resize(df: DataFrame, idCol: String, payloadCol: String,
+      w: Int = 16, h: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, resizeStub(p, w, h)) })
+      .toDF("id", "thumb")
+  }
+
   /** Frame sampling metadata only (cheap path; still batched). */
   def frameMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     decode(df, idCol, payloadCol)

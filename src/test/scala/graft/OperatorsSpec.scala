@@ -200,6 +200,16 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(got(2L).features.sum - 1.0) < 1e-5)
   }
 
+  test("multimodal resize stub produces fixed-size deterministic thumbs") {
+    val df = Seq((1L, "abcdefgh"), (2L, "")).toDF("id", "text")
+      .select($"id", encode($"text", "UTF-8").as("payload"))
+    val got = Multimodal.resize(df, "id", "payload", w = 4, h = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got(1L).length == 8 && got(2L).length == 8)
+    assert(got(1L)(0) == 'a'.toByte && got(1L)(7) == 'h'.toByte)
+    assert(got(2L).forall(_ == 0))
+  }
+
   test("token count handles whitespace edge cases") {
     val got = Seq(("", 0L), ("  ", 0L), ("a", 1L), (" a  b\tc\nd ", 4L))
       .toDF("text", "expected")
