@@ -39,13 +39,15 @@ object Bench {
     s
   }
 
-  /** C3 planning heuristic: sampled HLL estimate of distinct shingles. */
+  /** C3 planning heuristic: HLL estimate of distinct shingles over the full
+    * input (one cheap pre-pass; a row-sample would undercount a long-tail
+    * shingle vocabulary and mis-size the filter below its design fpp). */
   private def estimateDistinctShingles(spark: SparkSession, input: String): Long = {
-    val est = spark.read.parquet(input).sample(0.05)
+    val est = spark.read.parquet(input)
       .select(explode(shingles(col("text"), 8)).as("h"))
       .agg(hll_estimate(hll_agg_hashed(col("h"), 14)))
       .first().getDouble(0)
-    math.max(4096L, (est * 1.5).toLong)
+    math.max(4096L, (est * 1.3).toLong)
   }
 
   /** One-pass six-sketch build over per-turn shingle hash sets; rows/sec. */

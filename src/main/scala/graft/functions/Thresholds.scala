@@ -26,39 +26,58 @@ object Thresholds {
     else rational(math.sqrt(-2.0 * math.log(1.0 - p)))
   }
 
+  /** Variance of the number of mutated k-mers among n under iid per-base
+    * error rate r (Blanca et al. model; the exact published formula the
+    * reference implements, kmer_model.cpp:32-41). */
+  def varNmutKmer(n: Long, k: Int, r: Double): Double = {
+    val q = 1.0 - math.pow(1.0 - r, k)
+    val nD = n.toDouble
+    nD * (1.0 - q) * (q * (2.0 * k + 2.0 / r - 1.0) - 2.0 * k) +
+      k * (k - 1.0) * math.pow(1.0 - q, 2.0) +
+      (2.0 * (1.0 - q) / (r * r)) * ((1.0 + (k - 1.0) * (1.0 - q)) * r - q)
+  }
+
   /** k-mer mutation model (SF7): a read with per-base error rate r keeps a
     * k-mer intact with prob (1-r)^k; the expected number of mutated k-mers
-    * among n is nq with q = 1-(1-r)^k, and the CI follows the normal
-    * approximation with the published variance. Returns the *lower* bound
-    * of surviving (matching) k-mers at the given confidence. */
+    * among n is nq with q = 1-(1-r)^k. Returns the *lower* bound of
+    * surviving (matching) k-mers at the given confidence. */
   def kmerLowerBound(n: Long, k: Int, errorRate: Double,
       confidence: Double = 0.95): Long = {
     if (errorRate <= 0) return n
     val q = 1.0 - math.pow(1.0 - errorRate, k)
     val z = inverseNormalCdf(1.0 - (1.0 - confidence) / 2.0)
     val nD = n.toDouble
-    // variance of the number of mutated k-mers (Blanca et al. model the
-    // reference cites): nq(1-q) plus the covariance correction term
-    val varMut = nD * (1.0 - q) *
-      (q * (2.0 * k + (2.0 / errorRate) * (1.0 - q) - 1.0) -
-        2.0 * k * (1.0 - q))
-    val sd = math.sqrt(math.max(0.0, varMut))
+    val sd = math.sqrt(math.max(0.0, varNmutKmer(n, k, errorRate)))
     val mutatedHigh = nD * q + z * sd
     math.max(0L, math.floor(nD - mutatedHigh).toLong)
   }
 
-  /** FracMinHash containment CI (SF8): scaled sketches observe a fraction
-    * s of hashes; the containment estimate's CI widens by the sampling
-    * variance. Lower bound of observed matches among n scaled hashes. */
-  def fracMinHashLowerBound(n: Long, k: Int, errorRate: Double,
+  /** FracMinHash containment CI (SF8, fracminhash_model.cpp:14-31):
+    * expected containment C = (1-r)^k; variance combines the k-mer mutation
+    * variance with the scaled-sampling term. `nScaled` is the OBSERVED
+    * (already downsampled) hash count of the query; the unscaled count is
+    * reconstructed as nScaled*scale for the variance. Returns the lower
+    * bound of matches among the observed scaled hashes. */
+  def fracMinHashLowerBound(nScaled: Long, k: Int, errorRate: Double,
       scale: Long, confidence: Double = 0.95): Long = {
-    val base = kmerLowerBound(n, k, errorRate, confidence).toDouble
-    if (scale <= 1) return base.toLong
+    if (errorRate <= 0) return nScaled
+    if (scale <= 1) return kmerLowerBound(nScaled, k, errorRate, confidence)
     val s = 1.0 / scale
+    val n = nScaled * scale // unscaled k-mer count estimate
+    val nD = n.toDouble
+    val expC = math.pow(1.0 - errorRate, k)
+    val q = 1.0 - expC
+    val expNmut = nD * q
+    val varNmut = math.max(0.0, varNmutKmer(n, k, errorRate))
+    val expNmutSq = expNmut * expNmut + varNmut
+    val term3 = varNmut / (nD * nD)
+    val term2 = nD * expNmut - expNmutSq
+    val denom = s * nD * nD * nD *
+      math.pow(1.0 - math.pow(1.0 - s, nD), 2.0)
+    val varC = math.max(0.0, (1.0 - s) / denom * term2 + term3)
     val z = inverseNormalCdf(1.0 - (1.0 - confidence) / 2.0)
-    // binomial sampling of the surviving matches at rate s
-    val sd = math.sqrt(base * s * (1.0 - s))
-    math.max(0L, math.floor(base * s - z * sd).toLong)
+    val cLow = expC - z * math.sqrt(varC)
+    math.max(0L, math.floor(cLow * nScaled).toLong)
   }
 
   /** Fixed-percentage threshold (the reference's default mode). */
@@ -76,7 +95,10 @@ object Thresholds {
   case class FracMinHashCI(k: Int, errorRate: Double, scale: Long,
       confidence: Double = 0.95) extends Mode
 
-  /** SF10 dispatcher: minimum matches required for `n` query hashes. */
+  /** SF10 dispatcher: minimum matches required for `n` query hashes, where
+    * `n` is always the number of hashes actually probed (for FracMinHashCI
+    * that is the observed downsampled count — the fp correction then
+    * applies to the same probe count, as in taxor_search.cpp:262). */
   def minMatches(n: Long, mode: Mode, sketchFpr: Double = 0.0): Long = {
     val base = mode match {
       case Percentage(f) => percentage(n, f)

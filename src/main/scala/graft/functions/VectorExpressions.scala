@@ -15,7 +15,10 @@ import org.apache.spark.sql.types._
 object VecOps {
   /** Cosine similarity over two float vectors, accumulated in double,
     * strictly left-to-right: dot / (sqrt(na) * sqrt(nb)) — the exact
-    * formula the DuckDB oracle parity was validated against. */
+    * formula the DuckDB oracle parity was validated against. Zero-norm
+    * vectors return 0.0 (not NaN — NaN sorts above every real similarity
+    * in Spark, which would rank a zero/padding embedding as everyone's
+    * nearest neighbour). */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var dot = 0.0
@@ -30,7 +33,8 @@ object VecOps {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   def dotF(a: ArrayData, b: ArrayData): Double = {

@@ -26,18 +26,21 @@ object BuildTranscriptSketches {
   val KllK = 200
   val TdDelta = 100.0
 
+  val ShingleK = 8
+  val MinimizerW = 8
+
+  // Bloom over per-turn minimizer hash sets: one hash kept per window of
+  // MinimizerW consecutive shingles, so the filter stays within budget at
+  // 10^12 turns (minimizer/FracMinHash downsampling, reference
+  // taxor_build.cpp:335-340) while remaining probe-compatible with
+  // graft_minimizers(text, k, w) on the query side.
   def partialAggs = Seq(
     hll_agg(col("conv_id"), HllP).as("hll_convs"),
-    bloom_agg_hashed(explodedShingleHash, BloomItems, BloomFpp).as("bf_shingles"),
+    bloom_agg_hashed(minimizers(col("text"), ShingleK, MinimizerW),
+      BloomItems, BloomFpp).as("bf_shingles"),
     cms_agg(col("tool"), CmsEps, CmsDelta).as("cms_tools"),
     kll_agg(length(col("text")), KllK).as("kll_len"),
     tdigest_agg(length(col("text")), TdDelta).as("td_len"))
-
-  // Bloom over per-turn minimizer hashes: sample one hash per 8-shingle
-  // window so the filter stays within budget at 10^12 turns (FracMinHash/
-  // minimizer downsampling, reference taxor_build.cpp:335-340).
-  private def explodedShingleHash =
-    xxhash64(col("text")) // whole-turn hash; per-shingle variant in queries
 
   def mergeAggs = Seq(
     hll_merge_agg(col("hll_convs"), HllP).as("hll_convs"),

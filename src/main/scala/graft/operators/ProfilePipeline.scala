@@ -106,6 +106,12 @@ object ProfilePipeline {
     * doubles, broadcast back as a small map — the matches DataFrame is
     * cached once and re-filtered, never recomputed from source.
     *
+    * The default `tol` mirrors the reference's ABSOLUTE criterion
+    * (`|Δll| < |log 1e-4|`, taxor_profile.cpp:725-727). Note it does not
+    * scale with query count — at millions of queries pass a tolerance
+    * proportional to the expected total log-likelihood (e.g.
+    * `1e-4 * nQueries`) or rely on `maxIters`.
+    *
     * @return (query_id, ref, weight) final hard assignment.
     */
   def emAssign(

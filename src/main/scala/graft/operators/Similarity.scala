@@ -76,12 +76,13 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    val n = corpus.count()
-    val stride = math.max(1L, n / nCentroids)
+    // deterministic hash-sample of ~2x nCentroids candidates, no global
+    // sort (a Window over the whole corpus would funnel every row through
+    // one task); limit() on the tiny candidate set is cheap
+    val n = math.max(1L, corpus.count())
+    val keepOneIn = math.max(1L, n / (2L * nCentroids))
     val centroids = corpus
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col("id"))))
-      .where(pmod(col("__rn"), lit(stride)) === 0)
+      .where(pmod(xxhash64(col("id")), lit(keepOneIn)) === 0)
       .select(col("id").as("cid"), col("vec").as("cvec"))
       .limit(nCentroids)
     // assign every corpus vector to its nearest centroid (n x C cosines)

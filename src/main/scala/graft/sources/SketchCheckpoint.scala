@@ -77,6 +77,22 @@ object SketchCheckpoint {
     val f = fs(spark, workDir)
     f.mkdirs(new Path(s"$workDir/_commits"))
     val chunks = planChunks(spark, inputDir, filesPerChunk)
+    // pin the chunking plan: resuming with a different filesPerChunk or a
+    // changed input file list would otherwise silently double-merge stale
+    // partials covering the same rows
+    val planPath = new Path(s"$workDir/plan.json")
+    val planJson =
+      s"""{"filesPerChunk":$filesPerChunk,"chunks":${chunks.length},
+         |"filesHash":"${chunks.flatten.mkString("\n").hashCode}"}"""
+        .stripMargin.replace("\n", "")
+    if (f.exists(planPath)) {
+      val in = f.open(planPath)
+      val prev = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      in.close()
+      require(prev == planJson,
+        s"checkpoint plan mismatch (previous run used a different chunking " +
+          s"or input set): $prev vs $planJson — clean $workDir to rebuild")
+    } else writeAtomic(f, planPath, planJson)
     val done = committedChunks(spark, workDir)
     val results = chunks.zipWithIndex.map { case (files, id) =>
       if (done.contains(id)) None
@@ -87,8 +103,10 @@ object SketchCheckpoint {
           .agg(count(lit(1)).as("__rows"), partialAggs: _*)
         partial.write.mode("overwrite").parquet(s"$workDir/partials/chunk=$id")
         // row count comes from the written partials — no second input scan
-        val rows = spark.read.parquet(s"$workDir/partials/chunk=$id")
-          .agg(sum("__rows")).first().getLong(0)
+        // (coalesce: a chunk of empty part files aggregates to zero groups)
+        val rowsRow = spark.read.parquet(s"$workDir/partials/chunk=$id")
+          .agg(coalesce(sum("__rows"), lit(0L))).first()
+        val rows = rowsRow.getLong(0)
         val wallMs = (System.nanoTime() - t0) / 1000000
         val commit =
           s"""{"chunk":$id,"files":[${files.map(x => "\"" + x + "\"").mkString(",")}],
@@ -100,7 +118,11 @@ object SketchCheckpoint {
       }
     }
     val fresh = results.flatten
-    val merged = spark.read.parquet(s"$workDir/partials")
+    // merge ONLY the chunks of this plan (explicit paths, not directory
+    // discovery — stale dirs from an aborted differently-chunked run can
+    // never leak into the merge)
+    val chunkPaths = chunks.indices.map(id => s"$workDir/partials/chunk=$id")
+    val merged = spark.read.parquet(chunkPaths: _*)
       .groupBy(keys.map(col): _*)
       .agg(mergeAggs.head,
         (mergeAggs.tail :+ sum(col("__rows")).as("rows_seen")): _*)

@@ -40,10 +40,29 @@ class ThresholdsSpec extends AnyFunSuite {
       sketchFpr = 0.0039) == 104)
   }
 
-  test("fracminhash bound shrinks with scale") {
-    val full = Thresholds.minMatches(10000, Thresholds.KmerCI(8, 0.04))
-    val scaled = Thresholds.minMatches(10000,
+  test("fracminhash bound is per observed hash, slightly wider CI than kmer") {
+    // same number of PROBED hashes: the fracminhash bound reconstructs the
+    // unscaled count for the variance and must sit at/below the plain kmer
+    // bound (extra sampling variance), but in the same ballpark
+    val kmer = Thresholds.minMatches(1000, Thresholds.KmerCI(8, 0.04))
+    val fm = Thresholds.minMatches(1000,
       Thresholds.FracMinHashCI(8, 0.04, scale = 10))
-    assert(scaled < full / 5, s"full=$full scaled=$scaled")
+    // never above the expected-containment ceiling for the probed count...
+    val ceiling = math.floor(math.pow(1.0 - 0.04, 8) * 1000).toLong
+    assert(fm > 0 && fm <= ceiling, s"fm=$fm ceiling=$ceiling")
+    // ...and in the same ballpark as the plain kmer bound (the larger
+    // reconstructed unscaled n tightens the relative CI, so fm may exceed
+    // the small-n kmer bound slightly)
+    assert(fm >= (0.8 * kmer).toLong && fm <= (1.2 * kmer).toLong,
+      s"kmer=$kmer fm=$fm")
+  }
+
+  test("kmer variance matches the published closed form at a spot value") {
+    // n=1000, k=8, r=0.05: direct evaluation of the reference formula
+    val q = 1.0 - math.pow(0.95, 8)
+    val byHand = 1000 * (1 - q) * (q * (16 + 40 - 1) - 16) +
+      8 * 7 * math.pow(1 - q, 2) +
+      (2 * (1 - q) / 0.0025) * ((1 + 7 * (1 - q)) * 0.05 - q)
+    assert(math.abs(Thresholds.varNmutKmer(1000, 8, 0.05) - byHand) < 1e-9)
   }
 }
