@@ -82,6 +82,17 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       s"lsh missed the near-dup: ${got.mkString(",")}")
   }
 
+  test("zero-norm embeddings never rank as neighbours (cosine = 0, not NaN)") {
+    val withZero = vecs.union(
+      Seq((99L, Array.fill(16)(0.0f))).toDF("id", "vec"))
+    val qs = withZero.where($"id" === 3L)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val got = Similarity.bruteForceTopK(withZero, qs, k = 3).collect()
+    assert(!got.exists(_.getLong(2) == 99L),
+      s"zero vector ranked as a neighbour: ${got.mkString(",")}")
+    assert(got.find(_.getInt(1) == 1).get.getLong(2) == 50L)
+  }
+
   test("ivf topk finds the planted near-duplicate") {
     val qs = vecs.where($"id" === 3L)
       .select($"id".as("qid"), $"vec".as("qvec"))
