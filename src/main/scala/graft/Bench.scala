@@ -125,8 +125,15 @@ object Bench {
       s.stop()
       (rs.head._1, rs.map(_._2).max)
     }
-    val (rows, tps4) = measure(4, reps = 3)
-    val tps16 = measure(16, reps = 3)._2
+    // interleave the two levels across separate sessions and take the max
+    // per level: external throttling (shared host) hits contiguous time
+    // windows, so back-to-back reps inside one session share the same fate
+    // while alternation decorrelates them
+    val m4a = measure(4); val m16a = measure(16)
+    val m4b = measure(4); val m16b = measure(16)
+    val rows = m4a._1
+    val tps4 = math.max(m4a._2, m4b._2)
+    val tps16 = math.max(m16a._2, m16b._2)
     val tps8 = measure(8)._2
     val tps32 = measure(32)._2
     // >1.0 is physically impossible for real scaling: it means the small-
