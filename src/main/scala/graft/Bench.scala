@@ -76,10 +76,53 @@ object Bench {
 
     // --- per-query timings at the requested parallelism -------------------
     var spark = session(cpus)
+    // a crashing query reports the -1 sentinel (never a fast "success")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val failed = results.collect { case (n, t) if t < 0 => n }
+
+    // full iterative profile chain (classify matches → F5/F6 cascade →
+    // association filter → erase-worst EM → abundance → CAMI report):
+    // driver-side fixpoint + EM loop are not one-SQL-oracle-expressible, so
+    // it is timed here (semantics covered by OperatorsSpec)
+    val emFullSec = {
+      val t0 = System.nanoTime()
+      try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("source").as("group"), col("text"))
+        val qs = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id").as("query_id"), col("text"))
+        val matches = graft.operators.Classify
+          .exact(corpus, qs, minFraction = 0.05)
+          .withColumnRenamed("group", "ref").cache()
+        val cascade = graft.operators.ProfilePipeline.lowConfidenceFilter(
+          graft.operators.ProfilePipeline.uniqueMappingFilter(matches),
+          minUnique = 2, minRatio = 0.01)
+        val filtered = if (cascade.isEmpty) matches else cascade
+        val resolved =
+          graft.operators.ProfilePipeline.associationFilter(filtered)
+        val assigned =
+          graft.operators.ProfilePipeline.emAssign(resolved, maxIters = 20)
+        val abund = graft.operators.ProfilePipeline.abundance(assigned)
+        val taxonomy = matches.select(col("ref")).distinct()
+          .withColumn("path", array(
+            struct(lit(0).as("rank"), lit("all").as("node")),
+            struct(lit(1).as("rank"), col("ref").as("node"))))
+        graft.operators.ProfilePipeline.camiReport(
+          graft.operators.ProfilePipeline.rollup(abund, taxonomy)).count()
+        matches.unpersist()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] profile_em_full FAILED: ${e.getMessage}")
+        -1.0
+      }
     }
 
     // --- north-rule scaling evidence ---------------------------------------
@@ -143,10 +186,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
     def r3(x: Double) = math.rint(x * 1000) / 1000
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failedJson,"profile_em_full_sec":${r3(emFullSec)},""" +
         s""""sketch_build":{"turns":$rows,"bloom_items":$bloomItems,""" +
         s""""turns_per_sec_4":${tps4.toLong},"turns_per_sec_16":${tps16.toLong},""" +
         s""""turns_per_sec_8":${tps8.toLong},"turns_per_sec_32":${tps32.toLong},""" +

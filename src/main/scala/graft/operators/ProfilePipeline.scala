@@ -99,18 +99,25 @@ object ProfilePipeline {
     out
   }
 
-  /** C1 — EM reassignment (taxor_profile.cpp:638-741): E-step assigns each
-    * query to argmax(log lik + log prior); M-step re-estimates priors from
-    * assigned weight; stops when the total log-likelihood moves less than
-    * `tol` or after maxIters. Per-iteration driver state is O(|refs|)
-    * doubles, broadcast back as a small map — the matches DataFrame is
-    * cached once and re-filtered, never recomputed from source.
+  /** C1 — EM reassignment, reference-faithful
+    * (taxor_profile.cpp:638-741): per iteration the E-step assigns each
+    * query to argmax(log lik + log prior), the reference's sparsifying rule
+    * ERASES each multi-candidate query's worst-posterior match
+    * (taxor_profile.cpp:714-719) so candidate sets shrink monotonically, and
+    * the M-step re-estimates priors from assigned weight. Stops when the
+    * total log-likelihood improves by less than `tol` (the reference's
+    * signed criterion `diff < |log 1e-4|`, taxor_profile.cpp:725-727) or
+    * after maxIters; erase-worst also forces termination after
+    * max-candidates-per-query iterations.
     *
-    * The default `tol` mirrors the reference's ABSOLUTE criterion
-    * (`|Δll| < |log 1e-4|`, taxor_profile.cpp:725-727). Note it does not
-    * scale with query count — at millions of queries pass a tolerance
-    * proportional to the expected total log-likelihood (e.g.
-    * `1e-4 * nQueries`) or rely on `maxIters`.
+    * Scale shape: per-iteration driver state is O(|refs|) doubles broadcast
+    * back as a tiny map; the E-step is ONE hash aggregation per iteration
+    * (map-side partial, no window sort) producing, per query, both the best
+    * and worst candidate from the same min/max of a (−post, ref) struct —
+    * deterministic ties (best: ref asc, worst: ref desc, so a fully tied
+    * pair never erases its own best). The erase step re-filters the cached
+    * candidate table against the per-query aggregate (both sides already
+    * hash-partitioned by query_id).
     *
     * @return (query_id, ref, weight) final hard assignment.
     */
@@ -120,49 +127,77 @@ object ProfilePipeline {
       tol: Double = math.abs(math.log(1e-4))): DataFrame = {
     val spark = matches.sparkSession
     import spark.implicits._
-    val lik = matches
+    val lik0 = matches
       .withColumn("lik", col("match_cnt") / col("query_n"))
       .select("query_id", "ref", "lik", "query_n")
       .cache()
-    val refs = lik.select("ref").distinct().as[String].collect()
+    val refs = lik0.select("ref").distinct().as[String].collect()
     if (refs.isEmpty) { // empty input: empty assignment, not a div-by-zero
-      lik.unpersist()
-      return lik.select(col("query_id"), col("ref"),
+      lik0.unpersist()
+      return lik0.select(col("query_id"), col("ref"),
         lit(0.0).as("weight")).limit(0)
     }
     var priors = refs.map(_ -> 1.0 / refs.length).toMap
     var lastLl = Double.NegativeInfinity
     var iter = 0
-    var converged = false
-    def assignedFor(pr: Map[String, Double]): DataFrame = {
-      val priorDf = broadcast(pr.toSeq.toDF("ref", "prior"))
-      val scored = lik.join(priorDf, "ref")
-        .withColumn("post", log(col("lik") + 1e-12) + log(col("prior") + 1e-12))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("post").desc, col("ref").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("query_id"), col("ref"),
-          col("query_n").cast("double").as("weight"), col("post"))
-    }
-    var outPriors = priors // priors of the last executed E-step
-    while (iter < maxIters && !converged) {
-      outPriors = priors
-      // single action per iteration: per-ref (weight sum, post sum)
-      val stats = assignedFor(priors).groupBy("ref")
-        .agg(sum("weight").as("wsum"), sum("post").as("psum"))
+    var done = false
+    var cur = lik0
+    var prevCur: DataFrame = null // unpersisted once its successor is live
+    var lastG: DataFrame = null
+    // best/worst from one struct: min = (max post, ref asc); max = (min
+    // post, ref desc) — a fully tied pair never erases its own best
+    val key = struct(negate(col("post")).as("np"), col("ref").as("r"),
+      col("query_n").as("qn"))
+    while (iter < maxIters && !done) {
+      val priorDf = broadcast(priors.toSeq.toDF("ref", "prior"))
+      val scored = cur.join(priorDf, "ref")
+        .withColumn("post",
+          log(col("lik") + 1e-12) + log(col("prior") + 1e-12))
+      val g = scored.groupBy("query_id")
+        .agg(min(key).as("best"), max(key).as("worst"),
+          count(lit(1)).as("n_cand"), sum("post").as("psum"))
+        .cache()
+      // one collect per iteration: per-ref assigned weight + post sums;
+      // ll is the reference's sum of posts over ALL remaining candidates.
+      // This action also populates g's (and cur's) cache.
+      val stats = g.groupBy(col("best.r").as("ref"))
+        .agg(sum(col("best.qn").cast("double")).as("wsum"),
+          sum("psum").as("ps"))
         .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
         .toMap
+      // cur's cache is now populated → its predecessor can go
+      if (prevCur != null && (prevCur ne lik0)) prevCur.unpersist()
       val ll = stats.values.map(_._2).sum
       val total = stats.values.map(_._1).sum
-      priors = refs.map(r => r -> (stats.get(r).map(_._1).getOrElse(0.0) / total)).toMap
-      converged = math.abs(ll - lastLl) < tol
+      done = ll - lastLl < tol || iter + 1 >= maxIters
       lastLl = ll
+      if (lastG != null) lastG.unpersist()
+      lastG = g
+      if (!done) {
+        priors = refs.map(r =>
+          r -> (stats.get(r).map(_._1).getOrElse(0.0) / total)).toMap
+        // erase each multi-candidate query's worst match; both sides are
+        // hash-partitioned by query_id after the aggregation, so this is a
+        // co-partitioned join, not a fresh full shuffle of the candidates
+        val next = scored
+          .join(g.select(col("query_id"), col("worst.r").as("__wref"),
+            col("n_cand")), "query_id")
+          .where(col("n_cand") === 1 || col("ref") =!= col("__wref"))
+          .select("query_id", "ref", "lik", "query_n")
+          .cache()
+        prevCur = cur // still needed until next's cache is populated
+        cur = next
+      }
       iter += 1
     }
-    val out = assignedFor(outPriors).select("query_id", "ref", "weight")
-    lik.unpersist()
-    out
+    // final assignment = last iteration's E-step; lastG stays cached (it is
+    // the only materialization the caller's actions touch — everything
+    // upstream is recomputable from `matches` if evicted)
+    if (prevCur != null && (prevCur ne lik0)) prevCur.unpersist()
+    if (cur ne lik0) cur.unpersist()
+    lik0.unpersist()
+    lastG.select(col("query_id"), col("best.r").as("ref"),
+      col("best.qn").cast("double").as("weight"))
   }
 
   /** A10 — relative abundance per ref from assigned weight (nucleotide-style:

@@ -12,9 +12,13 @@ import java.nio.charset.StandardCharsets
   * atomically-renamed commit record `workDir/_commits/<id>.json` carrying
   * lineage (input files, row count) and sketch-update metrics (rows/sec,
   * wall ms). A killed job re-plans only uncommitted chunks; the final merge
-  * reads committed partials and re-merges — because every sketch merge is
-  * associative, the resumed result is byte-identical to a single-shot run
-  * (proven in CheckpointSpec).
+  * reads committed partials and re-merges. For the order-insensitive
+  * sketches (HLL/Bloom/CMS — commutative idempotent merges) the resumed
+  * result is byte-identical to a single-shot run (proven in CheckpointSpec);
+  * KLL and t-digest merges are order-sensitive in bytes (SURVEY §7.4), so
+  * their resumed result is identical only up to the published rank-error
+  * bound — the chunk grid below fixes the merge ORDER deterministically,
+  * which restores byte identity between any two runs of the same chunking.
   *
   * Reference analogue: the HIXF build's temp hash files surviving across
   * build steps (/root/reference/src/hixf/build/temp_hash_file.cpp:9-97) —
