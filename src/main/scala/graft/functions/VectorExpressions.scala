@@ -44,6 +44,49 @@ object VecOps {
     while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i); i += 1 }
     dot
   }
+
+  /** Cosine of an ArrayData float vector vs a plain float[] (centroid). */
+  def cosineFA(a: ArrayData, b: Array[Float]): Double = {
+    val n = math.min(a.numElements(), b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Indices of the `m` nearest centroids by cosine (desc, tie idx asc).
+    * The centroid matrix is a broadcast-style constant reference in the
+    * generated code — per-row cost is one fused dot-product sweep, no join,
+    * no shuffle (the scale fix for IVF cell assignment). */
+  def nearestCentroids(
+      v: ArrayData, cents: Array[Array[Float]], m: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = cents.length
+    val sims = new Array[Double](n)
+    var c = 0
+    while (c < n) { sims(c) = cosineFA(v, cents(c)); c += 1 }
+    val outLen = math.min(m, n)
+    val out = new Array[Int](outLen)
+    val used = new Array[Boolean](n)
+    var o = 0
+    while (o < outLen) {
+      var best = -1
+      var bs = Double.NegativeInfinity
+      c = 0
+      while (c < n) {
+        if (!used(c) && sims(c) > bs) { bs = sims(c); best = c }
+        c += 1
+      }
+      used(best) = true
+      out(o) = best
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Cosine similarity of two array<float> columns (double result). */
@@ -71,4 +114,24 @@ case class VecDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): VecDot = copy(left = l, right = r)
   override def prettyName: String = "graft_vec_dot"
+}
+
+/** Top-`m` nearest-centroid indices of an array<float> column against a
+  * small constant centroid matrix (driver-collected, referenced as a
+  * constant object in generated code). Replaces the corpus×centroids
+  * crossJoin + per-id Window with a per-row codegen'd sweep. */
+case class NearestCentroids(
+    child: Expression, centroids: Array[Array[Float]], m: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecOps.nearestCentroids(v.asInstanceOf[ArrayData], centroids, m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecOps.nearestCentroids($c, $ref, $m)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroids =
+    copy(child = c)
+  override def prettyName: String = "graft_nearest_centroids"
 }

@@ -25,18 +25,34 @@ object Classify {
   val RelMaxFactor = 0.8 // taxor_search.cpp:278
 
   /** Raw exact match counts, no filters.
-    * Output: (query_id, group, match_cnt, query_n). */
+    * Output: (query_id, group, match_cnt, query_n).
+    *
+    * `maxGroupDf`: skew guard for scale — a shingle present in more than
+    * this many reference groups (a stopword n-gram) multiplies every query
+    * containing it by its group posting list in the join; capping drops it
+    * from BOTH sides (and from query_n), i.e. containment over the
+    * discriminative shingle universe only — a documented approximation.
+    * None (default, used by the byte-equality gates) disables it. */
   def exactCounts(
       corpus: DataFrame, // (group, text)
       queries: DataFrame, // (query_id, text)
       shingleK: Int = 8,
-      seed: Long = DefaultSeed): DataFrame = {
-    val groupSh = corpus
+      seed: Long = DefaultSeed,
+      maxGroupDf: Option[Long] = None): DataFrame = {
+    val groupSh0 = corpus
       .select(col("group"), explode(shingles(col("text"), shingleK, seed = seed)).as("h"))
       .distinct()
-    val querySh = queries
+    val querySh0 = queries
       .select(col("query_id"), explode(shingles(col("text"), shingleK, seed = seed)).as("h"))
       .distinct()
+    val (groupSh, querySh) = maxGroupDf match {
+      case Some(cap) =>
+        val hot = groupSh0.groupBy("h").agg(count(lit(1)).as("__df"))
+          .where(col("__df") > cap).select("h")
+        (groupSh0.join(hot, Seq("h"), "left_anti"),
+          querySh0.join(hot, Seq("h"), "left_anti"))
+      case None => (groupSh0, querySh0)
+    }
     val queryN = querySh.groupBy("query_id").agg(count(lit(1)).as("query_n"))
     querySh.join(groupSh, "h")
       .groupBy("query_id", "group")

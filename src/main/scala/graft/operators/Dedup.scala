@@ -105,16 +105,32 @@ object Dedup {
   /** Exact n-gram Jaccard over ALL pairs (quadratic; the small-scale oracle
     * the approximate paths are judged against — and itself a useful operator
     * at moderate group sizes after blocking). Implemented with an inverted
-    * shingle→doc join so only co-occurring pairs materialize. */
+    * shingle→doc join so only co-occurring pairs materialize.
+    *
+    * `maxShingleDf`: skew guard for scale — a shingle appearing in more than
+    * this many documents (a stopword n-gram) would blow up one join key
+    * quadratically; capping drops it from EVERY document's shingle set
+    * before per-doc sizes are counted, so the result is the EXACT Jaccard
+    * over the capped shingle universe (a documented approximation of the
+    * uncapped Jaccard — high-DF shingles carry no near-dup signal anyway).
+    * None (the default, used by the byte-equality gates) disables it. */
   def exactJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleK: Int = 8,
       threshold: Double = 0.5,
-      seed: Long = DefaultSeed): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+      seed: Long = DefaultSeed,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val sh0 = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), shingleK, seed = seed)).as("h"))
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        val hot = sh0.groupBy("h").agg(count(lit(1)).as("__df"))
+          .where(col("__df") > cap).select("h")
+        sh0.join(hot, Seq("h"), "left_anti")
+      case None => sh0
+    }
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))

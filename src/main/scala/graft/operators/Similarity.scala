@@ -65,44 +65,38 @@ object Similarity {
 
   /** IVF (inverted-file) approximate top-k — the other standard ANN scale
     * path: a small deterministic centroid set partitions the corpus into
-    * cells (one broadcast pass, no shuffle of vectors beyond the cell key);
-    * each query probes its `nProbe` nearest cells and re-ranks exactly
-    * inside them. Centroids are a deterministic 1-in-stride sample (a
-    * k-means refinement would slot in here without changing the plan).
-    */
+    * cells; each query probes its `nProbe` nearest cells and re-ranks
+    * exactly inside them.
+    *
+    * Scale shape: centroids are the nCentroids smallest-hash corpus rows —
+    * a global top-N (TakeOrderedAndProject: per-partition top-N, tiny
+    * shuffle, no count() pre-pass) collected to the driver (<= nCentroids
+    * vectors). Cell assignment is then one codegen'd per-row sweep against
+    * the constant centroid matrix — the corpus is NEVER shuffled or
+    * crossJoined for assignment; the probe side is broadcast. The only
+    * candidate shuffle is the final per-query top-k (WindowGroupLimit).
+    * (A k-means refinement of the centroid seed would slot in without
+    * changing the plan.) */
   def ivfTopK(
       corpus: DataFrame, // (id, vec)
       queries: DataFrame, // (qid, qvec)
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    // deterministic hash-sample of ~2x nCentroids candidates, no global
-    // sort (a Window over the whole corpus would funnel every row through
-    // one task); limit() on the tiny candidate set is cheap
-    val n = math.max(1L, corpus.count())
-    val keepOneIn = math.max(1L, n / (2L * nCentroids))
-    val centroids = corpus
-      .where(pmod(xxhash64(col("id")), lit(keepOneIn)) === 0)
-      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val spark = corpus.sparkSession
+    val cents: Seq[Seq[Float]] = corpus
+      .select(col("vec"), xxhash64(col("id")).as("__h"), col("id"))
+      .orderBy(col("__h"), col("id"))
       .limit(nCentroids)
-    // assign every corpus vector to its nearest centroid (n x C cosines)
-    val wAssign = Window.partitionBy("id")
-      .orderBy(col("csim").desc, col("cid").asc)
-    val cells = corpus.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("vec"), col("cvec")))
-      .withColumn("__r", row_number().over(wAssign))
-      .where(col("__r") === 1)
-      .select(col("cid"), col("id"), col("vec"))
-    // queries probe their nProbe nearest cells
-    val wProbe = Window.partitionBy("qid")
-      .orderBy(col("csim").desc, col("cid").asc)
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("qvec"), col("cvec")))
-      .withColumn("__r", row_number().over(wProbe))
-      .where(col("__r") <= nProbe)
-      .select(col("qid"), col("qvec"), col("cid"))
+      .select("vec").collect().toSeq
+      .map(_.getSeq[Float](0).toSeq)
+    val centsLit = typedLit(cents)
+    val cells = corpus.withColumn("cid",
+      element_at(nearest_centroids(col("vec"), centsLit, 1), 1))
+    val probes = queries.withColumn("cid",
+      explode(nearest_centroids(col("qvec"), centsLit, nProbe)))
     val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
-    probes.join(cells, "cid")
+    cells.join(broadcast(probes), "cid")
       .where(col("id") =!= col("qid"))
       .withColumn("sim", cosine(col("vec"), col("qvec")))
       .withColumn("rank", row_number().over(wRank))

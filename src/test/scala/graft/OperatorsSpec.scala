@@ -180,6 +180,56 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected assignment: $byRef")
   }
 
+  test("em erase-worst changes the round-2 assignment (reference semantics)") {
+    // Hand-run of taxor_profile.cpp:714-719. q3 is split A:0.5 / B:0.6;
+    // q1,q2 are unique to A, so after iteration 1 the priors are A=2/3,
+    // B=1/3. Iteration 1 (uniform priors) erases q3's worst match, A
+    // (post_A = log.5+log.5 < post_B = log.6+log.5), so iteration 2 keeps
+    // q3 on B. WITHOUT erase the shifted priors would flip q3 to A in
+    // round 2: post_A = log.5+log(2/3) = -1.10 > post_B = log.6+log(1/3)
+    // = -1.61 — exactly the divergence the reference's erase prevents.
+    val m = Seq(
+      ("q1", "A", 10L, 10L),
+      ("q2", "A", 10L, 10L),
+      ("q3", "A", 5L, 10L),
+      ("q3", "B", 6L, 10L)
+    ).toDF("query_id", "ref", "match_cnt", "query_n")
+    val got = ProfilePipeline.emAssign(m, maxIters = 5)
+      .select("query_id", "ref").as[(String, String)].collect().toMap
+    assert(got("q3") == "B", s"erase-worst must keep q3 on B: $got")
+    assert(got("q1") == "A" && got("q2") == "A")
+  }
+
+  test("hot-shingle df cap drops stopword-only pairs, keeps true dups") {
+    // every doc shares one planted hot 8-gram block; only 0/1 are real dups
+    val hot = "ZZZZZZZZZZZZZZZZ " // 16 Z's: a run of hot 8-grams
+    val d = Seq(
+      (0L, hot + "alpha beta gamma delta epsilon zeta " * 5),
+      (1L, hot + "alpha beta gamma delta epsilon zeta " * 5),
+      (2L, hot + "completely different unrelated one " * 5),
+      (3L, hot + "another text about something else " * 5)
+    ).toDF("doc_id", "text")
+    def pairs(cap: Option[Long]) =
+      Dedup.exactJaccardPairs(d, "doc_id", "text", threshold = 0.001,
+          maxShingleDf = cap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = pairs(None)
+    assert(uncapped.contains((2L, 3L)),
+      "hot shingle should pair unrelated docs when uncapped")
+    val capped = pairs(Some(2L))
+    assert(!capped.contains((2L, 3L)), s"cap must kill stopword pair: $capped")
+    assert(capped.contains((0L, 1L)), "true dup must survive the cap")
+    // classify analogue: a query of ONLY the hot block matches no group
+    // once the cap removes non-discriminative shingles
+    val corpus = d.select(concat(lit("g"), col("doc_id")).as("group"),
+      col("text"))
+    val q = Seq((99L, hot + hot)).toDF("query_id", "text")
+    val capCnt = Classify.exactCounts(corpus, q, maxGroupDf = Some(2L))
+    assert(capCnt.where(col("match_cnt") > 0).count() == 0)
+    assert(Classify.exactCounts(corpus, q)
+      .where(col("match_cnt") > 0).count() > 0)
+  }
+
   test("abundance + rollup + cami report") {
     val assigned = Seq(("q1", "A", 10.0), ("q2", "A", 10.0), ("q3", "B", 20.0))
       .toDF("query_id", "ref", "weight")

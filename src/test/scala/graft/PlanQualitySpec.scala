@@ -47,4 +47,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
     assert(p.contains("partial_graft_hll_agg") || p.contains("partial_"), p)
   }
+
+  test("ivf cell assignment is shuffle-free (one exchange total: top-k)") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = emb.where(pmod(col("vec_id"), lit(25)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val p = graft.operators.Similarity.ivfTopK(corpus, qs, 5, 8, 2)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the corpus is never shuffled for assignment: nearest_centroids is a
+    // per-row codegen'd sweep; the ONLY shuffle is the final per-query
+    // top-k window, and the probe side is broadcast
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("""\(\d+\) Window\s""".r.findAllIn(p).size == 1, p)
+    assert(p.contains("graft_nearest_centroids"), p)
+  }
 }
