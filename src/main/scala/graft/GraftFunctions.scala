@@ -56,6 +56,10 @@ object GraftFunctions {
       MinimizerHashes(es.head, intArg(es(1), "k"), intArg(es(2), "w"),
         longArg(es(3), "seed"))
     },
+    "graft_syncmers" -> { es =>
+      SyncmerHashes(es.head, intArg(es(1), "k"), intArg(es(2), "s"),
+        intArg(es(3), "t"), longArg(es(4), "seed"))
+    },
     "graft_token_count" -> { es => TokenCount(es.head) },
     "graft_fingerprint" -> { es => Fingerprint(es.head) },
     "graft_minhash" -> { es =>
@@ -148,6 +152,11 @@ object GraftFunctions {
 
   def minimizers(c: Column, k: Int, w: Int, seed: Long = DefaultSeed): Column =
     call_function("graft_minimizers", c, lit(k), lit(w), lit(seed))
+  /** Open-syncmer k-gram hashes: keep a k-gram iff its minimal s-gram hash
+    * sits at offset t (the reference's default tokenizer mode). */
+  def syncmers(c: Column, k: Int, s: Int, t: Int,
+      seed: Long = DefaultSeed): Column =
+    call_function("graft_syncmers", c, lit(k), lit(s), lit(t), lit(seed))
 
   def token_count(c: Column): Column = call_function("graft_token_count", c)
   def fingerprint(c: Column): Column = call_function("graft_fingerprint", c)

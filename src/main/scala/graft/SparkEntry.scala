@@ -510,6 +510,21 @@ object SparkEntry {
             col("n_min") <= col("n_positions")).as("density_ok"))
         .orderBy("doc_id")
     },
+    // S8: open-syncmer down-selection (the reference's default tokenizer) —
+    // sanity density bounds per document: expected density 1/(k-s+1) = 1/5
+    // at (k=8, s=4, t=2); gate allows 8x slack below and never exceeds the
+    // number of k-gram positions.
+    "syncmer_density" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (length(col("text")) - 7).cast("long").as("n_positions"),
+          size(syncmers(col("text"), 8, 4, 2)).cast("long").as("n_sync"))
+        .select(col("doc_id"), col("n_positions"),
+          (col("n_sync") <= col("n_positions") &&
+            col("n_sync") >= col("n_positions") / 40).as("density_ok"))
+        .orderBy("doc_id")
+    },
     // C1 E-step under the oracle gate: EM limited to one iteration with
     // uniform priors == per-query argmax of likelihood (tie: ref asc).
     "profile_em_argmax" -> { (s, dir) =>
@@ -772,6 +787,9 @@ object SparkEntry {
          SELECT source, count(*) AS exact_distinct, true AS within_bound
          FROM sh GROUP BY 1 ORDER BY 1""",
     "minimizer_density" ->
+      """SELECT doc_id, CAST(length(text) - 7 AS BIGINT) AS n_positions,
+         true AS density_ok FROM documents ORDER BY doc_id""",
+    "syncmer_density" ->
       """SELECT doc_id, CAST(length(text) - 7 AS BIGINT) AS n_positions,
          true AS density_ok FROM documents ORDER BY doc_id""",
     "profile_em_argmax" ->

@@ -71,6 +71,21 @@ case class MinimizerHashes(child: Expression, k: Int, w: Int, seed: Long)
   override def prettyName: String = "graft_minimizers"
 }
 
+/** Open-syncmer k-gram hashes (s-gram minimum at offset t); see
+  * TextOps.syncmerHashes. */
+case class SyncmerHashes(child: Expression, k: Int, s: Int, t: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextOps.syncmerHashes(v.asInstanceOf[UTF8String], k, s, t, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextOps.syncmerHashes($c, $k, $s, $t, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): SyncmerHashes =
+    copy(child = c)
+  override def prettyName: String = "graft_syncmers"
+}
+
 case class TokenCount(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType

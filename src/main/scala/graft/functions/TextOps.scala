@@ -97,6 +97,51 @@ object TextOps {
     new GenericArrayData(sortedDistinct(out, cnt))
   }
 
+  /** Open-syncmer scheme — the reference's PRIMARY tokenizer
+    * (/root/reference/src/hashing/syncmer.cpp:80-165, default-on in
+    * taxor_build.cpp:370,510), re-derived for text: a k-gram starting at
+    * position i is kept iff the minimum s-gram hash among its k-s+1 s-grams
+    * sits exactly at offset `t` (0-based). Unlike minimizers this is a
+    * PER-KMER predicate (context-free), which is what makes the syncmer set
+    * mutation-robust. Text differences from the DNA reference, documented:
+    * byte k-grams instead of 2-bit packed nucleotides, no reverse-complement
+    * canonicalization, and ties pick the LEFTMOST minimal s-gram (the
+    * reference is leftmost on the initial window scan and rightmost after a
+    * deque pop — an implementation quirk we do not reproduce).
+    * Expected density ~1/(k-s+1). Output: distinct k-gram hashes.
+    */
+  def syncmerHashes(
+      str: UTF8String, k: Int, s: Int, t: Int, seed: Long): ArrayData = {
+    require(s > 0 && s < k, s"syncmer needs 0 < s < k, got s=$s k=$k")
+    require(t >= 0 && t <= k - s, s"offset t must be in [0, k-s], got $t")
+    val bytes = str.getBytes
+    val nK = bytes.length - k + 1
+    if (nK <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val nS = bytes.length - s + 1
+    val sh = new Array[Long](nS)
+    var i = 0
+    while (i < nS) { sh(i) = hashWindow(bytes, i, s, seed); i += 1 }
+    val w = k - s + 1 // s-grams per k-gram
+    // monotone deque over s-gram hashes; STRICT pop (>) keeps the earlier
+    // of tied values at the front → leftmost minimum per window
+    val dq = new Array[Int](nS)
+    var head = 0; var tail = 0 // [head, tail)
+    val out = new Array[Long](nK)
+    var cnt = 0
+    i = 0
+    while (i < nS) {
+      while (tail > head && sh(dq(tail - 1)) > sh(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      val winStart = i - w + 1 // k-gram start for the window ending at i
+      if (dq(head) < winStart) head += 1
+      if (winStart >= 0 && dq(head) == winStart + t) {
+        out(cnt) = hashWindow(bytes, winStart, k, seed); cnt += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sortedDistinct(out, cnt))
+  }
+
   /** Count of whitespace-delimited tokens (cheap token counting). */
   def tokenCount(s: UTF8String): Long = {
     val bytes = s.getBytes

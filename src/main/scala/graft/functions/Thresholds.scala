@@ -80,6 +80,48 @@ object Thresholds {
     math.max(0L, math.floor(cLow * nScaled).toLong)
   }
 
+  /** SF9 — the reference's empirical open-syncmer matching-ratio table
+    * (/root/reference/src/hixf/search/syncmer_model.hpp:14-50, data
+    * constants reproduced verbatim with the same indexing): rows are read
+    * accuracies 80%..100% in 1% steps, columns are even k-mer sizes
+    * 12,14,...,30. Cell = minimal fraction of a read's syncmers expected to
+    * survive at that error rate. */
+  private val SyncmerMatchingRatios: Array[Array[Double]] = Array(
+    Array(0.552077, 0.195989, 0.151428, 0.118475, 0.0946177, 0.0797244, 0.0604658, 0.0480255, 0.0367569, 0.0252911),
+    Array(0.552385, 0.207533, 0.161204, 0.127368, 0.103704, 0.0881939, 0.0689396, 0.0556991, 0.044185, 0.0298818),
+    Array(0.552239, 0.220393, 0.17382, 0.139866, 0.113736, 0.0966358, 0.0783558, 0.0639223, 0.0523452, 0.0389549),
+    Array(0.552682, 0.236329, 0.188152, 0.152267, 0.126191, 0.106106, 0.0876917, 0.0730642, 0.0621864, 0.0489249),
+    Array(0.553172, 0.254091, 0.202686, 0.165344, 0.137087, 0.116649, 0.098822, 0.0831266, 0.0703342, 0.0582562),
+    Array(0.553716, 0.271183, 0.219848, 0.181959, 0.152163, 0.130048, 0.110622, 0.0942414, 0.0810792, 0.0688187),
+    Array(0.554532, 0.292154, 0.240059, 0.199738, 0.168952, 0.144956, 0.122726, 0.105878, 0.0940805, 0.0777557),
+    Array(0.557957, 0.313553, 0.260912, 0.220014, 0.186567, 0.16101, 0.137399, 0.119867, 0.10453, 0.0900014),
+    Array(0.563925, 0.338316, 0.283689, 0.2401, 0.206963, 0.179541, 0.155347, 0.135128, 0.121575, 0.104741),
+    Array(0.568519, 0.364594, 0.310373, 0.267578, 0.231083, 0.20088, 0.174376, 0.153111, 0.139339, 0.120042),
+    Array(0.579726, 0.395595, 0.338947, 0.295287, 0.258713, 0.22876, 0.200759, 0.175309, 0.161306, 0.139616),
+    Array(0.599258, 0.430241, 0.371291, 0.325596, 0.289651, 0.257329, 0.228011, 0.201799, 0.186956, 0.164794),
+    Array(0.611572, 0.468953, 0.410482, 0.363923, 0.325828, 0.293046, 0.26167, 0.235216, 0.216716, 0.192162),
+    Array(0.624341, 0.510411, 0.452122, 0.407016, 0.370022, 0.334601, 0.303413, 0.275232, 0.254563, 0.227871),
+    Array(0.655724, 0.555245, 0.498564, 0.453201, 0.416285, 0.381883, 0.352291, 0.322556, 0.299739, 0.271481),
+    Array(0.694872, 0.608367, 0.552085, 0.509395, 0.471692, 0.437803, 0.405938, 0.377117, 0.354352, 0.325132),
+    Array(0.742071, 0.669034, 0.613738, 0.57366, 0.539215, 0.50832, 0.476855, 0.449152, 0.42683, 0.397277),
+    Array(0.795543, 0.733694, 0.68341, 0.647737, 0.617382, 0.588448, 0.56083, 0.533714, 0.514757, 0.486399),
+    Array(0.853121, 0.802585, 0.763169, 0.733734, 0.708902, 0.684331, 0.660171, 0.637633, 0.621567, 0.596993),
+    Array(0.918163, 0.882314, 0.854479, 0.835831, 0.819643, 0.804269, 0.788526, 0.771895, 0.763059, 0.742114),
+    Array(1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0))
+
+  /** SF9 lookup, same indexing as the reference
+    * (syncmer_model.hpp:38-50): row = ceil((1-e)*100 - 80),
+    * col = k - 10 - (k-10)/2 - 1; k must be even in [12, 30], e in [0, 0.2]. */
+  def syncmerMatchRatio(kmerSize: Int, errorRate: Double): Double = {
+    require(kmerSize % 2 == 0 && kmerSize >= 12 && kmerSize <= 30,
+      s"syncmer table needs even k in [12,30], got $kmerSize")
+    require(errorRate >= 0 && errorRate <= 0.2,
+      s"syncmer table needs error rate in [0,0.2], got $errorRate")
+    val row = math.ceil((1.0 - errorRate) * 100.0 - 80.0).toInt
+    val col = kmerSize - 10 - (kmerSize - 10) / 2 - 1
+    SyncmerMatchingRatios(row)(col)
+  }
+
   /** Fixed-percentage threshold (the reference's default mode). */
   def percentage(n: Long, fraction: Double): Long =
     math.max(1L, math.ceil(n * fraction).toLong)
@@ -94,17 +136,26 @@ object Thresholds {
       extends Mode
   case class FracMinHashCI(k: Int, errorRate: Double, scale: Long,
       confidence: Double = 0.95) extends Mode
+  /** SF10's 4th branch (threshold.hpp:57-61): empirical table lookup. */
+  case class SyncmerTable(k: Int, errorRate: Double) extends Mode
 
   /** SF10 dispatcher: minimum matches required for `n` query hashes, where
     * `n` is always the number of hashes actually probed (for FracMinHashCI
     * that is the observed downsampled count — the fp correction then
-    * applies to the same probe count, as in taxor_search.cpp:262). */
-  def minMatches(n: Long, mode: Mode, sketchFpr: Double = 0.0): Long = {
-    val base = mode match {
-      case Percentage(f) => percentage(n, f)
-      case KmerCI(k, e, c) => kmerLowerBound(n, k, e, c)
-      case FracMinHashCI(k, e, s, c) => fracMinHashLowerBound(n, k, e, s, c)
+    * applies to the same probe count, as in taxor_search.cpp:262). The
+    * syncmer branch applies NO fp correction and truncates — exactly the
+    * reference's `count * ratio` cast (threshold.hpp:57-61). */
+  def minMatches(n: Long, mode: Mode, sketchFpr: Double = 0.0): Long =
+    mode match {
+      case SyncmerTable(k, e) => (n * syncmerMatchRatio(k, e)).toLong
+      case other =>
+        val base = other match {
+          case Percentage(f) => percentage(n, f)
+          case KmerCI(k, e, c) => kmerLowerBound(n, k, e, c)
+          case FracMinHashCI(k, e, s, c) =>
+            fracMinHashLowerBound(n, k, e, s, c)
+          case _: SyncmerTable => 0L // unreachable
+        }
+        base + (if (sketchFpr > 0) fpCorrection(n, sketchFpr) else 0L)
     }
-    base + (if (sketchFpr > 0) fpCorrection(n, sketchFpr) else 0L)
-  }
 }

@@ -240,13 +240,71 @@ object ProfilePipeline {
     val rows = report.collect().map { r =>
       s"${r.get(0)}\t${r.getString(1)}\t${r.getString(2)}"
     }
-    val header = Seq(s"@SampleID:$sampleId", "@Version:0.9.1",
-      "@@RANK\tNODE\tPERCENTAGE")
+    writeLocal(report, path, Seq(s"@SampleID:$sampleId", "@Version:0.9.1",
+      "@@RANK\tNODE\tPERCENTAGE") ++ rows)
+  }
+
+  /** The reference's fixed CAMI rank order (profile_output.hpp:30,56). */
+  val CamiRanks: Seq[String] = Seq("superkingdom", "phylum", "class",
+    "order", "family", "genus", "species")
+
+  /** The reference's `format(f, 6)` — C++ ostream default float notation at
+    * precision 6: six significant digits, trailing zeros stripped
+    * (profile_output.hpp:18-23). */
+  private[operators] def sig6(x: Double): String = {
+    val bd = new java.math.BigDecimal(x)
+      .round(new java.math.MathContext(6)).stripTrailingZeros
+    bd.toPlainString
+  }
+
+  private def writeLocal(df: DataFrame, path: String, lines: Seq[String]): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-      report.sparkSession.sparkContext.hadoopConfiguration)
+      df.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
-    out.write((header ++ rows).mkString("", "\n", "\n")
+    out.write(lines.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
+  }
+
+  /** IO9 — CAMI sequence-abundance file (profile_output.hpp:51-77):
+    * `@Ranks` header, an `unclassified\tno rank\t-\t-\t<pct>` first row
+    * when present, then per-rank rows above `threshold` in the reference's
+    * fixed rank order, taxid-ascending within a rank (its std::map order).
+    * `report` columns: (taxid, rank, taxpath, taxpathsn, pct in [0,1]). */
+  def writeSequenceAbundance(
+      report: DataFrame,
+      path: String,
+      sampleId: String,
+      threshold: Double = 0.0,
+      unclassifiedPct: Option[Double] = None,
+      ranks: Seq[String] = CamiRanks): Unit = {
+    val rows = report.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getString(3), r.getDouble(4)))
+    val body = ranks.flatMap { tr =>
+      rows.filter(r => r._2 == tr && r._5 > threshold).sortBy(_._1)
+        .map(r => s"${r._1}\t${r._2}\t${r._3}\t${r._4}\t${sig6(r._5 * 100)}")
+    }
+    val uncls = unclassifiedPct.toSeq.map(p =>
+      s"unclassified\tno rank\t-\t-\t${sig6(p * 100)}")
+    writeLocal(report, path, Seq(
+      s"@SampleID:$sampleId", "@Version:0.10.0",
+      s"@Ranks:${ranks.mkString("|")}",
+      "@@TAXID\tRANK\tTAXPATH\tTAXPATHSN\tPERCENTAGE") ++ uncls ++ body)
+  }
+
+  /** IO9 — CAMI binning file (profile_output.hpp:79-98): one
+    * `SEQUENCEID\tTAXID` row per query, `-` for unmatched, query-id
+    * ascending (the reference's std::map order). `binning` columns:
+    * (query_id, taxid nullable). Collected to the driver: one row per
+    * query — for bulk binning at scale use writeSearchResults-style
+    * distributed TSV instead; this sink mirrors the reference's single
+    * CAMI submission file. */
+  def writeBinning(binning: DataFrame, path: String, sampleId: String): Unit = {
+    val rows = binning.collect()
+      .map(r => (r.get(0).toString, Option(r.getString(1)).getOrElse("-")))
+      .sortBy(_._1)
+      .map { case (q, t) => s"$q\t$t" }
+    writeLocal(binning, path, Seq(s"@SampleID:$sampleId", "@Version:0.10.0",
+      "@@SEQUENCEID\tTAXID") ++ rows)
   }
 }

@@ -271,6 +271,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L).forall(_ == 0))
   }
 
+  test("syncmers partition the shingle set across offsets t (context-free)") {
+    import graft.GraftFunctions._
+    GraftFunctions.register(spark)
+    val txt = "the quick brown fox jumps over a lazy dog 0123456789 qwerty"
+    val df = Seq(Tuple1(txt)).toDF("text")
+    val all = df.select(explode(shingles(col("text"), 8)).as("h"))
+      .as[Long].collect().toSet
+    // the open-syncmer predicate depends only on the k-gram's own bytes, so
+    // each distinct k-gram lands at EXACTLY one offset t: the per-t sets are
+    // disjoint and their union is the full shingle set
+    val perT = (0 to 4).map { t =>
+      df.select(explode(syncmers(col("text"), 8, 4, t)).as("h"))
+        .as[Long].collect().toSet
+    }
+    perT.foreach(s => assert(s.subsetOf(all)))
+    assert(perT.reduce(_ ++ _) == all)
+    assert(perT.map(_.size).sum == all.size, "offset sets must be disjoint")
+  }
+
   test("token count handles whitespace edge cases") {
     val got = Seq(("", 0L), ("  ", 0L), ("a", 1L), (" a  b\tc\nd ", 4L))
       .toDF("text", "expected")

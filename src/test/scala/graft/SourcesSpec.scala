@@ -60,6 +60,44 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(lines.get(3) == "0\tall\t100.000000")
   }
 
+  test("cami sequence-abundance file: @Ranks header, unclassified row, " +
+      "6-sig-digit pct (golden)") {
+    val report = Seq(
+      ("t2", "species", "1;2;t2", "root;g;sp2", 0.5),
+      ("t1", "species", "1;2;t1", "root;g;sp1", 1.0 / 3.0),
+      ("t9", "genus", "1;t9", "root;g", 5e-9), // below threshold → dropped
+      ("t3", "phylum", "1;t3", "root;p", 0.12345678))
+      .toDF("taxid", "rank", "taxpath", "taxpathsn", "pct")
+    val tmp = Files.createTempDirectory("graft-cami2")
+    val path = s"$tmp/seq_abund.cami"
+    ProfilePipeline.writeSequenceAbundance(report, path, "s2",
+      threshold = 1e-6, unclassifiedPct = Some(0.25))
+    val got = Files.readAllLines(java.nio.file.Paths.get(path))
+    val want = Seq(
+      "@SampleID:s2",
+      "@Version:0.10.0",
+      "@Ranks:superkingdom|phylum|class|order|family|genus|species",
+      "@@TAXID\tRANK\tTAXPATH\tTAXPATHSN\tPERCENTAGE",
+      "unclassified\tno rank\t-\t-\t25",
+      "t3\tphylum\t1;t3\troot;p\t12.3457", // 6 significant digits
+      "t1\tspecies\t1;2;t1\troot;g;sp1\t33.3333", // taxid asc within rank
+      "t2\tspecies\t1;2;t2\troot;g;sp2\t50")
+    assert(got.toArray.toSeq == want, got)
+  }
+
+  test("cami binning file: '-' for unmatched, query order (golden)") {
+    val binning = Seq(("read3", "t7"), ("read1", null), ("read2", "t1"))
+      .toDF("query_id", "taxid")
+    val tmp = Files.createTempDirectory("graft-cami3")
+    val path = s"$tmp/binning.cami"
+    ProfilePipeline.writeBinning(binning, path, "s3")
+    val got = Files.readAllLines(java.nio.file.Paths.get(path))
+    val want = Seq(
+      "@SampleID:s3", "@Version:0.10.0", "@@SEQUENCEID\tTAXID",
+      "read1\t-", "read2\tt1", "read3\tt7")
+    assert(got.toArray.toSeq == want, got)
+  }
+
   test("sketch table save/load round-trips data and manifest") {
     val df = Seq(("user", Array[Byte](1, 2, 3))).toDF("role", "hll")
     val tmp = Files.createTempDirectory("graft-st").toString

@@ -57,6 +57,23 @@ class ThresholdsSpec extends AnyFunSuite {
       s"kmer=$kmer fm=$fm")
   }
 
+  test("syncmer table parity with the reference at sampled (k, error) points") {
+    // indexing identical to syncmer_model.hpp:38-50:
+    // row = ceil((1-e)*100 - 80); col = k-10-(k-10)/2-1
+    assert(Thresholds.syncmerMatchRatio(12, 0.0) == 1.0) // row 20, col 0
+    assert(Thresholds.syncmerMatchRatio(12, 0.2) == 0.552077) // row 0, col 0
+    assert(Thresholds.syncmerMatchRatio(30, 0.1) == 0.139616) // row 10, col 9
+    assert(Thresholds.syncmerMatchRatio(16, 0.05) == 0.552085) // row 15, col 2
+    assert(Thresholds.syncmerMatchRatio(20, 0.12) == 0.206963) // row 8, col 4
+    // dispatcher: truncating count*ratio, NO fp correction in this branch
+    // (threshold.hpp:57-61 returns before the correction applies)
+    assert(Thresholds.minMatches(100, Thresholds.SyncmerTable(12, 0.1)) == 57)
+    assert(Thresholds.minMatches(100, Thresholds.SyncmerTable(12, 0.1),
+      sketchFpr = 0.0039) == 57)
+    intercept[IllegalArgumentException](Thresholds.syncmerMatchRatio(13, 0.1))
+    intercept[IllegalArgumentException](Thresholds.syncmerMatchRatio(12, 0.3))
+  }
+
   test("kmer variance matches the published closed form at a spot value") {
     // n=1000, k=8, r=0.05: direct evaluation of the reference formula
     val q = 1.0 - math.pow(0.95, 8)
