@@ -2,7 +2,7 @@ package graft.jobs
 
 import graft.GraftFunctions
 import graft.GraftFunctions._
-import graft.sources.{SketchCheckpoint, Transcripts}
+import graft.sources.{SketchCheckpoint, Timing, Transcripts}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -69,14 +69,21 @@ object BuildTranscriptSketches {
       Transcripts.generate(spark, n).write.mode("overwrite").parquet(dir)
       dir
     } else input
+    val timer = new Timing.PhaseTimer
     val t0 = System.nanoTime()
-    val out = SketchCheckpoint.buildOrResume(
-      spark, inputDir, workDir, keys = Seq("role"),
-      partialAggs = partialAggs, mergeAggs = mergeAggs,
-      filesPerChunk = filesPerChunk)
-    val groups = out.count()
+    val out = timer.time("Build") {
+      SketchCheckpoint.buildOrResume(
+        spark, inputDir, workDir, keys = Seq("role"),
+        partialAggs = partialAggs, mergeAggs = mergeAggs,
+        filesPerChunk = filesPerChunk)
+    }
+    val groups = timer.time("Merge read")(out.count())
     val secs = (System.nanoTime() - t0) / 1e9
-    println(s"""{"groups":$groups,"seconds":$secs,"workDir":"$workDir"}""")
+    // IO10 — reference-style `<out>.time` + CPU/peak-RSS report
+    Timing.writeTimeFile(spark, s"$workDir/sketches", timer.phases)
+    val (cpu, rss) = Timing.cpuAndPeakRss()
+    println(s"""{"groups":$groups,"seconds":$secs,"workDir":"$workDir",""" +
+      s""""cpu_sec":$cpu,"peak_rss_mb":$rss}""")
     spark.stop()
   }
 }

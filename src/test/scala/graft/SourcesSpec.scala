@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Classify, ProfilePipeline}
-import graft.sources.{SketchTable, Tsv}
+import graft.sources.{SketchTable, Timing, Tsv}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -96,6 +96,21 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
       "@SampleID:s3", "@Version:0.10.0", "@@SEQUENCEID\tTAXID",
       "read1\t-", "read2\tt1", "read3\tt7")
     assert(got.toArray.toSeq == want, got)
+  }
+
+  test("time-file sink: reference header/precision shape (golden)") {
+    val timer = new Timing.PhaseTimer
+    timer.add("Index I/O", 1.234)
+    timer.add("Reads I/O", 0.5)
+    timer.add("Compute", 10.0)
+    timer.add("Index I/O", 0.766) // re-entry accumulates
+    val tmp = Files.createTempDirectory("graft-time")
+    Timing.writeTimeFile(spark, s"$tmp/search_out", timer.phases)
+    val got = Files.readAllLines(java.nio.file.Paths.get(s"$tmp/search_out.time"))
+    assert(got.get(0) == "Index I/O\tReads I/O\tCompute")
+    assert(got.get(1) == "2.00\t0.50\t10.00")
+    val (cpu, rss) = Timing.cpuAndPeakRss()
+    assert(cpu > 0 && rss > 0)
   }
 
   test("sketch table save/load round-trips data and manifest") {
