@@ -51,10 +51,13 @@ object Similarity {
     val qb = queries
       .select(col("qid"), col("qvec"),
         explode(srp_buckets(col("qvec"), tables, bits, seed)).as("bucket"))
+    // dedupe multi-table collisions on the (qid, id) KEY only — a distinct
+    // over the vector columns would shuffle the full embeddings as hash
+    // keys; first() keeps them as combiner values (any copy is identical)
     val candidates = cb.join(qb, Seq("bucket"))
       .where(col("id") =!= col("qid"))
-      .select("qid", "qvec", "id", "vec")
-      .distinct()
+      .groupBy("qid", "id")
+      .agg(first(col("vec")).as("vec"), first(col("qvec")).as("qvec"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
     candidates
       .withColumn("sim", cosine(col("vec"), col("qvec")))
@@ -104,6 +107,73 @@ object Similarity {
       .select("qid", "rank", "id", "sim")
   }
 
+  /** Persisted IVF index — build once, probe many (the posture a 100 TB
+    * corpus actually needs: assignment cost is paid at build; a probe
+    * touches only its nProbe cells).
+    *
+    * Layout: `<dir>/data` parquet PARTITIONED BY cell id + a manifest
+    * (SketchTable-style) carrying the centroid matrix. A probe computes its
+    * nProbe cells driver-side from the manifest centroids (tiny), so the
+    * scan arrives with a `cid IN (...)` partition filter — Spark prunes to
+    * nProbe/nCentroids of the files before reading a byte. */
+  object IvfIndex {
+    private def pickCentroids(
+        corpus: DataFrame, nCentroids: Int): Seq[Seq[Float]] =
+      corpus.select(col("vec"), xxhash64(col("id")).as("__h"), col("id"))
+        .orderBy(col("__h"), col("id"))
+        .limit(nCentroids)
+        .select("vec").collect().toSeq
+        .map(_.getSeq[Float](0).toSeq)
+
+    def build(corpus: DataFrame, dir: String, nCentroids: Int = 32): Unit = {
+      val cents = pickCentroids(corpus, nCentroids)
+      val cells = corpus.withColumn("cid",
+        element_at(nearest_centroids(col("vec"), typedLit(cents), 1), 1))
+      cells.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/data")
+      val centStr = cents.map(_.mkString(",")).mkString(";")
+      graft.sources.SketchTable.saveManifestOnly(
+        corpus.sparkSession, dir,
+        Map("kind" -> "ivf", "n_centroids" -> nCentroids.toString,
+          "dims" -> cents.headOption.map(_.size).getOrElse(0).toString,
+          "centroids" -> centStr))
+    }
+
+    def loadCentroids(
+        spark: org.apache.spark.sql.SparkSession,
+        dir: String): Seq[Seq[Float]] = {
+      val manifest = graft.sources.SketchTable.readManifest(spark, dir)
+      val m = """"centroids":"([^"]*)"""".r
+        .findFirstMatchIn(manifest)
+        .getOrElse(sys.error(s"no centroids in manifest at $dir")).group(1)
+      m.split(";").toSeq.map(_.split(",").toSeq.map(_.toFloat))
+    }
+
+    def topK(
+        spark: org.apache.spark.sql.SparkSession,
+        dir: String,
+        queries: DataFrame, // (qid, qvec)
+        k: Int,
+        nProbe: Int = 4): DataFrame = {
+      val cents = loadCentroids(spark, dir)
+      val centsLit = typedLit(cents)
+      val probes = queries.withColumn("cid",
+        explode(nearest_centroids(col("qvec"), centsLit, nProbe)))
+      // the probed cell set is bounded by nCentroids — driver-computing it
+      // turns the scan filter into a static partition-pruning predicate
+      val cids = probes.select("cid").distinct().collect().map(_.getInt(0))
+      val cells = spark.read.parquet(s"$dir/data")
+        .where(col("cid").isin(cids.toSeq: _*))
+      val wRank = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("id").asc)
+      cells.join(broadcast(probes), "cid")
+        .where(col("id") =!= col("qid"))
+        .withColumn("sim", cosine(col("vec"), col("qvec")))
+        .withColumn("rank", row_number().over(wRank))
+        .where(col("rank") <= k)
+        .select("qid", "rank", "id", "sim")
+    }
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, via LSH
     * candidate generation + exact verification (the embedding analogue of
     * Dedup.minhashLshPairs). */
@@ -115,11 +185,12 @@ object Similarity {
       seed: Long = DefaultSeed): DataFrame = {
     val cb = corpus.select(col("id"), col("vec"),
       explode(srp_buckets(col("vec"), tables, bits, seed)).as("bucket"))
+    // dedupe on the id PAIR only (see lshTopK): vectors travel as combiner
+    // values, never as distinct/hash keys
     cb.as("a").join(cb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.vec").as("vec_a"),
-        col("b.id").as("id_b"), col("b.vec").as("vec_b"))
-      .distinct()
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(first(col("a.vec")).as("vec_a"), first(col("b.vec")).as("vec_b"))
       .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")

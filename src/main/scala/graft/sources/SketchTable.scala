@@ -29,6 +29,28 @@ object SketchTable {
     out.close()
   }
 
+  /** Manifest-only writer for tables whose data is laid out by the caller
+    * (e.g. partitioned parquet for the IVF index). */
+  def saveManifestOnly(
+      spark: SparkSession, dir: String, params: Map[String, String]): Unit = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ps = params.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    val out = fs.create(new Path(s"$dir/manifest.json"), true)
+    out.write(s"""{"version":1,"params":{$ps}}"""
+      .getBytes(StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  def readManifest(spark: SparkSession, dir: String): String = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(s"$dir/manifest.json"))
+    val manifest = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    in.close()
+    manifest
+  }
+
   def load(spark: SparkSession, dir: String): (DataFrame, String) = {
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

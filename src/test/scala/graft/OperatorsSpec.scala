@@ -103,6 +103,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       s"ivf missed the near-dup: ${got.mkString(",")}")
   }
 
+  test("persisted ivf index: partition-pruned probe matches inline ivf") {
+    val corpus = vecs.toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.IvfIndex.build(corpus, dir, nCentroids = 8)
+    val qs = corpus.limit(10)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val fromIndex = Similarity.IvfIndex.topK(spark, dir, qs, 3, nProbe = 2)
+    val inline = Similarity.ivfTopK(corpus, qs, 3, nCentroids = 8, nProbe = 2)
+    assert(fromIndex.select("qid", "rank", "id")
+      .as[(Long, Int, Long)].collect().toSet ==
+      inline.select("qid", "rank", "id")
+        .as[(Long, Int, Long)].collect().toSet,
+      "index probe must equal the inline ivf plan (same centroids)")
+    // the probe plan must prune partitions, not scan every cell
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan)
+  }
+
   test("cosine near-dup pairs via srp lsh") {
     val got = Similarity.cosineNearDupPairs(vecs, threshold = 0.999,
         tables = 16, bits = 6)
