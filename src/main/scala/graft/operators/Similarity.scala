@@ -80,19 +80,53 @@ object Similarity {
     * candidate shuffle is the final per-query top-k (WindowGroupLimit).
     * (A k-means refinement of the centroid seed would slot in without
     * changing the plan.) */
+  /** Lloyd k-means refinement of a centroid seed. E-step = the same
+    * codegen'd per-row nearest-centroid sweep as assignment (no shuffle);
+    * M-step = one aggregation whose OUTPUT is nCentroids × dims rows (tiny,
+    * collected to the driver) — per-dim sums flow through map-side partial
+    * aggregation, so no iteration ever shuffles vectors. Empty cells keep
+    * their previous centroid. Float sums are order-sensitive in low bits,
+    * so refined centroids are deterministic only up to ulps — callers
+    * gating on byte equality should use iters=0. */
+  def refineCentroids(
+      corpus: DataFrame, // (id, vec)
+      seed: Seq[Seq[Float]],
+      iters: Int): Seq[Seq[Float]] = {
+    var cents = seed
+    for (_ <- 1 to iters) {
+      val assigned = corpus.withColumn("cid",
+        element_at(nearest_centroids(col("vec"), typedLit(cents), 1), 1))
+      val stats = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2) / r.getLong(3)))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (stats.contains((c, 0)))
+          old.indices.map(d => stats((c, d)).toFloat)
+        else old // empty cell
+      }
+    }
+    cents
+  }
+
   def ivfTopK(
       corpus: DataFrame, // (id, vec)
       queries: DataFrame, // (qid, qvec)
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      kmeansIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    val cents: Seq[Seq[Float]] = corpus
+    val seed: Seq[Seq[Float]] = corpus
       .select(col("vec"), xxhash64(col("id")).as("__h"), col("id"))
       .orderBy(col("__h"), col("id"))
       .limit(nCentroids)
       .select("vec").collect().toSeq
       .map(_.getSeq[Float](0).toSeq)
+    val cents = refineCentroids(corpus, seed, kmeansIters)
     val centsLit = typedLit(cents)
     val cells = corpus.withColumn("cid",
       element_at(nearest_centroids(col("vec"), centsLit, 1), 1))
@@ -125,8 +159,10 @@ object Similarity {
         .select("vec").collect().toSeq
         .map(_.getSeq[Float](0).toSeq)
 
-    def build(corpus: DataFrame, dir: String, nCentroids: Int = 32): Unit = {
-      val cents = pickCentroids(corpus, nCentroids)
+    def build(corpus: DataFrame, dir: String, nCentroids: Int = 32,
+        kmeansIters: Int = 0): Unit = {
+      val cents = refineCentroids(
+        corpus, pickCentroids(corpus, nCentroids), kmeansIters)
       val cells = corpus.withColumn("cid",
         element_at(nearest_centroids(col("vec"), typedLit(cents), 1), 1))
       cells.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/data")

@@ -103,6 +103,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       s"ivf missed the near-dup: ${got.mkString(",")}")
   }
 
+  test("kmeans refinement pulls centroids onto the true cluster means") {
+    val centers = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 20
+    } yield (ci * 20L + j,
+      c.zipWithIndex.map { case (x, d) => x + 0.02f * ((j + d) % 3) })
+    val df = rows.toDF("id", "vec")
+    // seed with one member per cluster; 3 Lloyd iterations must land each
+    // refined centroid at cosine >= 0.99 of a distinct true center
+    val seed = Seq(rows(0)._2.toSeq, rows(20)._2.toSeq, rows(40)._2.toSeq)
+    val refined = Similarity.refineCentroids(df, seed, iters = 3)
+    def cos(a: Seq[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val matched = refined.map(r => centers.indexWhere(c => cos(r, c) >= 0.99))
+    assert(matched.forall(_ >= 0), s"unmatched refined centroid: $refined")
+    assert(matched.distinct.size == 3, s"centroids collapsed: $matched")
+  }
+
   test("persisted ivf index: partition-pruned probe matches inline ivf") {
     val corpus = vecs.toDF("id", "vec")
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
