@@ -76,6 +76,10 @@ object Bench {
 
     // --- per-query timings at the requested parallelism -------------------
     var spark = session(cpus)
+    // warm the session first (classloading, whole-stage codegen, parquet
+    // footer cache) so the alphabetically-first query is not charged JVM
+    // startup — measured ~9s of warmup landing on ann_recall_floor otherwise
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // a crashing query reports the -1 sentinel (never a fast "success")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
