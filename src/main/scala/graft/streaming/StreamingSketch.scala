@@ -39,4 +39,26 @@ object StreamingSketch {
       .select(col("role"),
         hll_estimate(col("hll_convs")).as("distinct_convs_est"),
         cms_total(col("cms_tools")).as("tool_events"))
+
+  /** Streaming exact dedup: keep the FIRST arrival of each content hash
+    * within the watermark horizon, drop later copies (the streaming twin of
+    * Dedup.exactCanonical — an ingestion pipeline dedups documents as they
+    * land, not in a nightly batch). State = one row per distinct content
+    * hash inside the horizon, evicted by the watermark; emits append-mode.
+    *
+    * The horizon is a documented semantic: two identical documents farther
+    * apart in event time than `watermark` both survive — at 100 TB/day an
+    * unbounded exact-dedup state is the thing that kills a stream job, so
+    * the engine makes the trade explicit (pair it with the batch
+    * exactCanonical for the full-corpus pass). */
+  def dedupStream(
+      docs: DataFrame, // streaming: (id, text, ts)
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("__content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
 }

@@ -9,6 +9,8 @@ import java.sql.Timestamp
 case class StreamTurn(conv_id: String, role: String, text: String,
     tool: String, ts: Timestamp)
 
+case class StreamDoc(id: Long, text: String, ts: Timestamp)
+
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
   type Turn = StreamTurn
@@ -44,6 +46,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       // exact distinct convs is 37 per role-split; estimate within bound
       val est = got.head.getDouble(1)
       assert(math.abs(est - 37) <= 3 * graft.sketch.Hll.stdError(12) * 37 + 2)
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first arrival of each content hash") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val t0 = 1700000000000L
+    mem.addData(
+      StreamDoc(1L, "alpha", new Timestamp(t0)),
+      StreamDoc(2L, "beta", new Timestamp(t0 + 1000)),
+      StreamDoc(3L, "alpha", new Timestamp(t0 + 2000)), // dup of 1 → dropped
+      StreamDoc(4L, "gamma", new Timestamp(t0 + 3000)),
+      StreamDoc(5L, "beta", new Timestamp(t0 + 4000))) // dup of 2 → dropped
+    val q = StreamingSketch.dedupStream(mem.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select("id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 4L), s"got $ids")
     } finally q.stop()
   }
 
