@@ -311,6 +311,7 @@ object SparkEntry {
       val nSim = sim.count()
       val nBase = base.count()
       val inter = sim.join(base, Seq("id_a", "id_b"), "left_semi").count()
+      sim.unpersist(); base.unpersist() // counts are collected; don't pin
       import s.implicits._
       Seq(
         ("precision_all_above_j08", inter == nSim),
@@ -362,6 +363,7 @@ object SparkEntry {
         Similarity.ivfTopK(c, q, 5, nCentroids = 32, nProbe = 8))
       val (lshR, lshP) = both((c, q) =>
         Similarity.lshTopK(c, q, 5, tables = 12, bits = 6))
+      exact.unpersist() // all recalls collected; don't pin for the session
       import s.implicits._
       Seq(("ivf", ivfR >= 0.25, ivfP >= 0.9), ("lsh", lshR >= 0.25, lshP >= 0.9))
         .toDF("method", "recall_ok", "planted_ok").orderBy("method")

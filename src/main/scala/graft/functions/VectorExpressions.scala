@@ -78,7 +78,11 @@ object VecOps {
       var bs = Double.NegativeInfinity
       c = 0
       while (c < n) {
-        if (!used(c) && sims(c) > bs) { bs = sims(c); best = c }
+        // `best == -1 ||` keeps the sweep total under NaN sims (non-finite
+        // vector values): NaN > bs is always false, which would otherwise
+        // leave best at -1 and crash — degrade to index order instead,
+        // matching the cosine path's "never NaN-poison a ranking" stance
+        if (!used(c) && (best == -1 || sims(c) > bs)) { bs = sims(c); best = c }
         c += 1
       }
       used(best) = true

@@ -141,6 +141,9 @@ object ProfilePipeline {
     var lastLl = Double.NegativeInfinity
     var iter = 0
     var done = false
+    // maxIters <= 0 degrades to one E-step under uniform priors (the
+    // pre-erase-worst behaviour for that input), never a null assignment
+    val iterCap = math.max(1, maxIters)
     var cur = lik0
     var prevCur: DataFrame = null // unpersisted once its successor is live
     var lastG: DataFrame = null
@@ -148,7 +151,7 @@ object ProfilePipeline {
     // post, ref desc) — a fully tied pair never erases its own best
     val key = struct(negate(col("post")).as("np"), col("ref").as("r"),
       col("query_n").as("qn"))
-    while (iter < maxIters && !done) {
+    while (iter < iterCap && !done) {
       val priorDf = broadcast(priors.toSeq.toDF("ref", "prior"))
       val scored = cur.join(priorDf, "ref")
         .withColumn("post",
@@ -169,7 +172,7 @@ object ProfilePipeline {
       if (prevCur != null && (prevCur ne lik0)) prevCur.unpersist()
       val ll = stats.values.map(_._2).sum
       val total = stats.values.map(_._1).sum
-      done = ll - lastLl < tol || iter + 1 >= maxIters
+      done = ll - lastLl < tol || iter + 1 >= iterCap
       lastLl = ll
       if (lastG != null) lastG.unpersist()
       lastG = g
@@ -293,17 +296,18 @@ object ProfilePipeline {
   }
 
   /** IO9 — CAMI binning file (profile_output.hpp:79-98): one
-    * `SEQUENCEID\tTAXID` row per query, `-` for unmatched, query-id
-    * ascending (the reference's std::map order). `binning` columns:
+    * `SEQUENCEID\tTAXID` row per query, `-` for unmatched, ordered by the
+    * query_id column's NATURAL order (numeric ids sort numerically; the
+    * reference's std::map iterates its string keys lexicographically, which
+    * coincides for its zero-padded read names). `binning` columns:
     * (query_id, taxid nullable). Collected to the driver: one row per
     * query — for bulk binning at scale use writeSearchResults-style
     * distributed TSV instead; this sink mirrors the reference's single
     * CAMI submission file. */
   def writeBinning(binning: DataFrame, path: String, sampleId: String): Unit = {
-    val rows = binning.collect()
-      .map(r => (r.get(0).toString, Option(r.getString(1)).getOrElse("-")))
-      .sortBy(_._1)
-      .map { case (q, t) => s"$q\t$t" }
+    val rows = binning.orderBy(col(binning.columns.head)).collect()
+      .map(r =>
+        s"${r.get(0)}\t${Option(r.getString(1)).getOrElse("-")}")
     writeLocal(binning, path, Seq(s"@SampleID:$sampleId", "@Version:0.10.0",
       "@@SEQUENCEID\tTAXID") ++ rows)
   }

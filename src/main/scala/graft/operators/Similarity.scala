@@ -112,6 +112,19 @@ object Similarity {
     cents
   }
 
+  /** Deterministic centroid seed: the nCentroids smallest-hash corpus rows
+    * — a global top-N (TakeOrderedAndProject: per-partition top-N, tiny
+    * shuffle, no count() pre-pass). Single definition shared by ivfTopK and
+    * IvfIndex.build so the persisted index stays bit-equal to the inline
+    * plan (OperatorsSpec asserts the equivalence). */
+  private[operators] def pickCentroids(
+      corpus: DataFrame, nCentroids: Int): Seq[Seq[Float]] =
+    corpus.select(col("vec"), xxhash64(col("id")).as("__h"), col("id"))
+      .orderBy(col("__h"), col("id"))
+      .limit(nCentroids)
+      .select("vec").collect().toSeq
+      .map(_.getSeq[Float](0).toSeq)
+
   def ivfTopK(
       corpus: DataFrame, // (id, vec)
       queries: DataFrame, // (qid, qvec)
@@ -119,14 +132,8 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       kmeansIters: Int = 0): DataFrame = {
-    val spark = corpus.sparkSession
-    val seed: Seq[Seq[Float]] = corpus
-      .select(col("vec"), xxhash64(col("id")).as("__h"), col("id"))
-      .orderBy(col("__h"), col("id"))
-      .limit(nCentroids)
-      .select("vec").collect().toSeq
-      .map(_.getSeq[Float](0).toSeq)
-    val cents = refineCentroids(corpus, seed, kmeansIters)
+    val cents =
+      refineCentroids(corpus, pickCentroids(corpus, nCentroids), kmeansIters)
     val centsLit = typedLit(cents)
     val cells = corpus.withColumn("cid",
       element_at(nearest_centroids(col("vec"), centsLit, 1), 1))
@@ -151,14 +158,6 @@ object Similarity {
     * scan arrives with a `cid IN (...)` partition filter — Spark prunes to
     * nProbe/nCentroids of the files before reading a byte. */
   object IvfIndex {
-    private def pickCentroids(
-        corpus: DataFrame, nCentroids: Int): Seq[Seq[Float]] =
-      corpus.select(col("vec"), xxhash64(col("id")).as("__h"), col("id"))
-        .orderBy(col("__h"), col("id"))
-        .limit(nCentroids)
-        .select("vec").collect().toSeq
-        .map(_.getSeq[Float](0).toSeq)
-
     def build(corpus: DataFrame, dir: String, nCentroids: Int = 32,
         kmeansIters: Int = 0): Unit = {
       val cents = refineCentroids(
@@ -181,6 +180,8 @@ object Similarity {
       val m = """"centroids":"([^"]*)"""".r
         .findFirstMatchIn(manifest)
         .getOrElse(sys.error(s"no centroids in manifest at $dir")).group(1)
+      require(m.nonEmpty,
+        s"empty IVF index at $dir (built from an empty corpus?)")
       m.split(";").toSeq.map(_.split(",").toSeq.map(_.toFloat))
     }
 
