@@ -186,6 +186,17 @@ object SparkEntry {
       Classify.exact(corpus, qs, shingleK = 8, minFraction = 0.1)
         .orderBy("query_id", "group")
     },
+    // SF10 adaptive threshold INSIDE the plan: k-mer mutation CI at 2%
+    // per-byte error replaces the fixed fraction; the oracle inlines the
+    // same closed-form constants (q, z, affine variance A·n+B) so the
+    // filter is byte-identical across engines.
+    "classify_kmer_ci" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val (corpus, qs) = corpusQueries(s, dir)
+      Classify.exactCI(corpus, qs,
+          graft.functions.Thresholds.KmerCI(8, 0.02), shingleK = 8)
+        .orderBy("query_id", "group")
+    },
     "classify_bloom_bounds" -> { (s, dir) =>
       GraftFunctions.register(s)
       val (corpus, qs) = corpusQueries(s, dir)
@@ -623,6 +634,7 @@ object SparkEntry {
                 FROM filt)
          SELECT query_id, grp AS "group", match_cnt, query_n FROM mx
          WHERE match_cnt >= 0.8*m ORDER BY query_id, "group"""",
+    "classify_kmer_ci" -> classifyKmerCiSql,
     "classify_bloom_bounds" ->
       """WITH corpus AS (SELECT source AS grp, text FROM documents
                          WHERE doc_id % 10 <> 0),
@@ -834,6 +846,42 @@ object SparkEntry {
                 CAST(length(d.text)//64 + 1 AS INT) AS n_frames
          FROM documents d JOIN chars c USING (doc_id) ORDER BY id"""
   )
+
+  /** classify_kmer_ci oracle: the k-mer mutation CI threshold is a closed
+    * form in query_n for fixed (k, errorRate, confidence) — inline the same
+    * driver constants (q, z, affine variance A·n+B) the Column dispatcher
+    * uses, with the identical expression tree, so the filter compares
+    * byte-identically in both engines. */
+  private def classifyKmerCiSql: String = {
+    val (k, e) = (8, 0.02)
+    val q = 1.0 - math.pow(1.0 - e, k)
+    val z = graft.functions.Thresholds.inverseNormalCdf(1.0 - (1.0 - 0.95) / 2.0)
+    val a = (1.0 - q) * (q * (2.0 * k + 2.0 / e - 1.0) - 2.0 * k)
+    val b = k * (k - 1.0) * math.pow(1.0 - q, 2.0) +
+      (2.0 * (1.0 - q) / (e * e)) * ((1.0 + (k - 1.0) * (1.0 - q)) * e - q)
+    s"""WITH corpus AS (SELECT source AS grp, text FROM documents
+                        WHERE doc_id % 10 <> 0),
+        q AS (SELECT doc_id AS query_id, text FROM documents
+              WHERE doc_id % 10 = 0),
+        gsh AS (SELECT DISTINCT grp, substr(text, CAST(i AS INT), 8) AS s
+                FROM corpus, generate_series(1, 1000) t(i)
+                WHERE i <= length(text)-7),
+        qsh AS (SELECT DISTINCT query_id, substr(text, CAST(i AS INT), 8) AS s
+                FROM q, generate_series(1, 1000) t(i)
+                WHERE i <= length(text)-7),
+        qn AS (SELECT query_id, count(*) AS query_n FROM qsh GROUP BY 1),
+        cnt AS (SELECT query_id, grp, count(*) AS match_cnt
+                FROM qsh JOIN gsh USING (s) GROUP BY 1,2),
+        filt AS (SELECT c.query_id, c.grp, c.match_cnt, qn.query_n
+                 FROM cnt c JOIN qn USING (query_id)
+                 WHERE c.match_cnt >= greatest(CAST(0 AS BIGINT),
+                   CAST(floor(qn.query_n - (qn.query_n*$q +
+                     sqrt(greatest(0.0, qn.query_n*$a + $b))*$z)) AS BIGINT))),
+        mx AS (SELECT *, max(match_cnt) OVER (PARTITION BY query_id) AS m
+               FROM filt)
+        SELECT query_id, grp AS "group", match_cnt, query_n FROM mx
+        WHERE match_cnt >= 0.8*m ORDER BY query_id, "group""""
+  }
 
   /** docStats oracle: marker-count language heuristic mirrored in SQL. */
   private def textDocStatsSql: String = {

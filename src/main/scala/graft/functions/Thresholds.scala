@@ -158,4 +158,71 @@ object Thresholds {
         }
         base + (if (sketchFpr > 0) fpCorrection(n, sketchFpr) else 0L)
     }
+
+  /** Column form of the SF10 dispatcher: the per-query threshold as a
+    * codegen'd Catalyst expression over the probe-count column `n`, so the
+    * reference's adaptive CI thresholds run INSIDE the classify plan with
+    * no UDF — everything except `n` is a driver constant, and each model is
+    * a closed form in n (the k-mer mutation variance is affine in n).
+    * Parity with the scalar `minMatches` is within ±1 match (floating-point
+    * association differs at expression-tree granularity); asserted in
+    * ThresholdsSpec. */
+  def minMatchesCol(
+      n: org.apache.spark.sql.Column, mode: Mode,
+      sketchFpr: Double = 0.0): org.apache.spark.sql.Column = {
+    // selective import: functions.mode (the aggregate) shadows our param
+    import org.apache.spark.sql.functions.{ceil, floor, greatest, lit, pow, sqrt}
+    val nD = n.cast("double")
+    def z(c: Double) = inverseNormalCdf(1.0 - (1.0 - c) / 2.0)
+    // varNmutKmer(n) = A·n + B for fixed (k, r)
+    def varAB(k: Int, r: Double): (Double, Double) = {
+      val q = 1.0 - math.pow(1.0 - r, k)
+      val a = (1.0 - q) * (q * (2.0 * k + 2.0 / r - 1.0) - 2.0 * k)
+      val b = k * (k - 1.0) * math.pow(1.0 - q, 2.0) +
+        (2.0 * (1.0 - q) / (r * r)) * ((1.0 + (k - 1.0) * (1.0 - q)) * r - q)
+      (a, b)
+    }
+    def kmerCol(k: Int, e: Double, c: Double, nn: org.apache.spark.sql.Column) = {
+      if (e <= 0) nn.cast("long")
+      else {
+        val q = 1.0 - math.pow(1.0 - e, k)
+        val (a, b) = varAB(k, e)
+        val sd = sqrt(greatest(lit(0.0), nn * a + b))
+        greatest(lit(0L),
+          floor(nn - (nn * q + sd * z(c))).cast("long"))
+      }
+    }
+    val base = mode match {
+      case Percentage(f) => greatest(lit(1L), ceil(nD * f).cast("long"))
+      case SyncmerTable(k, e) =>
+        floor(nD * syncmerMatchRatio(k, e)).cast("long")
+      case KmerCI(k, e, c) => kmerCol(k, e, c, nD)
+      case FracMinHashCI(k, e, scale, c) =>
+        if (e <= 0) n.cast("long")
+        else if (scale <= 1) kmerCol(k, e, c, nD)
+        else {
+          val s = 1.0 / scale
+          val nU = nD * scale.toDouble // unscaled k-mer count estimate
+          val expC = math.pow(1.0 - e, k)
+          val q = 1.0 - expC
+          val (a, b) = varAB(k, e)
+          val varNmut = greatest(lit(0.0), nU * a + b)
+          val expNmut = nU * q
+          val expNmutSq = expNmut * expNmut + varNmut
+          val term3 = varNmut / (nU * nU)
+          val term2 = nU * expNmut - expNmutSq
+          val denom = nU * nU * nU * s *
+            pow(lit(1.0) - pow(lit(1.0 - s), nU), 2.0)
+          val varC = greatest(lit(0.0), term2 * (1.0 - s) / denom + term3)
+          val cLow = lit(expC) - sqrt(varC) * z(c)
+          greatest(lit(0L), floor(cLow * nD).cast("long"))
+        }
+    }
+    val corrected = mode match {
+      case _: SyncmerTable => base // reference skips fp correction here
+      case _ if sketchFpr > 0 => base + ceil(nD * sketchFpr).cast("long")
+      case _ => base
+    }
+    corrected
+  }
 }

@@ -115,6 +115,36 @@ object Classify {
         saltBuckets, seed),
       minFraction)
 
+  /** Classification under a reference-style ADAPTIVE threshold (the SF10
+    * dispatcher: percentage / k-mer CI / FracMinHash CI / syncmer table)
+    * instead of a fixed fraction — the per-query minimum match count is a
+    * codegen'd closed-form expression of query_n evaluated inside the plan
+    * (threshold.hpp:51-81's `threshold.get(count)` analogue, no UDF). */
+  def exactCI(
+      corpus: DataFrame,
+      queries: DataFrame,
+      mode: graft.functions.Thresholds.Mode,
+      shingleK: Int = 8,
+      sketchFpr: Double = 0.0,
+      seed: Long = DefaultSeed): DataFrame =
+    applyFiltersCI(exactCounts(corpus, queries, shingleK, seed), mode, sketchFpr)
+
+  /** Bloom-path twin of exactCI; `fpp` feeds both the filter build and the
+    * threshold's fp correction (taxor_search.cpp:262). */
+  def sketchCI(
+      corpus: DataFrame,
+      queries: DataFrame,
+      mode: graft.functions.Thresholds.Mode,
+      shingleK: Int = 8,
+      expectedShinglesPerGroup: Long = 1 << 17,
+      fpp: Double = 0.0039,
+      saltBuckets: Int = 8,
+      seed: Long = DefaultSeed): DataFrame =
+    applyFiltersCI(
+      sketchCounts(corpus, queries, shingleK, expectedShinglesPerGroup, fpp,
+        saltBuckets, seed),
+      mode, fpp)
+
   /** F4 — null-result preservation: queries with no surviving match are
     * re-emitted with a null group (the reference's `-` rows,
     * taxor_search.cpp:268-273 / taxor_profile.cpp:154-158). */
@@ -132,6 +162,19 @@ object Classify {
     val w = Window.partitionBy("query_id")
     counts
       .where(col("match_cnt") >= lit(minFraction) * col("query_n"))
+      .withColumn("mx", max(col("match_cnt")).over(w))
+      .where(col("match_cnt") >= lit(RelMaxFactor) * col("mx"))
+      .select("query_id", "group", "match_cnt", "query_n")
+  }
+
+  private def applyFiltersCI(
+      counts: DataFrame,
+      mode: graft.functions.Thresholds.Mode,
+      sketchFpr: Double): DataFrame = {
+    val w = Window.partitionBy("query_id")
+    counts
+      .where(col("match_cnt") >=
+        graft.functions.Thresholds.minMatchesCol(col("query_n"), mode, sketchFpr))
       .withColumn("mx", max(col("match_cnt")).over(w))
       .where(col("match_cnt") >= lit(RelMaxFactor) * col("mx"))
       .select("query_id", "group", "match_cnt", "query_n")

@@ -169,6 +169,22 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         expectedShinglesPerGroup = 4096)
       .select("query_id", "group").as[(Long, String)].collect().toSet
     assert(sk == got, "bloom classification disagrees with exact")
+    // adaptive CI thresholds (SF10 inside the plan): the k-mer mutation
+    // model at 5% per-byte error keeps the mutated copy classified, and the
+    // percentage mode reproduces the fixed-fraction path exactly
+    val ci = Classify.exactCI(corpus, queries,
+        graft.functions.Thresholds.KmerCI(8, 0.05))
+      .select("query_id", "group").as[(Long, String)].collect().toSet
+    assert(ci == got, s"kmer-CI classification diverged: $ci")
+    val pct = Classify.exactCI(corpus, queries,
+        graft.functions.Thresholds.Percentage(0.1))
+      .select("query_id", "group").as[(Long, String)].collect().toSet
+    assert(pct == got)
+    val skci = Classify.sketchCI(corpus, queries,
+        graft.functions.Thresholds.KmerCI(8, 0.05),
+        expectedShinglesPerGroup = 4096)
+      .select("query_id", "group").as[(Long, String)].collect().toSet
+    assert(skci == got, "bloom CI classification disagrees")
   }
 
   test("profile unique-mapping + low-confidence filters") {

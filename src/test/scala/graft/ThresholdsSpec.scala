@@ -4,7 +4,7 @@ import graft.functions.Thresholds
 import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
 
-class ThresholdsSpec extends AnyFunSuite {
+class ThresholdsSpec extends AnyFunSuite with SparkTestBase {
   test("inverse normal cdf matches known quantiles within 5e-4") {
     val known = Seq(0.5 -> 0.0, 0.975 -> 1.959964, 0.995 -> 2.575829,
       0.025 -> -1.959964, 0.8413447 -> 1.0)
@@ -72,6 +72,29 @@ class ThresholdsSpec extends AnyFunSuite {
       sketchFpr = 0.0039) == 57)
     intercept[IllegalArgumentException](Thresholds.syncmerMatchRatio(13, 0.1))
     intercept[IllegalArgumentException](Thresholds.syncmerMatchRatio(12, 0.3))
+  }
+
+  test("column dispatcher parity with scalar minMatches (all 4 modes)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ns = (Seq(1L, 2L, 5L) ++ (1 to 40).map(i => (i * i * 7 + 3).toLong))
+      .distinct
+    val df = ns.toDF("n")
+    val modes = Seq(
+      Thresholds.Percentage(0.1),
+      Thresholds.KmerCI(8, 0.05),
+      Thresholds.FracMinHashCI(8, 0.05, 16),
+      Thresholds.SyncmerTable(12, 0.1))
+    for (m <- modes; fpr <- Seq(0.0, 0.0039)) {
+      val got = df
+        .select(col("n"), Thresholds.minMatchesCol(col("n"), m, fpr).as("t"))
+        .as[(Long, Long)].collect().toMap
+      ns.foreach { n =>
+        val want = Thresholds.minMatches(n, m, fpr)
+        assert(math.abs(got(n) - want) <= 1,
+          s"mode=$m fpr=$fpr n=$n got=${got(n)} want=$want")
+      }
+    }
   }
 
   test("kmer variance matches the published closed form at a spot value") {
