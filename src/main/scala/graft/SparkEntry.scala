@@ -821,21 +821,7 @@ object SparkEntry {
                ORDER BY match_cnt*1.0/query_n DESC, ref) AS rn FROM m)
          SELECT query_id, ref FROM r WHERE rn = 1 ORDER BY query_id, ref""",
     "text_doc_stats" -> textDocStatsSql,
-    "text_quality" ->
-      """SELECT doc_id,
-         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-         CAST(floor(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
-           * 100 / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))
-           AS BIGINT) AS distinct_ratio_x100,
-         (len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 5 AND 100000)
-         AND (floor(length(regexp_replace(text, '\s', '', 'g')) * 100 /
-              greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))
-              BETWEEN 150 AND 1500)
-         AND (CAST(floor(len(list_distinct(regexp_split_to_array(trim(text),
-              '\s+'))) * 100 /
-              greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))
-              AS BIGINT) >= 5) AS is_quality
-         FROM documents ORDER BY doc_id""",
+    "text_quality" -> textQualitySql,
     "multimodal_frame_meta" ->
       """WITH chars AS (SELECT doc_id,
            CAST(count(DISTINCT substr(text, CAST(i AS INT), 1)) AS INT) AS dc
@@ -881,6 +867,29 @@ object SparkEntry {
                FROM filt)
         SELECT query_id, grp AS "group", match_cnt, query_n FROM mx
         WHERE match_cnt >= 0.8*m ORDER BY query_id, "group""""
+  }
+
+  /** text_quality oracle: same length-difference occurrence trick as the
+    * engine for the stopword ratio (TextStats.Stopwords inlined). */
+  private def textQualitySql: String = {
+    def occ(w: String): String =
+      s"(length(text) - length(replace(text, '$w', '')))/${w.length}"
+    val stop = graft.operators.TextStats.Stopwords.map(occ)
+      .mkString("(", " + ", ")")
+    val toks = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    s"""SELECT doc_id,
+       $toks AS n_tokens,
+       CAST(floor(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+         * 100 / greatest($toks, 1)) AS BIGINT) AS distinct_ratio_x100,
+       CAST(floor($stop * 100 / greatest($toks, 1)) AS BIGINT)
+         AS stopword_ratio_x100,
+       ($toks BETWEEN 5 AND 100000)
+       AND (floor(length(regexp_replace(text, '\\s', '', 'g')) * 100 /
+            greatest($toks, 1)) BETWEEN 150 AND 1500)
+       AND (CAST(floor(len(list_distinct(regexp_split_to_array(trim(text),
+            '\\s+'))) * 100 / greatest($toks, 1)) AS BIGINT) >= 5)
+         AS is_quality
+       FROM documents ORDER BY doc_id"""
   }
 
   /** docStats oracle: marker-count language heuristic mirrored in SQL. */

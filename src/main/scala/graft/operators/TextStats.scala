@@ -54,8 +54,23 @@ object TextStats {
       fingerprint(t).as("fingerprint"))
   }
 
+  /** Small fixed English stopword set (public, Fox 1989-style shortlist);
+    * occurrences counted with the same length-difference trick so the
+    * ratio mirrors 1:1 into the SQL oracle. */
+  val Stopwords: Seq[String] = Seq(
+    " the ", " and ", " of ", " to ", " a ", " in ", " is ", " that ",
+    " it ", " for ")
+
+  /** floor(100 × stopword occurrences / tokens) — a classic quality
+    * signal: near-0 for code/boilerplate/non-English, 20-50 for prose. */
+  def stopwordRatioX100(text: Column): Column = {
+    val hits = Stopwords.map(w => occurrences(text, w)).reduce(_ + _)
+    floor(hits * 100 / greatest(token_count(text), lit(1L))).cast("long")
+  }
+
   /** Heuristic quality gate for training data: bounded length, plausible
-    * word shape, limited repetition (distinct-token ratio). */
+    * word shape, limited repetition (distinct-token ratio); plus the
+    * stopword ratio as a reported signal. */
   def qualityFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val tokens = token_count(t)
@@ -66,6 +81,7 @@ object TextStats {
       col(idCol),
       tokens.as("n_tokens"),
       distinctRatioX100.as("distinct_ratio_x100"),
+      stopwordRatioX100(t).as("stopword_ratio_x100"),
       (tokens.between(5, 100000) &&
         floor(length(regexp_replace(t, lit("\\s"), lit(""))) * 100 /
           greatest(tokens, lit(1L))).between(150, 1500) &&
