@@ -1,0 +1,103 @@
+package graft
+
+import graft.functions.Thresholds
+import graft.operators.{Classify, ProfilePipeline}
+import graft.sources.Tsv
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end "a reference user could switch" workflow: the taxor
+  * build → search → profile CLI flow re-expressed on this engine —
+  * classify queries against grouped references under an adaptive CI
+  * threshold, persist/re-read the search-results TSV, run the profile
+  * cascade + EM, and emit all three CAMI artifacts.
+  */
+class WorkflowSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("taxor-style end-to-end: search -> TSV -> profile -> CAMI files") {
+    val corpus = Seq(
+      ("gA", "alpha beta gamma delta epsilon zeta eta theta " * 12),
+      ("gB", "one two three four five six seven eight nine ten " * 12),
+      ("gC", "red orange yellow green blue indigo violet colors " * 12)
+    ).toDF("group", "text")
+    val queries = Seq(
+      (1L, "one two three four five six seven eight nine ten " * 6),
+      (2L, ("alpha beta gamma delta epsilon zeta eta theta " * 6)
+        .replace("gamma", "gamXa")), // mutated copy of gA
+      (3L, "red orange yellow green blue indigo violet colors " * 6),
+      (4L, "zzz qqq xxx www unmatched garbage vvv uuu ttt sss " * 6)
+    ).toDF("query_id", "text")
+
+    // -- search under the k-mer CI threshold (SF10 inside the plan) --------
+    val classified = Classify.exactCI(corpus, queries,
+      Thresholds.KmerCI(8, 0.05))
+    val withNulls = Classify.withUnmatched(classified, queries)
+
+    // -- search-results TSV round trip (IO3/IO8) ---------------------------
+    val tmp = Files.createTempDirectory("graft-workflow").toString
+    val tsv = withNulls.select(
+      col("query_id").cast("string").as("QUERY_NAME"),
+      col("group").as("ACCESSION"),
+      col("group").as("REFERENCE_NAME"),
+      col("group").as("TAXID"),
+      lit(0L).as("REF_LEN"),
+      coalesce(col("query_n"), lit(0L)).as("QUERY_LEN"),
+      coalesce(col("query_n"), lit(0L)).as("QHASH_COUNT"),
+      coalesce(col("match_cnt"), lit(0L)).as("QHASH_MATCH"),
+      col("group").as("TAX_STR"),
+      col("group").as("TAX_ID_STR"))
+    Tsv.writeSearchResults(tsv, s"$tmp/search_results")
+    val back = Tsv.readSearchResults(spark, s"$tmp/search_results")
+    assert(back.count() == withNulls.count())
+    assert(back.where(col("TAXID").isNull).count() == 1, "garbage query " +
+      "must round-trip as the reference's '-' null row")
+
+    // -- profile: cascade + erase-worst EM + abundance + rollup ------------
+    val matches = back.where(col("TAXID").isNotNull)
+      .select(col("QUERY_NAME").as("query_id"), col("TAXID").as("ref"),
+        col("QHASH_MATCH").as("match_cnt"), col("QHASH_COUNT").as("query_n"))
+    val assigned = ProfilePipeline.emAssign(
+      ProfilePipeline.uniqueMappingFilter(matches), maxIters = 10)
+    val got = assigned.select("query_id", "ref").as[(String, String)]
+      .collect().toMap
+    assert(got == Map("1" -> "gB", "2" -> "gA", "3" -> "gC"), s"$got")
+
+    val taxonomy = matches.select("ref").distinct()
+      .withColumn("path", array(
+        struct(lit(0).as("rank"), lit("root").as("node")),
+        struct(lit(1).as("rank"), col("ref").as("node"))))
+    val report = ProfilePipeline.camiReport(
+      ProfilePipeline.rollup(ProfilePipeline.abundance(assigned), taxonomy))
+
+    // -- all three CAMI artifacts (IO9) ------------------------------------
+    ProfilePipeline.writeCami(report, s"$tmp/profile.cami", "wf")
+    val binning = back.select(col("QUERY_NAME").as("query_id"),
+      col("TAXID").as("taxid")).distinct()
+    ProfilePipeline.writeBinning(binning, s"$tmp/binning.cami", "wf")
+    val seqAbund = ProfilePipeline.rollup(
+        ProfilePipeline.abundance(assigned), taxonomy)
+      .where(col("rank") === 1)
+      .select(col("node").as("taxid"), lit("species").as("rank"),
+        concat(lit("root;"), col("node")).as("taxpath"),
+        concat(lit("root;"), col("node")).as("taxpathsn"), col("pct"))
+    ProfilePipeline.writeSequenceAbundance(seqAbund, s"$tmp/seq_abund.cami",
+      "wf", unclassifiedPct = Some(0.25))
+
+    val profLines = Files.readAllLines(
+      java.nio.file.Paths.get(s"$tmp/profile.cami"))
+    assert(profLines.get(0) == "@SampleID:wf")
+    // rank-0 row is 100% of assigned abundance
+    assert(profLines.get(3).startsWith("0\troot\t100.00"))
+    val binLines = Files.readAllLines(
+      java.nio.file.Paths.get(s"$tmp/binning.cami"))
+    assert(binLines.size == 3 + 4, s"one row per query: $binLines")
+    assert(binLines.contains("4\t-"), "unmatched query must emit '-'")
+    val saLines = Files.readAllLines(
+      java.nio.file.Paths.get(s"$tmp/seq_abund.cami"))
+    assert(saLines.get(4).startsWith("unclassified\tno rank\t-\t-\t25"))
+    // the three assigned refs each carry a species row
+    assert(saLines.size == 5 + 3, s"$saLines")
+  }
+}
