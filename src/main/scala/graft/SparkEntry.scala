@@ -213,6 +213,26 @@ object SparkEntry {
             .as("within_slack"))
         .orderBy("query_id", "group")
     },
+    // HIXF-style hierarchical probe: the coarse bucket layer's pruning is
+    // provably lossless (bucket filter bits = OR of member bits), so the
+    // two-level result must equal the flat broadcast probe EXACTLY.
+    "classify_hixf" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val (corpus, qs) = corpusQueries(s, dir)
+      val cols = Seq("query_id", "group", "match_cnt", "query_n")
+      val flat = Classify.sketch(corpus, qs, minFraction = 0.1)
+        .select(cols.map(col): _*).cache()
+      val hier = Classify.hierarchicalSketch(corpus, qs, minFraction = 0.1,
+          nBuckets = 16)
+        .select(cols.map(col): _*).cache()
+      val nFlat = flat.count()
+      val nHier = hier.count()
+      val inter = hier.join(flat, cols, "left_semi").count()
+      flat.unpersist(); hier.unpersist()
+      import s.implicits._
+      Seq(("hier_equals_flat", nFlat == nHier && inter == nHier && nFlat > 0))
+        .toDF("check", "ok").orderBy("check")
+    },
     // ---- taxor profile analogues (F5, F6, A11) ----------------------------
     "profile_unique_filter" -> { (s, dir) =>
       ProfilePipeline.uniqueMappingFilter(eventMatches(s, dir))
@@ -651,6 +671,9 @@ object SparkEntry {
          SELECT query_id, grp AS "group", exact_cnt,
                 true AS no_false_negative, true AS within_slack
          FROM cnt ORDER BY query_id, "group"""",
+    "classify_hixf" ->
+      """SELECT * FROM (VALUES ('hier_equals_flat', true)) AS t("check", ok)
+         ORDER BY "check"""",
     "profile_unique_filter" ->
       """WITH m0 AS (SELECT user_id AS query_id, event_type AS ref,
                     count(*) AS match_cnt FROM events GROUP BY 1,2),

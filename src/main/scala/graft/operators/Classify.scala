@@ -115,6 +115,79 @@ object Classify {
         saltBuckets, seed),
       minFraction)
 
+  /** Hierarchical two-level Bloom probe — the Spark-first analogue of the
+    * reference's HIXF search structure (a coarse level prunes which
+    * fine-level filters a query probes at all,
+    * /root/reference/src/hixf/search/search.cpp): groups are hashed into
+    * `nBuckets` super-groups whose filters are the OR-MERGE of their member
+    * filters (associative Bloom merge, same (m, k, seed) params). A query
+    * probes the small bucket layer first; only buckets whose count clears
+    * the threshold get their member group filters probed, via a join on
+    * bucket id instead of a probes × all-groups cross product.
+    *
+    * Pruning is LOSSLESS: the bucket filter's bit array is the bitwise OR
+    * of its members' (same m/k/seed), so any probe hash that hits a member
+    * filter also hits the bucket filter ⇒ bucket_cnt >= every member
+    * group_cnt ⇒ a bucket pruned at threshold τ contains no group the flat
+    * probe would keep at τ. Hierarchical output == flat sketch() output
+    * exactly (asserted in OperatorsSpec).
+    *
+    * At 100×: the broadcast is nBuckets coarse filters + only the SURVIVING
+    * buckets' member filters (left-semi against the stage-1 survivors)
+    * rather than all group filters at once — the boundary documented in
+    * SURVEY §9 for the flat path moves from |groups| to |buckets| +
+    * survivors. Output: (query_id, group, match_cnt, query_n), filtered
+    * like sketch().
+    */
+  def hierarchicalSketch(
+      corpus: DataFrame, // (group, text)
+      queries: DataFrame, // (query_id, text)
+      shingleK: Int = 8,
+      minFraction: Double = 0.1,
+      nBuckets: Int = 16,
+      expectedShinglesPerGroup: Long = 1 << 17,
+      fpp: Double = 0.0039,
+      saltBuckets: Int = 8,
+      seed: Long = DefaultSeed): DataFrame = {
+    val groupSh = corpus.select(col("group"),
+      explode(shingles(col("text"), shingleK, seed = seed)).as("h"))
+    val filters = SaltedAgg.twoStage(
+      groupSh, Seq("group"), saltBuckets,
+      saltOn = Seq(col("h")),
+      partialAggs = Seq(bloom_agg_hashed(col("h"),
+        expectedShinglesPerGroup, fpp, seed).as("bf_p")),
+      finalAggs = Seq(bloom_merge_agg(col("bf_p"),
+        expectedShinglesPerGroup, fpp, seed).as("bf")))
+      .withColumn("bucket", pmod(xxhash64(col("group")), lit(nBuckets)))
+    // coarse level: OR-merge of member filters per bucket (tiny table)
+    val bucketFilters = filters.groupBy("bucket")
+      .agg(bloom_merge_agg(col("bf"), expectedShinglesPerGroup, fpp, seed)
+        .as("bbf"))
+    val probes = queries.select(col("query_id"),
+      shingles(col("text"), shingleK, seed = seed).as("hs"))
+      .withColumn("query_n", size(col("hs")))
+    // stage 1: probe the bucket layer; keep (query, bucket) that clear the
+    // threshold a member group would need
+    val surviving = probes.crossJoin(broadcast(bucketFilters))
+      .withColumn("bucket_cnt", bloom_count_contained(col("bbf"), col("hs")))
+      .where(col("bucket_cnt") >= lit(minFraction) * col("query_n"))
+      .select("query_id", "hs", "query_n", "bucket")
+    // stage 2: probe only the surviving buckets' member filters — the
+    // left-semi restricts the broadcast payload to live buckets
+    val liveFilters = filters.select("bucket", "group", "bf")
+      .join(surviving.select("bucket").distinct(), Seq("bucket"), "left_semi")
+    val counts = surviving
+      .join(broadcast(liveFilters), "bucket")
+      .withColumn("match_cnt", bloom_count_contained(col("bf"), col("hs")))
+      .where(col("match_cnt") >= lit(minFraction) * col("query_n"))
+      .select("query_id", "group", "match_cnt", "query_n")
+    val w = Window.partitionBy("query_id")
+    counts
+      .withColumn("mx", max(col("match_cnt")).over(w))
+      .where(col("match_cnt") >= lit(RelMaxFactor) * col("mx"))
+      .select("query_id", "group", "match_cnt", "query_n")
+  }
+
   /** Classification under a reference-style ADAPTIVE threshold (the SF10
     * dispatcher: percentage / k-mer CI / FracMinHash CI / syncmer table)
     * instead of a fixed fraction — the per-query minimum match count is a

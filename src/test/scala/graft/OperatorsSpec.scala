@@ -187,6 +187,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(skci == got, "bloom CI classification disagrees")
   }
 
+  test("hierarchical bloom probe equals the flat probe exactly") {
+    // 9 groups across 3 buckets so the coarse layer actually prunes
+    val corpus = (0 until 9).map { g =>
+      (s"g$g", s"group$g words ${('a' + g).toChar} vocab item " * 15)
+    }.toDF("group", "text")
+    val queries = (0 until 9 by 2).map { g =>
+      (g.toLong, s"group$g words ${('a' + g).toChar} vocab item " * 7)
+    }.toDF("query_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "group", "match_cnt", "query_n")
+        .as[(Long, String, Long, Long)].collect().toSet
+    val flat = rows(Classify.sketch(corpus, queries, minFraction = 0.1,
+      expectedShinglesPerGroup = 4096))
+    val hier = rows(Classify.hierarchicalSketch(corpus, queries,
+      minFraction = 0.1, nBuckets = 3, expectedShinglesPerGroup = 4096))
+    // bucket filters are bitwise ORs of member filters with identical
+    // params, so pruning is lossless: identical output, fewer fine probes
+    assert(hier == flat, s"hier=$hier flat=$flat")
+    assert(flat.map(_._1) == Set(0L, 2L, 4L, 6L, 8L))
+  }
+
   test("profile unique-mapping + low-confidence filters") {
     // q1,q2,q3 unique to A; q4 ambiguous A/B; q5 ambiguous B/C; q6 unique C
     val m = Seq(
