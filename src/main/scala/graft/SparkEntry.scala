@@ -454,6 +454,13 @@ object SparkEntry {
       TextStats.qualityFlags(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
+    // context-window chunking (256 chars, 32 overlap): chunk strings are
+    // compared byte-for-byte against the SQL mirror
+    "text_chunks" -> { (s, dir) =>
+      TextStats.chunk(t(s, dir, "documents"), "doc_id", "text",
+          size = 256, overlap = 32)
+        .orderBy("doc_id", "chunk_idx")
+    },
     // ---- multimodal plumbing ----------------------------------------------
     "multimodal_frame_meta" -> { (s, dir) =>
       Multimodal.frameMeta(
@@ -843,6 +850,14 @@ object SparkEntry {
          r AS (SELECT query_id, ref, row_number() OVER (PARTITION BY query_id
                ORDER BY match_cnt*1.0/query_n DESC, ref) AS rn FROM m)
          SELECT query_id, ref FROM r WHERE rn = 1 ORDER BY query_id, ref""",
+    // series capped at 1000 (no column-arg generate_series in DuckDB 1.0);
+    // docs are <= 1007 bytes (Verify asserts), stride 224 → <= 5 chunks
+    "text_chunks" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         substr(text, CAST(i*224+1 AS INT), 256) AS chunk
+         FROM documents, generate_series(0, 1000) t(i)
+         WHERE i <= greatest(0, ceil((length(text) - 256)*1.0/224))
+         ORDER BY doc_id, chunk_idx""",
     "text_doc_stats" -> textDocStatsSql,
     "text_quality" -> textQualitySql,
     "multimodal_frame_meta" ->

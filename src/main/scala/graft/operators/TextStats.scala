@@ -54,6 +54,26 @@ object TextStats {
       fingerprint(t).as("fingerprint"))
   }
 
+  /** Context-window chunking: split each document into `size`-char chunks
+    * every `size - overlap` chars (the standard training-data prep before
+    * tokenization). Chunk starts are 0, stride, 2·stride, …, with the count
+    * chosen so the final chunk reaches the end of the text (it may be
+    * shorter than `size`); a doc shorter than `size` yields one chunk.
+    * Pure Catalyst (sequence + substr) — mirrors 1:1 into the SQL oracle.
+    * Output: (id, chunk_idx, chunk). */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int = 0): DataFrame = {
+    require(size > overlap && overlap >= 0, s"need size > overlap >= 0")
+    val stride = size - overlap
+    val t = col(textCol)
+    val lastIdx = greatest(lit(0L),
+      ceil((length(t) - lit(size)).cast("double") / stride))
+    df.select(col(idCol),
+      posexplode(transform(sequence(lit(0L), lastIdx),
+        i => t.substr((i * stride + 1).cast("int"), lit(size))))
+        .as(Seq("chunk_idx", "chunk")))
+  }
+
   /** Small fixed English stopword set (public, Fox 1989-style shortlist);
     * occurrences counted with the same length-difference trick so the
     * ratio mirrors 1:1 into the SQL oracle. */

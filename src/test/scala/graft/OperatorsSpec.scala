@@ -368,6 +368,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(perT.map(_.size).sum == all.size, "offset sets must be disjoint")
   }
 
+  test("chunking covers the text with the requested overlap") {
+    val txt = ('a' to 'z').mkString * 20 // 520 chars
+    val df = Seq((1L, txt), (2L, "short")).toDF("doc_id", "text")
+    val got = TextStats.chunk(df, "doc_id", "text", size = 256, overlap = 32)
+      .as[(Long, Int, String)].collect()
+    val doc1 = got.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // 520 chars, stride 224 → ceil((520-256)/224)=2 → chunks at 0/224/448
+    assert(doc1.length == 3)
+    assert(doc1(0) == txt.substring(0, 256))
+    assert(doc1(1) == txt.substring(224, 480))
+    assert(doc1(2) == txt.substring(448)) // clipped final chunk
+    // consecutive chunks overlap by exactly `overlap` chars
+    assert(doc1(0).takeRight(32) == doc1(1).take(32))
+    // reassembling strides reproduces the document (full coverage)
+    assert(doc1(0) + doc1(1).drop(32) + doc1(2).drop(32) == txt)
+    val doc2 = got.filter(_._1 == 2L)
+    assert(doc2.length == 1 && doc2.head._3 == "short")
+  }
+
   test("token count handles whitespace edge cases") {
     val got = Seq(("", 0L), ("  ", 0L), ("a", 1L), (" a  b\tc\nd ", 4L))
       .toDF("text", "expected")
