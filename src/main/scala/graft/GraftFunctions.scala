@@ -68,6 +68,8 @@ object GraftFunctions {
     "graft_simhash" -> { es => SimHash64(es.head) },
     "graft_vec_cosine" -> { es => VecCosine(es.head, es(1)) },
     "graft_vec_dot" -> { es => VecDot(es.head, es(1)) },
+    "graft_quantize8" -> { es => QuantizeVec(es.head) },
+    "graft_vec_cosine_q8" -> { es => VecCosineQ8(es.head, es(1)) },
     "graft_srp_buckets" -> { es =>
       SrpBuckets(es.head, intArg(es(1), "tables"), intArg(es(2), "bits"),
         longArg(es(3), "seed"))
@@ -171,6 +173,11 @@ object GraftFunctions {
     call_function("graft_vec_cosine", a, b)
   def vec_dot(a: Column, b: Column): Column =
     call_function("graft_vec_dot", a, b)
+  /** Int8 quantization of an array<float> embedding (4× smaller binary;
+    * cosine-compatible — cosine is scale-invariant). */
+  def quantize8(vec: Column): Column = call_function("graft_quantize8", vec)
+  def vec_cosine_q8(a: Column, b: Column): Column =
+    call_function("graft_vec_cosine_q8", a, b)
   def srp_buckets(vec: Column, tables: Int = 8, bits: Int = 12,
       seed: Long = DefaultSeed): Column =
     call_function("graft_srp_buckets", vec, lit(tables), lit(bits), lit(seed))

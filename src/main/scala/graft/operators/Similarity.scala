@@ -34,6 +34,24 @@ object Similarity {
       .select("qid", "rank", "id", "sim")
   }
 
+  /** Brute-force top-k over int8-QUANTIZED vectors (quantize8): 4× less
+    * data scanned/shuffled than float32 at a small recall cost — the memory
+    * lever for a 100 TB embedding corpus. Cosine is scale-invariant, so the
+    * symmetric per-vector quantization needs no stored scale. */
+  def bruteForceTopKQ8(
+      corpus: DataFrame, // (id, vec)
+      queries: DataFrame, // (qid, qvec)
+      k: Int): DataFrame = {
+    val c = corpus.select(col("id"), quantize8(col("vec")).as("q8"))
+    val q = queries.select(col("qid"), quantize8(col("qvec")).as("qq8"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+    c.join(broadcast(q), col("id") =!= col("qid"))
+      .withColumn("sim", vec_cosine_q8(col("q8"), col("qq8")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "id", "sim")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share at least one SRP
     * bucket with the query across `tables` hash tables; exact cosine re-rank
     * on candidates only. Recall rises with `tables`, cost with bucket size

@@ -103,6 +103,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       s"ivf missed the near-dup: ${got.mkString(",")}")
   }
 
+  test("int8-quantized cosine ranks like float (planted near-dup first)") {
+    val corpus = vecs.toDF("id", "vec")
+    val qs = corpus.where(col("id") === 0L)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val q8 = Similarity.bruteForceTopKQ8(corpus, qs, 3)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+    val fl = Similarity.bruteForceTopK(corpus, qs, 3)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+    assert(q8.head._3 == fl.head._3, "quantized top-1 must match float")
+    // quantized sim within 0.05 of the float sim at every returned rank
+    q8.zip(fl).foreach { case (a, b) =>
+      assert(math.abs(a._4 - b._4) < 0.05, s"q8=$a float=$b")
+    }
+  }
+
   test("kmeans refinement pulls centroids onto the true cluster means") {
     val centers = Seq(
       Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
