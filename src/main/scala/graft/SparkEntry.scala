@@ -902,9 +902,9 @@ object SparkEntry {
     val (k, e) = (8, 0.02)
     val q = 1.0 - math.pow(1.0 - e, k)
     val z = graft.functions.Thresholds.inverseNormalCdf(1.0 - (1.0 - 0.95) / 2.0)
-    val a = (1.0 - q) * (q * (2.0 * k + 2.0 / e - 1.0) - 2.0 * k)
-    val b = k * (k - 1.0) * math.pow(1.0 - q, 2.0) +
-      (2.0 * (1.0 - q) / (e * e)) * ((1.0 + (k - 1.0) * (1.0 - q)) * e - q)
+    // single source of the affine variance constants — the same call the
+    // Column dispatcher makes, so the oracle can never de-synchronize
+    val (a, b) = graft.functions.Thresholds.kmerVarAB(k, e)
     s"""WITH corpus AS (SELECT source AS grp, text FROM documents
                         WHERE doc_id % 10 <> 0),
         q AS (SELECT doc_id AS query_id, text FROM documents
@@ -929,12 +929,15 @@ object SparkEntry {
         WHERE match_cnt >= 0.8*m ORDER BY query_id, "group""""
   }
 
+  /** SQL form of TextStats.occurrences (length-difference trick), shared by
+    * the doc-stats and quality oracles. */
+  private def occSql(w: String): String =
+    s"(length(text) - length(replace(text, '$w', '')))/${w.length}"
+
   /** text_quality oracle: same length-difference occurrence trick as the
     * engine for the stopword ratio (TextStats.Stopwords inlined). */
   private def textQualitySql: String = {
-    def occ(w: String): String =
-      s"(length(text) - length(replace(text, '$w', '')))/${w.length}"
-    val stop = graft.operators.TextStats.Stopwords.map(occ)
+    val stop = graft.operators.TextStats.Stopwords.map(occSql)
       .mkString("(", " + ", ")")
     val toks = "len(regexp_split_to_array(trim(text), '\\s+'))"
     s"""SELECT doc_id,
@@ -954,15 +957,13 @@ object SparkEntry {
 
   /** docStats oracle: marker-count language heuristic mirrored in SQL. */
   private def textDocStatsSql: String = {
-    def occ(w: String): String =
-      s"(length(text) - length(replace(text, '$w', '')))/${w.length}"
     val score = Map(
       "en" -> Seq(" the ", " and ", " of "),
       "es" -> Seq(" el ", " la ", " que "),
       "de" -> Seq(" der ", " die ", " und "),
       "fr" -> Seq(" le ", " la ", " et "),
       "zh" -> Seq(" de ", " shi ", " le "))
-      .map { case (l, ws) => l -> ws.map(occ).mkString("(", " + ", ")") }
+      .map { case (l, ws) => l -> ws.map(occSql).mkString("(", " + ", ")") }
     val best =
       s"greatest(${score("en")}, ${score("es")}, ${score("de")}, ${score("fr")}, ${score("zh")})"
     val langCase =

@@ -122,6 +122,17 @@ object Thresholds {
     SyncmerMatchingRatios(row)(col)
   }
 
+  /** varNmutKmer(n) = A·n + B for fixed (k, r) — the affine decomposition
+    * the Column dispatcher AND the SQL oracle builder both inline, so the
+    * constants stay byte-identical by construction (single definition). */
+  def kmerVarAB(k: Int, r: Double): (Double, Double) = {
+    val q = 1.0 - math.pow(1.0 - r, k)
+    val a = (1.0 - q) * (q * (2.0 * k + 2.0 / r - 1.0) - 2.0 * k)
+    val b = k * (k - 1.0) * math.pow(1.0 - q, 2.0) +
+      (2.0 * (1.0 - q) / (r * r)) * ((1.0 + (k - 1.0) * (1.0 - q)) * r - q)
+    (a, b)
+  }
+
   /** Fixed-percentage threshold (the reference's default mode). */
   def percentage(n: Long, fraction: Double): Long =
     math.max(1L, math.ceil(n * fraction).toLong)
@@ -174,19 +185,11 @@ object Thresholds {
     import org.apache.spark.sql.functions.{ceil, floor, greatest, lit, pow, sqrt}
     val nD = n.cast("double")
     def z(c: Double) = inverseNormalCdf(1.0 - (1.0 - c) / 2.0)
-    // varNmutKmer(n) = A·n + B for fixed (k, r)
-    def varAB(k: Int, r: Double): (Double, Double) = {
-      val q = 1.0 - math.pow(1.0 - r, k)
-      val a = (1.0 - q) * (q * (2.0 * k + 2.0 / r - 1.0) - 2.0 * k)
-      val b = k * (k - 1.0) * math.pow(1.0 - q, 2.0) +
-        (2.0 * (1.0 - q) / (r * r)) * ((1.0 + (k - 1.0) * (1.0 - q)) * r - q)
-      (a, b)
-    }
     def kmerCol(k: Int, e: Double, c: Double, nn: org.apache.spark.sql.Column) = {
       if (e <= 0) nn.cast("long")
       else {
         val q = 1.0 - math.pow(1.0 - e, k)
-        val (a, b) = varAB(k, e)
+        val (a, b) = kmerVarAB(k, e)
         val sd = sqrt(greatest(lit(0.0), nn * a + b))
         greatest(lit(0L),
           floor(nn - (nn * q + sd * z(c))).cast("long"))
@@ -205,7 +208,7 @@ object Thresholds {
           val nU = nD * scale.toDouble // unscaled k-mer count estimate
           val expC = math.pow(1.0 - e, k)
           val q = 1.0 - expC
-          val (a, b) = varAB(k, e)
+          val (a, b) = kmerVarAB(k, e)
           val varNmut = greatest(lit(0.0), nU * a + b)
           val expNmut = nU * q
           val expNmutSq = expNmut * expNmut + varNmut

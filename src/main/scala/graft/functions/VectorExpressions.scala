@@ -108,7 +108,13 @@ object VecOps {
     val n = cents.length
     val sims = new Array[Double](n)
     var c = 0
-    while (c < n) { sims(c) = cosineFA(v, cents(c)); c += 1 }
+    while (c < n) {
+      val s = cosineFA(v, cents(c))
+      // NaN (non-finite input) ranks BELOW every finite sim — without this
+      // a NaN is sticky under `>` comparisons and would win every sweep
+      sims(c) = if (s != s) Double.NegativeInfinity else s
+      c += 1
+    }
     val outLen = math.min(m, n)
     val out = new Array[Int](outLen)
     val used = new Array[Boolean](n)
@@ -118,10 +124,8 @@ object VecOps {
       var bs = Double.NegativeInfinity
       c = 0
       while (c < n) {
-        // `best == -1 ||` keeps the sweep total under NaN sims (non-finite
-        // vector values): NaN > bs is always false, which would otherwise
-        // leave best at -1 and crash — degrade to index order instead,
-        // matching the cosine path's "never NaN-poison a ranking" stance
+        // `best == -1 ||` keeps the sweep total when every sim is -Inf
+        // (all-NaN input row): degrade to index order instead of crashing
         if (!used(c) && (best == -1 || sims(c) > bs)) { bs = sims(c); best = c }
         c += 1
       }

@@ -151,6 +151,11 @@ object Classify {
       seed: Long = DefaultSeed): DataFrame = {
     val groupSh = corpus.select(col("group"),
       explode(shingles(col("text"), shingleK, seed = seed)).as("h"))
+    // persisted: the filter table (one small row per group) appears in the
+    // final plan three times (bucket merge, live-bucket semi-join, fine
+    // probe) — without the cache every action re-runs the dominant
+    // shingle-explode + Bloom build that many times. Evictable; lineage
+    // recomputes deterministically if dropped.
     val filters = SaltedAgg.twoStage(
       groupSh, Seq("group"), saltBuckets,
       saltOn = Seq(col("h")),
@@ -159,6 +164,7 @@ object Classify {
       finalAggs = Seq(bloom_merge_agg(col("bf_p"),
         expectedShinglesPerGroup, fpp, seed).as("bf")))
       .withColumn("bucket", pmod(xxhash64(col("group")), lit(nBuckets)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // coarse level: OR-merge of member filters per bucket (tiny table)
     val bucketFilters = filters.groupBy("bucket")
       .agg(bloom_merge_agg(col("bf"), expectedShinglesPerGroup, fpp, seed)
@@ -168,9 +174,13 @@ object Classify {
       .withColumn("query_n", size(col("hs")))
     // stage 1: probe the bucket layer; keep (query, bucket) that clear the
     // threshold a member group would need
+    // bucket_cnt > 0 mirrors the flat path's match_cnt > 0 drop — without
+    // it an empty-shingle query (text shorter than k ⇒ query_n = 0) would
+    // pass 0 >= 0 here and diverge from sketch()
     val surviving = probes.crossJoin(broadcast(bucketFilters))
       .withColumn("bucket_cnt", bloom_count_contained(col("bbf"), col("hs")))
-      .where(col("bucket_cnt") >= lit(minFraction) * col("query_n"))
+      .where(col("bucket_cnt") > 0 &&
+        col("bucket_cnt") >= lit(minFraction) * col("query_n"))
       .select("query_id", "hs", "query_n", "bucket")
     // stage 2: probe only the surviving buckets' member filters — the
     // left-semi restricts the broadcast payload to live buckets
@@ -179,7 +189,8 @@ object Classify {
     val counts = surviving
       .join(broadcast(liveFilters), "bucket")
       .withColumn("match_cnt", bloom_count_contained(col("bf"), col("hs")))
-      .where(col("match_cnt") >= lit(minFraction) * col("query_n"))
+      .where(col("match_cnt") > 0 &&
+        col("match_cnt") >= lit(minFraction) * col("query_n"))
       .select("query_id", "group", "match_cnt", "query_n")
     val w = Window.partitionBy("query_id")
     counts
