@@ -37,13 +37,23 @@ object SyncmerPropsSpec extends Properties("SyncmerProps") {
         perT.map(_.size).sum == all.size // disjoint (context-free predicate)
     }
 
-  property("syncmers are deterministic and seed-sensitive") =
+  property("syncmers are deterministic") =
     forAll(texts, params) { case (txt, (k, s, t)) =>
       val u = UTF8String.fromString(txt)
-      val a = set(TextOps.syncmerHashes(u, k, s, t, 7L))
-      val b = set(TextOps.syncmerHashes(u, k, s, t, 7L))
-      val other = set(TextOps.syncmerHashes(u, k, s, t, 99L))
-      a == b && (a.isEmpty || txt.length < k + 4 || a != other ||
-        a.size <= 2) // different seed moves minima except on tiny inputs
+      set(TextOps.syncmerHashes(u, k, s, t, 7L)) ==
+        set(TextOps.syncmerHashes(u, k, s, t, 7L))
     }
+
+  property("seed changes WHICH k-grams are selected (fixed fixture)") = {
+    // hash values trivially differ with the seed; the real claim is that
+    // the SELECTION moves — compare the per-offset partition SIZE profile,
+    // which is invariant to hash relabeling, across seeds on a long text
+    val u = UTF8String.fromString(
+      "the quick brown fox jumps over the lazy dog 0123456789 " * 5)
+    def profile(seed: Long): Seq[Int] =
+      (0 to 4).map(t =>
+        TextOps.syncmerHashes(u, 8, 4, t, seed).numElements())
+    org.scalacheck.Prop(profile(7L) != profile(99L)) :|
+      s"profiles: ${profile(7L)} vs ${profile(99L)}"
+  }
 }
