@@ -946,6 +946,9 @@ object SparkEntry {
          * 100 / greatest($toks, 1)) AS BIGINT) AS distinct_ratio_x100,
        CAST(floor($stop * 100 / greatest($toks, 1)) AS BIGINT)
          AS stopword_ratio_x100,
+       CAST(floor((length(text) -
+         length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 100 /
+         greatest(length(text), 1)) AS BIGINT) AS punct_ratio_x100,
        ($toks BETWEEN 5 AND 100000)
        AND (floor(length(regexp_replace(text, '\\s', '', 'g')) * 100 /
             greatest($toks, 1)) BETWEEN 150 AND 1500)

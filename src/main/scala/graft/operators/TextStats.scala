@@ -88,6 +88,17 @@ object TextStats {
     floor(hits * 100 / greatest(token_count(text), lit(1L))).cast("long")
   }
 
+  /** Explicit punctuation class shared with the SQL oracle — engine regex
+    * character-class dialects differ, so keep it to literal ASCII marks. */
+  val PunctClass = "[.,!?;:]"
+
+  /** floor(100 × punctuation chars / chars) — prose sits in low single
+    * digits; tables/code/boilerplate spike. */
+  def punctRatioX100(text: Column): Column =
+    floor((length(text) -
+      length(regexp_replace(text, lit(PunctClass), lit("")))) * 100 /
+      greatest(length(text), lit(1))).cast("long")
+
   /** Heuristic quality gate for training data: bounded length, plausible
     * word shape, limited repetition (distinct-token ratio); plus the
     * stopword ratio as a reported signal. */
@@ -102,6 +113,7 @@ object TextStats {
       tokens.as("n_tokens"),
       distinctRatioX100.as("distinct_ratio_x100"),
       stopwordRatioX100(t).as("stopword_ratio_x100"),
+      punctRatioX100(t).as("punct_ratio_x100"),
       (tokens.between(5, 100000) &&
         floor(length(regexp_replace(t, lit("\\s"), lit(""))) * 100 /
           greatest(tokens, lit(1L))).between(150, 1500) &&
