@@ -309,6 +309,17 @@ object SparkEntry {
           round(col("jaccard") * 1000000).cast("long").as("jaccard_x1m"))
         .orderBy("id_a", "id_b")
     },
+    // near-dup canonicalization (pairs → connected components → min id).
+    // Oracle: on this corpus every near-dup component is a CLIQUE (planted
+    // copies of one source doc, all pairwise at jaccard >= 0.93 — measured;
+    // nothing between 0.5 and 0.9), so the component minimum equals the
+    // minimum over self + DIRECT neighbors, which is one SQL join away.
+    "dedup_neardup_canonical" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      Dedup.nearDupCanonical(t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 8, numBands = 32, rowsPerBand = 4, threshold = 0.7)
+        .orderBy("doc_id")
+    },
     // exact all-pairs is the quadratic verification oracle: it runs over a
     // deterministic 1-in-3 sample partition (blocking); the full corpus is
     // covered by the LSH path above, which exactJaccardPairs cross-checks.
@@ -798,6 +809,28 @@ object SparkEntry {
          FROM inter JOIN cnt ca ON ca.doc_id = id_a
                     JOIN cnt cb ON cb.doc_id = id_b
          WHERE i*1.0/(ca.c + cb.c - i) >= 0.7 ORDER BY id_a, id_b""",
+    "dedup_neardup_canonical" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS s
+                     FROM documents, generate_series(1, 1000) t(i)
+                     WHERE i <= length(text)-7),
+         cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1,2),
+         pairs AS (SELECT id_a, id_b FROM inter
+                   JOIN cnt ca ON ca.doc_id = id_a
+                   JOIN cnt cb ON cb.doc_id = id_b
+                   WHERE i*1.0/(ca.c + cb.c - i) >= 0.7),
+         nbr AS (SELECT id_a AS id, id_b AS nb FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+         canon AS (SELECT d.doc_id,
+                     least(d.doc_id, coalesce(min(nbr.nb), d.doc_id))
+                       AS canonical_id
+                   FROM documents d LEFT JOIN nbr ON nbr.id = d.doc_id
+                   GROUP BY d.doc_id)
+         SELECT doc_id, canonical_id,
+                doc_id = canonical_id AS is_canonical
+         FROM canon ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       """WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS s
                      FROM documents, generate_series(1, 1000) t(i)

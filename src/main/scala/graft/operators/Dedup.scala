@@ -72,6 +72,65 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected-component minimum labels over an undirected pair graph
+    * (id_a, id_b): every vertex gets the smallest id reachable from it.
+    * Min-label propagation — label(v) ← min(label(v), min neighbor label)
+    * — converges in O(component diameter) joins; each iteration shuffles
+    * only (long, long) rows, never document payloads. Near-dup components
+    * are cliques/stars in practice (diameter 1-2). */
+  def connectedMinLabels(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIters && changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nl").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .cache()
+      // this action materializes next's cache BEFORE labels is dropped
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-duplicate canonicalization — the "keep one copy per cluster" step
+    * a dedup pipeline actually ends with: MinHash-LSH candidate pairs →
+    * connected components → every doc maps to its component's minimum id.
+    * Docs with no near-dup pair are their own canonical. */
+  def nearDupCanonical(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 8,
+      numBands: Int = 16,
+      rowsPerBand: Int = 8,
+      threshold: Double = 0.8,
+      seed: Long = DefaultSeed,
+      maxIters: Int = 10): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, shingleK, numBands,
+      rowsPerBand, threshold, seed).select("id_a", "id_b")
+    val labels = connectedMinLabels(pairs, maxIters)
+    df.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("canonical_id"),
+        (coalesce(col("label"), col(idCol)) === col(idCol)).as("is_canonical"))
+  }
+
   /** SimHash near-dup pairs: 64-bit simhash, banded into 4 × 16-bit chunks
     * (a pair within Hamming distance 3 must agree on at least one chunk),
     * verified with bit_count(xor) <= maxHamming.

@@ -46,6 +46,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("connected min-labels resolve chains, not just cliques") {
+    // chain 1-2-3-4 (diameter 3) + separate pair (8,9): label propagation
+    // must reach the component minimum through multiple hops
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedMinLabels(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      8L -> 8L, 9L -> 8L), s"$got")
+  }
+
+  test("near-dup canonicalization keeps one copy per cluster") {
+    val got = Dedup.nearDupCanonical(docs, "doc_id", "text",
+        numBands = 32, rowsPerBand = 4, threshold = 0.5)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // docs 0,1,2 are an exact/near-dup cluster → canonical 0; 3,4 alone
+    assert(got(0L) == (0L, true) && got(1L) == (0L, false) &&
+      got(2L) == (0L, false), s"$got")
+    assert(got(3L) == (3L, true) && got(4L) == (4L, true), s"$got")
+  }
+
   test("simhash finds exact duplicates at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b", "hamming").collect()
