@@ -175,12 +175,15 @@ object Bench {
     // interleave the two levels across separate sessions and take the max
     // per level: external throttling (shared host) hits contiguous time
     // windows, so back-to-back reps inside one session share the same fate
-    // while alternation decorrelates them
+    // while alternation decorrelates them. THREE rounds: a two-round run
+    // was observed landing every 16-core sample inside one throttled
+    // window (reported 0.75 on a job whose clean scaling is ~0.9)
     val m4a = measure(4); val m16a = measure(16)
     val m4b = measure(4); val m16b = measure(16)
+    val m4c = measure(4); val m16c = measure(16)
     val rows = m4a._1
-    val tps4 = math.max(m4a._2, m4b._2)
-    val tps16 = math.max(m16a._2, m16b._2)
+    val tps4 = Seq(m4a._2, m4b._2, m4c._2).max
+    val tps16 = Seq(m16a._2, m16b._2, m16c._2).max
     val tps8 = measure(8)._2
     val tps32 = measure(32)._2
     // >1.0 is physically impossible for real scaling: it means the small-
