@@ -310,10 +310,10 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
     // near-dup canonicalization (pairs → connected components → min id).
-    // Oracle: on this corpus every near-dup component is a CLIQUE (planted
-    // copies of one source doc, all pairwise at jaccard >= 0.93 — measured;
-    // nothing between 0.5 and 0.9), so the component minimum equals the
-    // minimum over self + DIRECT neighbors, which is one SQL join away.
+    // Oracle: EXACT for any graph shape — a recursive CTE computes the
+    // transitive closure of the pair graph and takes min over reachable
+    // ids, so chains/stars (not just cliques) gate correctly if the data
+    // regime ever changes.
     "dedup_neardup_canonical" -> { (s, dir) =>
       GraftFunctions.register(s)
       Dedup.nearDupCanonical(t(s, dir, "documents"), "doc_id", "text",
@@ -810,7 +810,7 @@ object SparkEntry {
                     JOIN cnt cb ON cb.doc_id = id_b
          WHERE i*1.0/(ca.c + cb.c - i) >= 0.7 ORDER BY id_a, id_b""",
     "dedup_neardup_canonical" ->
-      """WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS s
+      """WITH RECURSIVE sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS s
                      FROM documents, generate_series(1, 1000) t(i)
                      WHERE i <= length(text)-7),
          cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
@@ -823,11 +823,12 @@ object SparkEntry {
                    WHERE i*1.0/(ca.c + cb.c - i) >= 0.7),
          nbr AS (SELECT id_a AS id, id_b AS nb FROM pairs
                  UNION ALL SELECT id_b, id_a FROM pairs),
-         canon AS (SELECT d.doc_id,
-                     least(d.doc_id, coalesce(min(nbr.nb), d.doc_id))
-                       AS canonical_id
-                   FROM documents d LEFT JOIN nbr ON nbr.id = d.doc_id
-                   GROUP BY d.doc_id)
+         reach(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT nbr.id, reach.lab FROM nbr JOIN reach ON reach.id = nbr.nb),
+         canon AS (SELECT id AS doc_id, min(lab) AS canonical_id
+                   FROM reach GROUP BY 1)
          SELECT doc_id, canonical_id,
                 doc_id = canonical_id AS is_canonical
          FROM canon ORDER BY doc_id""",

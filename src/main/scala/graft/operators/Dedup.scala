@@ -77,10 +77,20 @@ object Dedup {
     * Min-label propagation — label(v) ← min(label(v), min neighbor label)
     * — converges in O(component diameter) joins; each iteration shuffles
     * only (long, long) rows, never document payloads. Near-dup components
-    * are cliques/stars in practice (diameter 1-2). */
-  def connectedMinLabels(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    * are cliques/stars in practice (diameter 1-2); a component with
+    * diameter > maxIters is NOT fully resolved — that truncation is
+    * reported loudly on stderr rather than returned silently.
+    *
+    * The returned labels stay cached (the loop's last materialization);
+    * callers issuing many invocations per session should unpersist the
+    * result after consuming it. */
+  def connectedMinLabels(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // both edge directions in ONE pass over the (expensive) pairs plan —
+    // a union of two selects would re-run candidate verification twice
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
@@ -103,6 +113,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      System.err.println(s"[graft] connectedMinLabels: $changed labels " +
+        s"still moving after $maxIters iterations — a component has " +
+        "diameter > maxIters; labels are a PARTIAL propagation")
     edges.unpersist()
     labels
   }

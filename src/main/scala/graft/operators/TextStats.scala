@@ -93,11 +93,12 @@ object TextStats {
   val PunctClass = "[.,!?;:]"
 
   /** floor(100 × punctuation chars / chars) — prose sits in low single
-    * digits; tables/code/boilerplate spike. */
+    * digits; tables/code/boilerplate spike. Counts widen to long BEFORE
+    * the ×100 (an int would wrap past ~21M chars). */
   def punctRatioX100(text: Column): Column =
-    floor((length(text) -
-      length(regexp_replace(text, lit(PunctClass), lit("")))) * 100 /
-      greatest(length(text), lit(1))).cast("long")
+    floor((length(text).cast("long") -
+      length(regexp_replace(text, lit(PunctClass), lit(""))).cast("long"))
+      * 100 / greatest(length(text).cast("long"), lit(1L))).cast("long")
 
   /** Heuristic quality gate for training data: bounded length, plausible
     * word shape, limited repetition (distinct-token ratio); plus the
