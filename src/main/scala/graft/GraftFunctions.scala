@@ -88,6 +88,15 @@ object GraftFunctions {
       HllAgg(es.head, intArg(es(1), "p"), mergeInput = true)
     },
     "graft_hll_estimate" -> { es => HllEstimate(es.head) },
+    "graft_hll_union_estimate" -> { es => HllUnionEstimate(es.head, es(1)) },
+    "graft_topk_agg" -> { es => TopKAgg(es.head, intArg(es(1), "capacity")) },
+    "graft_topk_merge_agg" -> { es =>
+      TopKAgg(es.head, intArg(es(1), "capacity"), mergeInput = true)
+    },
+    "graft_topk_items" -> { es => TopKItems(es.head, intArg(es(1), "k")) },
+    "graft_topk_total" -> { es => TopKTotal(es.head) },
+    "graft_topk_dec" -> { es => TopKDec(es.head) },
+    "graft_topk_estimate" -> { es => TopKEstimate(es.head, es(1)) },
     "graft_bloom_agg" -> { es =>
       BloomAgg(es.head, longArg(es(1), "items"), doubleArg(es(2), "fpp"),
         longArg(es(3), "seed"))
@@ -197,6 +206,30 @@ object GraftFunctions {
   def hll_merge_agg(c: Column, p: Int): Column =
     call_function("graft_hll_merge_agg", c, lit(p))
   def hll_estimate(c: Column): Column = call_function("graft_hll_estimate", c)
+  /** Ertl estimate of |A ∪ B| from two HLL sketch columns; |A ∩ B| follows
+    * by inclusion–exclusion (estimate(a)+estimate(b)-union). */
+  def hll_union_estimate(a: Column, b: Column): Column =
+    call_function("graft_hll_union_estimate", a, b)
+
+  /** Mergeable Misra–Gries/SpaceSaving heavy-hitter summary over a STRING
+    * key column: `capacity` counters give the published eps = 1/(capacity+1)
+    * guarantees (no overcount; undercount <= eps*N; every key with true
+    * count > eps*N present). The one sketch family that ENUMERATES its keys
+    * (`topk_items`) instead of answering point queries. */
+  def topk_agg(c: Column, capacity: Int): Column =
+    call_function("graft_topk_agg", c.cast("string"), lit(capacity))
+  def topk_merge_agg(c: Column, capacity: Int): Column =
+    call_function("graft_topk_merge_agg", c, lit(capacity))
+  /** Top-k entries as array<struct<item:string, est:long>>, est desc then
+    * item asc. */
+  def topk_items(sketch: Column, k: Int): Column =
+    call_function("graft_topk_items", sketch, lit(k))
+  def topk_total(sketch: Column): Column =
+    call_function("graft_topk_total", sketch)
+  /** Undercount certificate: true - est <= topk_dec <= N/(capacity+1). */
+  def topk_dec(sketch: Column): Column = call_function("graft_topk_dec", sketch)
+  def topk_estimate(sketch: Column, key: Column): Column =
+    call_function("graft_topk_estimate", sketch, key.cast("string"))
 
   def bloom_agg_hashed(c: Column, items: Long, fpp: Double,
       seed: Long = DefaultSeed): Column =

@@ -313,11 +313,14 @@ object SparkEntry {
     // Oracle: EXACT for any graph shape — a recursive CTE computes the
     // transitive closure of the pair graph and takes min over reachable
     // ids, so chains/stars (not just cliques) gate correctly if the data
-    // regime ever changes.
+    // regime ever changes. Gate at threshold 0.8 (band miss ~5e-8 per
+    // pair): unlike the PAIR gate above, one missed pair relabels a whole
+    // component, so the gate margin is tighter here; 0.7-threshold
+    // behavior stays covered by OperatorsSpec.
     "dedup_neardup_canonical" -> { (s, dir) =>
       GraftFunctions.register(s)
       Dedup.nearDupCanonical(t(s, dir, "documents"), "doc_id", "text",
-          shingleK = 8, numBands = 32, rowsPerBand = 4, threshold = 0.7)
+          shingleK = 8, numBands = 32, rowsPerBand = 4, threshold = 0.8)
         .orderBy("doc_id")
     },
     // exact all-pairs is the quadratic verification oracle: it runs over a
@@ -530,6 +533,72 @@ object SparkEntry {
           col("f").as("violations_within_delta"))
         .orderBy("hour", "event_type")
     },
+    // Mergeable heavy-hitter ENUMERATION (Misra–Gries/SpaceSaving): unlike
+    // the CMS bound check above, topk_agg RETURNS the hot keys without an
+    // exact groupBy. The key is a deterministic skewed function of user_id
+    // (64 div (r+1): the hottest key carries ~50% of events) over ~15
+    // distinct keys with capacity 6, so prunes/evictions actually happen and
+    // the published guarantees are exercised non-vacuously:
+    //  - no overcount (est <= exact);
+    //  - every key with exact_cnt > N/(m+1) is present in the summary;
+    //  - undercount <= N/(m+1) when present, exact_cnt <= N/(m+1) if evicted.
+    // All deterministic (not probabilistic) — gate every row.
+    "heavy_hitters_topk" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val m = 6
+      val keyed = t(s, dir, "events")
+        .select(concat(lit("k"),
+          expr("64 div (pmod(user_id, 64) + 1)").cast("string")).as("k"))
+      val sk = keyed.agg(topk_agg(col("k"), m).as("tk"))
+      val items = sk.select(explode(topk_items(col("tk"), m)).as("it"))
+        .select(col("it.item").as("k"), col("it.est").as("est"))
+      val nDf = sk.select(topk_total(col("tk")).as("n"))
+      keyed.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(broadcast(nDf))
+        .join(broadcast(items), Seq("k"), "left")
+        .select(col("k"), col("exact_cnt"),
+          (!(col("exact_cnt") * (m + 1) > col("n")) || col("est").isNotNull)
+            .as("heavy_present"),
+          when(col("est").isNotNull,
+            col("est") <= col("exact_cnt") &&
+              (col("exact_cnt") - col("est")) * (m + 1) <= col("n"))
+            .otherwise(col("exact_cnt") * (m + 1) <= col("n")).as("bound_ok"))
+        .orderBy("k")
+    },
+    // Scalar HLL union estimation (the reference's estimate_union planning
+    // primitive, taxor_build.cpp:470-473): per-event-type user sketches,
+    // every pair's |A ∪ B| estimate gated against the exact distinct union
+    // within the published 1.04/sqrt(m) bound (|A ∩ B| follows by
+    // inclusion–exclusion — the dedup-overlap planning use).
+    "hll_union_estimate" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val p = 14
+      val ev = t(s, dir, "events")
+      val sks = ev.groupBy("event_type").agg(hll_agg(col("user_id"), p).as("sk"))
+      val ests = sks.as("a").join(sks.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("et_a"), col("b.event_type").as("et_b"),
+          hll_union_estimate(col("a.sk"), col("b.sk")).as("est"))
+      val exact = ests.select("et_a", "et_b")
+        .join(ev, ev("event_type") === col("et_a") ||
+          ev("event_type") === col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(countDistinct(col("user_id")).as("exact_union"))
+      exact.join(broadcast(ests), Seq("et_a", "et_b"))
+        .select(col("et_a"), col("et_b"), col("exact_union"),
+          (abs(col("est") - col("exact_union")) <=
+            lit(3 * graft.sketch.Hll.stdError(p)) * col("exact_union") +
+              lit(2.0)).as("within_bound"))
+        .orderBy("et_a", "et_b")
+    },
+    // Substring-level dedup: identical 256-char spans (stride 224)
+    // canonicalized corpus-wide; byte-exact oracle via the chunk pattern
+    // (same generate_series cap + ASCII/length invariant as text_chunks).
+    "dedup_span_exact" -> { (s, dir) =>
+      Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text",
+          size = 256, overlap = 32)
+        .orderBy("doc_id", "chunk_idx")
+    },
     // inter-event latency quantiles from ts (lag window), t-digest bound.
     "latency_quantiles" -> { (s, dir) =>
       GraftFunctions.register(s)
@@ -580,8 +649,11 @@ object SparkEntry {
           (length(col("text")) - 7).cast("long").as("n_positions"),
           size(minimizers(col("text"), 8, w)).cast("long").as("n_min"))
         .select(col("doc_id"), col("n_positions"),
-          (col("n_min") >= greatest(col("n_positions") / (w * 8), lit(1L)) &&
-            col("n_min") <= col("n_positions")).as("density_ok"))
+          // docs shorter than k have no k-gram positions: vacuously ok
+          // (n_positions goes negative, n_min = 0)
+          (col("n_positions") <= 0 ||
+            (col("n_min") >= greatest(col("n_positions") / (w * 8), lit(1L)) &&
+              col("n_min") <= col("n_positions"))).as("density_ok"))
         .orderBy("doc_id")
     },
     // S8: open-syncmer down-selection (the reference's default tokenizer) —
@@ -595,8 +667,10 @@ object SparkEntry {
           (length(col("text")) - 7).cast("long").as("n_positions"),
           size(syncmers(col("text"), 8, 4, 2)).cast("long").as("n_sync"))
         .select(col("doc_id"), col("n_positions"),
-          (col("n_sync") <= col("n_positions") &&
-            col("n_sync") >= col("n_positions") / 40).as("density_ok"))
+          // docs shorter than k: vacuously ok (see minimizer_density)
+          (col("n_positions") <= 0 ||
+            (col("n_sync") <= col("n_positions") &&
+              col("n_sync") >= col("n_positions") / 40)).as("density_ok"))
         .orderBy("doc_id")
     },
     // C1 E-step under the oracle gate: EM limited to one iteration with
@@ -820,7 +894,7 @@ object SparkEntry {
          pairs AS (SELECT id_a, id_b FROM inter
                    JOIN cnt ca ON ca.doc_id = id_a
                    JOIN cnt cb ON cb.doc_id = id_b
-                   WHERE i*1.0/(ca.c + cb.c - i) >= 0.7),
+                   WHERE i*1.0/(ca.c + cb.c - i) >= 0.8),
          nbr AS (SELECT id_a AS id, id_b AS nb FROM pairs
                  UNION ALL SELECT id_b, id_a FROM pairs),
          reach(id, lab) AS (
@@ -884,6 +958,35 @@ object SparkEntry {
     "latency_quantiles" ->
       """SELECT q_label, true AS within_rank_error FROM (VALUES ('q10'),
          ('q50'),('q90')) AS t(q_label) ORDER BY q_label""",
+    "heavy_hitters_topk" ->
+      """SELECT 'k' || CAST(64 // (user_id % 64 + 1) AS VARCHAR) AS k,
+         count(*) AS exact_cnt, true AS heavy_present, true AS bound_ok
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "hll_union_estimate" ->
+      """WITH ty AS (SELECT DISTINCT event_type FROM events),
+         p AS (SELECT a.event_type AS et_a, b.event_type AS et_b
+               FROM ty a, ty b WHERE a.event_type < b.event_type)
+         SELECT et_a, et_b,
+           count(DISTINCT CASE WHEN e.event_type IN (et_a, et_b)
+                 THEN e.user_id END) AS exact_union,
+           true AS within_bound
+         FROM p, events e GROUP BY 1,2 ORDER BY 1,2""",
+    // same series cap + stride as text_chunks; canonical = lexicographic
+    // min (doc_id, chunk_idx) over identical chunk text, encoded as
+    // doc_id*1000000+chunk_idx (chunk_idx <= 4 under the 1007-byte invariant)
+    "dedup_span_exact" ->
+      """WITH ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             substr(text, CAST(i*224+1 AS INT), 256) AS chunk
+           FROM documents, generate_series(0, 1000) t(i)
+           WHERE i <= greatest(0, ceil((length(text) - 256)*1.0/224))),
+         c2 AS (SELECT doc_id, chunk_idx,
+             min(doc_id*1000000 + chunk_idx) OVER (PARTITION BY chunk) AS ck
+           FROM ch)
+         SELECT doc_id, chunk_idx,
+           CAST(ck // 1000000 AS BIGINT) AS canonical_doc_id,
+           CAST(ck % 1000000 AS INT) AS canonical_chunk_idx,
+           (doc_id*1000000 + chunk_idx) = ck AS is_canonical
+         FROM c2 ORDER BY doc_id, chunk_idx""",
     "fracminhash_distinct" ->
       """WITH sh AS (SELECT DISTINCT source, substr(text, CAST(i AS INT), 8) AS s
                      FROM documents, generate_series(1, 1000) t(i)

@@ -160,6 +160,45 @@ case class KllAgg(
   override def prettyName: String = "graft_kll_agg"
 }
 
+/** Misra–Gries/SpaceSaving heavy-hitter top-k summary over STRING keys (or
+  * BINARY sketches in merge mode). Unlike the hash-consuming sketches this
+  * one stores the KEYS themselves — enumeration (`topk_items`) is the point.
+  * Optional weight child (LONG) supports pre-aggregated inputs. */
+case class TopKAgg(
+    child: Expression,
+    capacity: Int,
+    mergeInput: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[SpaceSaving]
+    with UnaryLike[Expression] {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): SpaceSaving = SpaceSaving.empty(capacity)
+  override def update(buf: SpaceSaving, input: InternalRow): SpaceSaving = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else if (mergeInput)
+      buf.merge(SpaceSaving.fromBytes(v.asInstanceOf[Array[Byte]]))
+    else {
+      buf.update(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      buf
+    }
+  }
+  override def merge(a: SpaceSaving, b: SpaceSaving): SpaceSaving = a.merge(b)
+  override def eval(buf: SpaceSaving): Any = buf.toBytes
+  override def serialize(buf: SpaceSaving): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): SpaceSaving =
+    SpaceSaving.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): TopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): TopKAgg =
+    copy(child = c)
+  override def prettyName: String = "graft_topk_agg"
+}
+
 /** Merging t-digest over DOUBLE values (or BINARY sketches in merge mode). */
 case class TDigestAgg(
     child: Expression,

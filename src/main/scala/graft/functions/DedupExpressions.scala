@@ -67,9 +67,15 @@ object DedupOps {
     * of parameterizations per app). */
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, Int), Array[Float]]()
+  /** Hard cap on memoized parameterizations: ragged-dims workloads (many
+    * embedding models in one session) would otherwise grow executor memory
+    * unboundedly. Exceeding the cap clears the whole cache (recompute is
+    * cheap; entries are equally likely to recur — no LRU bookkeeping). */
+  private val PlaneCacheMax = 64
 
   private def srpPlanes(
-      seed: Long, tables: Int, bits: Int, dims: Int): Array[Float] =
+      seed: Long, tables: Int, bits: Int, dims: Int): Array[Float] = {
+    if (planeCache.size > PlaneCacheMax) planeCache.clear()
     planeCache.computeIfAbsent((seed, tables, bits, dims), _ => {
       val signs = new Array[Float](tables * bits * dims)
       var t = 0
@@ -90,6 +96,7 @@ object DedupOps {
       }
       signs
     })
+  }
 
   /** Signed-random-projection LSH bucket of a float-vector: `bits` sign bits
     * from deterministic pseudo-hyperplanes (component of plane b at dim d is

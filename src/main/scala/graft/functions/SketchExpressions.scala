@@ -24,6 +24,28 @@ object SketchOps {
     TDigest.fromBytes(buf).quantile(q)
   def tdigestCdf(buf: Array[Byte], x: Double): Double =
     TDigest.fromBytes(buf).cdf(x)
+  /** Ertl estimate of |A ∪ B| from two HLL sketches: register-wise max into
+    * a copy (never mutates an input — Catalyst may re-evaluate it), then the
+    * usual estimator. |A ∩ B| follows by inclusion–exclusion — the planning
+    * primitive the reference's layout search uses
+    * (/root/reference/src/main/taxor_build.cpp:470-473, chopper's
+    * estimate_union). */
+  def hllUnionEstimate(a: Array[Byte], b: Array[Byte]): Double =
+    Hll.estimate(Hll.merge(a.clone(), b))
+  def topkTotal(buf: Array[Byte]): Long = SpaceSaving.fromBytes(buf).n
+  def topkDec(buf: Array[Byte]): Long = SpaceSaving.fromBytes(buf).dec
+  def topkEstimate(buf: Array[Byte], key: UTF8String): Long =
+    SpaceSaving.fromBytes(buf).estimate(key.toString)
+  /** Top-k entries of a SpaceSaving sketch as array<struct<item,est>>,
+    * count desc then item asc. */
+  def topkItems(buf: Array[Byte], k: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val rows = SpaceSaving.fromBytes(buf).topK(k).map { case (item, est) =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(item), est)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+  }
   /** Count how many of `hashes` are contained in the Bloom filter — the
     * analogue of the reference's interleaved bulk count
     * (/root/reference/src/hixf/build/hierarchical_interleaved_xor_filter.hpp:
@@ -120,6 +142,79 @@ case class HllEstimate(child: Expression)
   override protected def withNewChildInternal(c: Expression): HllEstimate =
     copy(child = c)
   override def prettyName: String = "graft_hll_estimate"
+}
+
+/** Scalar |A ∪ B| estimate from two HLL sketch columns (see
+  * SketchOps.hllUnionEstimate). */
+case class HllUnionEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchOps.hllUnionEstimate(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SketchOps.hllUnionEstimate($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HllUnionEstimate = copy(left = l, right = r)
+  override def prettyName: String = "graft_hll_union_estimate"
+}
+
+/** Top-k entries of a SpaceSaving sketch, count desc then item asc. */
+case class TopKItems(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("est", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.topkItems(v.asInstanceOf[Array[Byte]], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.topkItems($c, $k)")
+  override protected def withNewChildInternal(c: Expression): TopKItems =
+    copy(child = c)
+  override def prettyName: String = "graft_topk_items"
+}
+
+/** Total weight N seen by a SpaceSaving sketch. */
+case class TopKTotal(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.topkTotal(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.topkTotal($c)")
+  override protected def withNewChildInternal(c: Expression): TopKTotal =
+    copy(child = c)
+  override def prettyName: String = "graft_topk_total"
+}
+
+/** Cumulative pruned decrement — the undercount certificate
+  * (true - est <= dec <= N/(capacity+1)). */
+case class TopKDec(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.topkDec(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.topkDec($c)")
+  override protected def withNewChildInternal(c: Expression): TopKDec =
+    copy(child = c)
+  override def prettyName: String = "graft_topk_dec"
+}
+
+/** Stored count of `key` in a SpaceSaving sketch (0 when absent). */
+case class TopKEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(sketch: Any, key: Any): Any =
+    SketchOps.topkEstimate(
+      sketch.asInstanceOf[Array[Byte]], key.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, k) => s"graft.functions.SketchOps.topkEstimate($s, $k)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TopKEstimate = copy(left = l, right = r)
+  override def prettyName: String = "graft_topk_estimate"
 }
 
 case class BloomContains(left: Expression, right: Expression)

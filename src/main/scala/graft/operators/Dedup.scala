@@ -145,6 +145,36 @@ object Dedup {
         (coalesce(col("label"), col(idCol)) === col(idCol)).as("is_canonical"))
   }
 
+  /** Substring-level (span) dedup — training pipelines dedup repeated SPANS
+    * (boilerplate headers, license blocks, quoted replies), not just whole
+    * documents: chunk each document into `size`-char windows every
+    * `size - overlap` chars (TextStats.chunk) and canonicalize identical
+    * chunks corpus-wide by content hash. Same scale shape as
+    * exactCanonical: one shuffle on the 128-bit chunk hash, chunk text never
+    * shuffles. Canonical = lexicographic minimum (doc_id, chunk_idx) among
+    * identical chunks (deterministic).
+    *
+    * Output: (idCol, chunk_idx, canonical_doc_id, canonical_chunk_idx,
+    * is_canonical) — one row per chunk. */
+  def spanDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int,
+      overlap: Int = 0): DataFrame = {
+    val chunks = TextStats.chunk(df, idCol, textCol, size, overlap)
+    val hashed = chunks.select(col(idCol), col("chunk_idx"),
+      md5(col("chunk")).as("__h"))
+    val canon = hashed.groupBy("__h")
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__c"))
+    hashed.join(canon, "__h")
+      .select(col(idCol), col("chunk_idx"),
+        col("__c").getField(idCol).as("canonical_doc_id"),
+        col("__c.chunk_idx").as("canonical_chunk_idx"),
+        (col(idCol) === col("__c").getField(idCol) &&
+          col("chunk_idx") === col("__c.chunk_idx")).as("is_canonical"))
+  }
+
   /** SimHash near-dup pairs: 64-bit simhash, banded into 4 × 16-bit chunks
     * (a pair within Hamming distance 3 must agree on at least one chunk),
     * verified with bit_count(xor) <= maxHamming.

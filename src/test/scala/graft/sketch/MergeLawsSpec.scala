@@ -69,6 +69,35 @@ object MergeLawsSpec extends Properties("MergeLaws") {
       }
     }
 
+  private val keyLists =
+    Gen.listOf(Gen.choose(0, 40).map(i => s"k$i"))
+
+  property("spacesaving merge: bounds hold under both association orders") =
+    forAll(keyLists, keyLists, keyLists) { (a, b, c) =>
+      val m = 4
+      def sk(xs: List[String]): SpaceSaving = {
+        val s = SpaceSaving.empty(m); xs.foreach(s.update(_)); s
+      }
+      val all = a ++ b ++ c
+      val exact = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = all.length.toLong
+      // MG is not byte-deterministic across splits (prune survivors depend
+      // on arrival order) — the LAW is that every published bound holds for
+      // every association order, at the combined N
+      val orders = Seq(
+        sk(a).merge(sk(b).merge(sk(c))),
+        sk(a).merge(sk(b)).merge(sk(c)))
+      Prop.all(orders.map { s =>
+        Prop(s.n == n) &&
+          Prop(s.dec * (m + 1) <= n) &&
+          Prop(exact.forall { case (k, cnt) =>
+            val est = s.estimate(k)
+            est <= cnt && cnt - est <= s.dec &&
+              (cnt * (m + 1) <= n || est > 0)
+          })
+      }: _*)
+    }
+
   property("codec round-trip: kll and tdigest survive bytes") =
     forAll(doubles) { xs =>
       val s = Kll.empty(64); xs.foreach(s.update)

@@ -204,4 +204,97 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(back.quantile(0.5) - t.quantile(0.5)) < 1e-9)
     assert(back.totalWeight == t.totalWeight)
   }
+
+  // ---- SpaceSaving / Misra–Gries -------------------------------------------
+
+  /** Zipf-ish stream: key "k<i>" with frequency ∝ 1/(i+1); returns the
+    * stream plus exact counts. */
+  private def zipfStream(n: Int, keys: Int, seed: Long)
+      : (Array[String], Map[String, Long]) = {
+    val r = new Random(seed)
+    val hn = (1 to keys).map(1.0 / _).sum
+    val stream = Array.fill(n) {
+      // inverse CDF over harmonic weights
+      val u = r.nextDouble() * hn
+      var cum = 0.0
+      var k = 0
+      while (k < keys - 1 && { cum += 1.0 / (k + 1); cum < u }) k += 1
+      s"k$k"
+    }
+    (stream, stream.groupBy(identity).view.mapValues(_.length.toLong).toMap)
+  }
+
+  test("spacesaving: published MG guarantees on a skewed stream") {
+    val m = 8
+    val (stream, exact) = zipfStream(50000, 200, seed = 42)
+    val s = SpaceSaving.empty(m)
+    stream.foreach(s.update(_))
+    val n = stream.length.toLong
+    assert(s.n == n, "total weight conserved")
+    assert(s.counts.size <= 2 * m)
+    assert(s.dec * (m + 1) <= n, "dec <= N/(m+1)")
+    exact.foreach { case (k, cnt) =>
+      val est = s.estimate(k)
+      assert(est <= cnt, s"$k overcounts: est=$est exact=$cnt")
+      assert(cnt - est <= s.dec, s"$k busts dec certificate")
+      if (cnt * (m + 1) > n)
+        assert(est > 0, s"heavy hitter $k (cnt=$cnt) evicted")
+    }
+    // top-k enumeration is est-desc, key-asc and bounded
+    val top = s.topK(m)
+    assert(top.size <= m)
+    assert(top == top.sortBy { case (k, c) => (-c, k) })
+  }
+
+  test("spacesaving: merged parts keep all guarantees (mergeable summaries)") {
+    val m = 8
+    val (stream, exact) = zipfStream(60000, 300, seed = 7)
+    val parts = stream.grouped(9173).map(_.toSeq).toSeq
+    def sk(p: Seq[String]): SpaceSaving = {
+      val s = SpaceSaving.empty(m); p.foreach(s.update(_)); s
+    }
+    // two association orders — both must satisfy the deterministic bounds
+    val left = parts.map(sk).reduceLeft(_.merge(_))
+    val right = parts.map(sk).reduceRight((a, b) => b.merge(a))
+    val n = stream.length.toLong
+    for (s <- Seq(left, right)) {
+      assert(s.n == n)
+      assert(s.dec * (m + 1) <= n)
+      exact.foreach { case (k, cnt) =>
+        val est = s.estimate(k)
+        assert(est <= cnt)
+        assert(cnt - est <= s.dec)
+        if (cnt * (m + 1) > n) assert(est > 0, s"heavy $k evicted post-merge")
+      }
+    }
+  }
+
+  test("spacesaving codec round-trips (counts, n, dec, capacity)") {
+    val s = SpaceSaving.empty(5)
+    Seq("a", "b", "a", "c", "a", "d", "b", "e", "f", "g", "a")
+      .foreach(s.update(_))
+    val back = SpaceSaving.fromBytes(s.toBytes)
+    assert(back.capacity == s.capacity && back.n == s.n && back.dec == s.dec)
+    assert(back.counts == s.counts)
+  }
+
+  test("hll union estimate within bound; intersection by inclusion-exclusion") {
+    val p = 12
+    val a = hashes(30000, 21)
+    val b = a.take(10000) ++ hashes(20000, 22) // ~1/3 overlap
+    val (ha, hb) = (Hll.empty(p), Hll.empty(p))
+    a.foreach(Hll.update(ha, _)); b.foreach(Hll.update(hb, _))
+    val exactUnion = (a ++ b).distinct.length
+    val est = graft.functions.SketchOps.hllUnionEstimate(ha, hb)
+    assert(math.abs(est - exactUnion) <= 3 * Hll.stdError(p) * exactUnion + 2,
+      s"union est=$est exact=$exactUnion")
+    // must not mutate its inputs (Catalyst may re-evaluate)
+    assert(math.abs(Hll.estimate(ha) - a.distinct.length) <=
+      3 * Hll.stdError(p) * a.distinct.length + 2, "left input mutated")
+    val exactInter = a.toSet.intersect(b.toSet).size
+    val interEst = Hll.estimate(ha) + Hll.estimate(hb) - est
+    assert(math.abs(interEst - exactInter) <=
+      9 * Hll.stdError(p) * exactUnion + 6, // three estimates' errors add
+      s"intersection est=$interEst exact=$exactInter")
+  }
 }
