@@ -220,15 +220,19 @@ object SparkEntry {
       GraftFunctions.register(s)
       val (corpus, qs) = corpusQueries(s, dir)
       val cols = Seq("query_id", "group", "match_cnt", "query_n")
-      val flat = Classify.sketch(corpus, qs, minFraction = 0.1)
+      // ONE salted filter build shared by both probe strategies — the build
+      // dominates the cost; flat vs two-level results provably identical
+      val filters = Classify.buildFilters(corpus)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val flat = Classify.sketchWithFilters(filters, qs, minFraction = 0.1)
         .select(cols.map(col): _*).cache()
-      val hier = Classify.hierarchicalSketch(corpus, qs, minFraction = 0.1,
-          nBuckets = 16)
+      val hier = Classify.hierarchicalSketchWithFilters(filters, qs,
+          minFraction = 0.1, nBuckets = 16)
         .select(cols.map(col): _*).cache()
       val nFlat = flat.count()
       val nHier = hier.count()
       val inter = hier.join(flat, cols, "left_semi").count()
-      flat.unpersist(); hier.unpersist()
+      flat.unpersist(); hier.unpersist(); filters.unpersist()
       import s.implicits._
       Seq(("hier_equals_flat", nFlat == nHier && inter == nHier && nFlat > 0))
         .toDF("check", "ok").orderBy("check")

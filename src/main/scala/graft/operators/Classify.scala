@@ -70,6 +70,44 @@ object Classify {
       seed: Long = DefaultSeed): DataFrame =
     applyFilters(exactCounts(corpus, queries, shingleK, seed), minFraction)
 
+  /** Per-group partitioned-Bloom filter table (group, bf) — the build stage
+    * shared by sketch(), hierarchicalSketch() and their `*WithFilters`
+    * probe variants (so one build can feed several probe strategies without
+    * re-running the dominant shingle-explode + Bloom aggregation). Salted
+    * two-stage build: skew-proof and byte-identical to direct. */
+  def buildFilters(
+      corpus: DataFrame, // (group, text)
+      shingleK: Int = 8,
+      expectedShinglesPerGroup: Long = 1 << 17,
+      fpp: Double = 0.0039,
+      saltBuckets: Int = 8,
+      seed: Long = DefaultSeed): DataFrame = {
+    val groupSh = corpus.select(col("group"),
+      explode(shingles(col("text"), shingleK, seed = seed)).as("h"))
+    SaltedAgg.twoStage(
+      groupSh, Seq("group"), saltBuckets,
+      saltOn = Seq(col("h")),
+      partialAggs =
+        Seq(bloom_agg_hashed(col("h"), expectedShinglesPerGroup, fpp, seed).as("bf_p")),
+      finalAggs =
+        Seq(bloom_merge_agg(col("bf_p"), expectedShinglesPerGroup, fpp, seed).as("bf")))
+  }
+
+  /** Flat probe of a prebuilt (group, bf) filter table. */
+  def sketchCountsWithFilters(
+      filters: DataFrame, // (group, bf)
+      queries: DataFrame, // (query_id, text)
+      shingleK: Int = 8,
+      seed: Long = DefaultSeed): DataFrame = {
+    val probes = queries.select(col("query_id"),
+      shingles(col("text"), shingleK, seed = seed).as("hs"))
+      .withColumn("query_n", size(col("hs")))
+    probes.crossJoin(broadcast(filters.select("group", "bf")))
+      .withColumn("match_cnt", bloom_count_contained(col("bf"), col("hs")))
+      .where(col("match_cnt") > 0)
+      .select("query_id", "group", "match_cnt", "query_n")
+  }
+
   /** Raw Bloom-filter match counts, no filters; same shape as exactCounts. */
   def sketchCounts(
       corpus: DataFrame, // (group, text)
@@ -78,25 +116,11 @@ object Classify {
       expectedShinglesPerGroup: Long = 1 << 17,
       fpp: Double = 0.0039,
       saltBuckets: Int = 8,
-      seed: Long = DefaultSeed): DataFrame = {
-    val groupSh = corpus.select(col("group"),
-      explode(shingles(col("text"), shingleK, seed = seed)).as("h"))
-    // salted two-stage Bloom build: skew-proof and byte-identical to direct
-    val filters = SaltedAgg.twoStage(
-      groupSh, Seq("group"), saltBuckets,
-      saltOn = Seq(col("h")),
-      partialAggs =
-        Seq(bloom_agg_hashed(col("h"), expectedShinglesPerGroup, fpp, seed).as("bf_p")),
-      finalAggs =
-        Seq(bloom_merge_agg(col("bf_p"), expectedShinglesPerGroup, fpp, seed).as("bf")))
-    val probes = queries.select(col("query_id"),
-      shingles(col("text"), shingleK, seed = seed).as("hs"))
-      .withColumn("query_n", size(col("hs")))
-    probes.crossJoin(broadcast(filters))
-      .withColumn("match_cnt", bloom_count_contained(col("bf"), col("hs")))
-      .where(col("match_cnt") > 0)
-      .select("query_id", "group", "match_cnt", "query_n")
-  }
+      seed: Long = DefaultSeed): DataFrame =
+    sketchCountsWithFilters(
+      buildFilters(corpus, shingleK, expectedShinglesPerGroup, fpp,
+        saltBuckets, seed),
+      queries, shingleK, seed)
 
   /** Bloom-accelerated classification; identical shape to `exact`. `fpp`
     * controls the overcount slack (reference parity: 0.0039,
@@ -114,6 +138,16 @@ object Classify {
       sketchCounts(corpus, queries, shingleK, expectedShinglesPerGroup, fpp,
         saltBuckets, seed),
       minFraction)
+
+  /** Flat Bloom classification over a prebuilt (group, bf) filter table. */
+  def sketchWithFilters(
+      filters: DataFrame, // (group, bf)
+      queries: DataFrame, // (query_id, text)
+      shingleK: Int = 8,
+      minFraction: Double = 0.1,
+      seed: Long = DefaultSeed): DataFrame =
+    applyFilters(
+      sketchCountsWithFilters(filters, queries, shingleK, seed), minFraction)
 
   /** Hierarchical two-level Bloom probe — the Spark-first analogue of the
     * reference's HIXF search structure (a coarse level prunes which
@@ -149,22 +183,46 @@ object Classify {
       fpp: Double = 0.0039,
       saltBuckets: Int = 8,
       seed: Long = DefaultSeed): DataFrame = {
-    val groupSh = corpus.select(col("group"),
-      explode(shingles(col("text"), shingleK, seed = seed)).as("h"))
     // persisted: the filter table (one small row per group) appears in the
     // final plan three times (bucket merge, live-bucket semi-join, fine
     // probe) — without the cache every action re-runs the dominant
     // shingle-explode + Bloom build that many times. Evictable; lineage
     // recomputes deterministically if dropped.
-    val filters = SaltedAgg.twoStage(
-      groupSh, Seq("group"), saltBuckets,
-      saltOn = Seq(col("h")),
-      partialAggs = Seq(bloom_agg_hashed(col("h"),
-        expectedShinglesPerGroup, fpp, seed).as("bf_p")),
-      finalAggs = Seq(bloom_merge_agg(col("bf_p"),
-        expectedShinglesPerGroup, fpp, seed).as("bf")))
-      .withColumn("bucket", pmod(xxhash64(col("group")), lit(nBuckets)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filters =
+      buildFilters(corpus, shingleK, expectedShinglesPerGroup, fpp,
+        saltBuckets, seed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hierarchicalSketchWithFilters(filters, queries, shingleK, minFraction,
+      nBuckets, expectedShinglesPerGroup, fpp, seed)
+  }
+
+  /** C3-style layout choice for the coarse level: bucket count ≈
+    * sqrt(|groups|) balances the stage-1 broadcast (nBuckets coarse
+    * filters) against stage-2 pruning power (expected members per surviving
+    * bucket) — the engine's analogue of the reference's expected-query-cost
+    * layout search over t_max candidates (taxor_build.cpp:168-233), using
+    * the already-materialized group count instead of a DP. */
+  def autoBuckets(nGroups: Long): Int =
+    math.max(2, math.min(1024, math.ceil(math.sqrt(nGroups.toDouble)).toInt))
+
+  /** Two-level probe of a prebuilt (group, bf) filter table (see
+    * hierarchicalSketch for semantics and the losslessness argument).
+    * `filters` should be persisted by the caller — the plan references it
+    * three times. `nBuckets <= 0` picks the coarse layout automatically
+    * from the group count (autoBuckets). */
+  def hierarchicalSketchWithFilters(
+      filters0: DataFrame, // (group, bf)
+      queries: DataFrame, // (query_id, text)
+      shingleK: Int = 8,
+      minFraction: Double = 0.1,
+      nBuckets: Int = 16,
+      expectedShinglesPerGroup: Long = 1 << 17,
+      fpp: Double = 0.0039,
+      seed: Long = DefaultSeed): DataFrame = {
+    val buckets =
+      if (nBuckets > 0) nBuckets else autoBuckets(filters0.count())
+    val filters = filters0
+      .withColumn("bucket", pmod(xxhash64(col("group")), lit(buckets)))
     // coarse level: OR-merge of member filters per bucket (tiny table)
     val bucketFilters = filters.groupBy("bucket")
       .agg(bloom_merge_agg(col("bf"), expectedShinglesPerGroup, fpp, seed)

@@ -47,10 +47,13 @@ object ProfilePipeline {
   /** F7 — MegaPath-style association filter
     * (taxor_profile.cpp:286-465): ref A is "explained by" B when >= shareCo
     * of A's queries co-map to B and B dominates A (more unique queries, or
-    * more total queries). Chains are chased to a fixpoint on the driver (the
-    * ref count is small — the reference does the same in-memory), then A's
-    * matches are remapped to B via a broadcast map, dropping rows whose
-    * query already maps to B. */
+    * more total queries). The dominance predicate is evaluated INSIDE the
+    * pairs aggregation against broadcast per-ref stats (both sides O(refs)),
+    * so only the explained EDGES reach the driver — the co-occurrence
+    * matrix (O(refs²) at worst) never does. Chains are then chased to a
+    * fixpoint on the tiny explained map (the reference does the same
+    * in-memory, cpp:385-399) and A's matches are remapped to B via a
+    * broadcast map, dropping rows whose query already maps to B. */
   def associationFilter(matches: DataFrame, shareCo: Double = 0.95): DataFrame = {
     val spark = matches.sparkSession
     val w = Window.partitionBy("query_id")
@@ -62,15 +65,18 @@ object ProfilePipeline {
         col("a.query_id") === col("b.query_id") && col("a.ref") =!= col("b.ref"))
       .groupBy(col("a.ref").as("ra"), col("b.ref").as("rb"))
       .agg(count(lit(1)).as("co"))
-    val statMap = stats.collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    val explained = pairs.collect().flatMap { r =>
-      val (ra, rb, co) = (r.getString(0), r.getString(1), r.getLong(2))
-      val (ua, ta) = statMap(ra); val (ub, tb) = statMap(rb)
-      if (co.toDouble / ta >= shareCo && (ub > ua || (ub == ua && tb > ta)))
-        Some(ra -> rb)
-      else None
-    }.toMap
+    // distributed dominance test; co/ta kept as the same double division the
+    // scalar form used, so the shareCo cut is bit-identical to the old path
+    val explained = pairs
+      .join(broadcast(stats.select(col("ref").as("ra"),
+        col("u").as("__ua"), col("total").as("__ta"))), "ra")
+      .join(broadcast(stats.select(col("ref").as("rb"),
+        col("u").as("__ub"), col("total").as("__tb"))), "rb")
+      .where(col("co") / col("__ta") >= shareCo &&
+        (col("__ub") > col("__ua") ||
+          (col("__ub") === col("__ua") && col("__tb") > col("__ta"))))
+      .select("ra", "rb")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     // chase chains to a fixpoint (cpp:385-399), cycle-guarded
     def resolve(r: String): String = {
       var cur = r
@@ -310,5 +316,35 @@ object ProfilePipeline {
         s"${r.get(0)}\t${Option(r.getString(1)).getOrElse("-")}")
     writeLocal(binning, path, Seq(s"@SampleID:$sampleId", "@Version:0.10.0",
       "@@SEQUENCEID\tTAXID") ++ rows)
+  }
+
+  /** IO9 at scale — DISTRIBUTED CAMI binning sink: the same rows as
+    * writeBinning but written by the executors (text part files under
+    * `<dir>/rows`, one row per query, `-` for unmatched), with the @-header
+    * written once to `<dir>/header`. writeBinning stays for the single-file
+    * CAMI submission artifact (its driver collect is the submission
+    * format's price); this is the path a 100×-scale user takes — no row
+    * ever reaches the driver. Rows are unordered across part files (the
+    * binning format is keyed by SEQUENCEID, not order); `readBinningLines`
+    * reassembles header + sorted rows for comparison/export. */
+  def writeBinningDistributed(
+      binning: DataFrame, dir: String, sampleId: String): Unit = {
+    binning.select(concat_ws("\t",
+        col(binning.columns.head).cast("string"),
+        coalesce(col(binning.columns(1)).cast("string"), lit("-"))).as("line"))
+      .write.mode("overwrite").text(s"$dir/rows")
+    writeLocal(binning, s"$dir/header", Seq(s"@SampleID:$sampleId",
+      "@Version:0.10.0", "@@SEQUENCEID\tTAXID"))
+  }
+
+  /** Reassemble a writeBinningDistributed directory into the single-file
+    * line sequence (header lines, then rows sorted by SEQUENCEID) — golden-
+    * comparable with a writeBinning file on the same input. */
+  def readBinningLines(
+      spark: SparkSession, dir: String): Seq[String] = {
+    val header = spark.read.textFile(s"$dir/header").collect().toSeq
+    val rows = spark.read.textFile(s"$dir/rows")
+      .collect().toSeq.sortBy(_.split("\t", 2).head)
+    header ++ rows
   }
 }

@@ -178,29 +178,46 @@ object Similarity {
   object IvfIndex {
     def build(corpus: DataFrame, dir: String, nCentroids: Int = 32,
         kmeansIters: Int = 0): Unit = {
+      val spark = corpus.sparkSession
       val cents = refineCentroids(
         corpus, pickCentroids(corpus, nCentroids), kmeansIters)
+      require(cents.nonEmpty, "IVF build over an empty corpus")
       val cells = corpus.withColumn("cid",
         element_at(nearest_centroids(col("vec"), typedLit(cents), 1), 1))
       cells.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/data")
-      val centStr = cents.map(_.mkString(",")).mkString(";")
+      // centroid matrix as a dedicated tiny parquet sidecar (one row per
+      // cell), not a string packed into the manifest — schema'd, typed, and
+      // immune to manifest quoting/ordering changes
+      import spark.implicits._
+      cents.zipWithIndex.map { case (v, c) => (c, v) }
+        .toDF("cid", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
       graft.sources.SketchTable.saveManifestOnly(
-        corpus.sparkSession, dir,
-        Map("kind" -> "ivf", "n_centroids" -> nCentroids.toString,
-          "dims" -> cents.headOption.map(_.size).getOrElse(0).toString,
-          "centroids" -> centStr))
+        spark, dir,
+        Map("kind" -> "ivf", "n_centroids" -> cents.size.toString,
+          "dims" -> cents.head.size.toString))
     }
 
     def loadCentroids(
         spark: org.apache.spark.sql.SparkSession,
         dir: String): Seq[Seq[Float]] = {
       val manifest = graft.sources.SketchTable.readManifest(spark, dir)
-      val m = """"centroids":"([^"]*)"""".r
-        .findFirstMatchIn(manifest)
-        .getOrElse(sys.error(s"no centroids in manifest at $dir")).group(1)
-      require(m.nonEmpty,
-        s"empty IVF index at $dir (built from an empty corpus?)")
-      m.split(";").toSeq.map(_.split(",").toSeq.map(_.toFloat))
+      graft.sources.SketchTable.requireParams(
+        manifest, Map("kind" -> "ivf"), dir)
+      val p = graft.sources.SketchTable.params(manifest)
+      val n = p.getOrElse("n_centroids",
+        sys.error(s"no n_centroids in manifest at $dir")).toInt
+      val dims = p.getOrElse("dims",
+        sys.error(s"no dims in manifest at $dir")).toInt
+      val rows = spark.read.parquet(s"$dir/centroids")
+        .orderBy("cid").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq))
+      require(rows.length == n && rows.map(_._1).toSeq == (0 until n),
+        s"IVF index at $dir: centroid sidecar has ${rows.length} rows, " +
+          s"manifest says $n")
+      require(rows.forall(_._2.size == dims),
+        s"IVF index at $dir: centroid dims disagree with manifest ($dims)")
+      rows.map(_._2).toSeq
     }
 
     def topK(
@@ -210,6 +227,8 @@ object Similarity {
         k: Int,
         nProbe: Int = 4): DataFrame = {
       val cents = loadCentroids(spark, dir)
+      require(nProbe >= 1 && nProbe <= cents.size,
+        s"nProbe=$nProbe out of range for ${cents.size} centroids")
       val centsLit = typedLit(cents)
       val probes = queries.withColumn("cid",
         explode(nearest_centroids(col("qvec"), centsLit, nProbe)))

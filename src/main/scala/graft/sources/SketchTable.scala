@@ -51,6 +51,44 @@ object SketchTable {
     manifest
   }
 
+  /** Parse the flat params map out of a manifest. Our own writers emit only
+    * string values with no escaping or nested objects inside "params", so a
+    * non-greedy brace scan is exact for this format (not general JSON). */
+  def params(manifest: String): Map[String, String] =
+    """"params":\{([^}]*)\}""".r.findFirstMatchIn(manifest) match {
+      case Some(m) =>
+        """"([^"]*)":"([^"]*)"""".r.findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2)).toMap
+      case None => Map.empty
+    }
+
+  /** The reference's multi-index sanity check re-expressed for persisted
+    * sketch tables (/root/reference/src/main/taxor_search.cpp:97-151): a
+    * probe whose tokenizer/sketch params (k, seed, fpp, dims, …) disagree
+    * with what the index was built with returns silently-wrong results —
+    * fail loudly instead. Keys in `expect` must be present AND equal. */
+  def requireParams(
+      manifest: String, expect: Map[String, String], dir: String): Unit = {
+    val have = params(manifest)
+    val bad = expect.collect {
+      case (k, v) if !have.get(k).contains(v) =>
+        s"$k: probe=$v index=${have.getOrElse(k, "<absent>")}"
+    }
+    require(bad.isEmpty,
+      s"sketch-table param mismatch at $dir — probing with incompatible " +
+        s"parameters would be silently wrong: ${bad.mkString("; ")}")
+  }
+
+  /** Load + validate in one step (see requireParams). */
+  def loadValidated(
+      spark: SparkSession,
+      dir: String,
+      expect: Map[String, String]): (DataFrame, String) = {
+    val (df, manifest) = load(spark, dir)
+    requireParams(manifest, expect, dir)
+    (df, manifest)
+  }
+
   def load(spark: SparkSession, dir: String): (DataFrame, String) = {
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

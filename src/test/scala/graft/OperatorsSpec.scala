@@ -243,6 +243,18 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // params, so pruning is lossless: identical output, fewer fine probes
     assert(hier == flat, s"hier=$hier flat=$flat")
     assert(flat.map(_._1) == Set(0L, 2L, 4L, 6L, 8L))
+    // shared-build path + auto-chosen coarse layout: still equal to flat
+    val filters = Classify.buildFilters(corpus,
+      expectedShinglesPerGroup = 4096).cache()
+    val flat2 = rows(Classify.sketchWithFilters(filters, queries,
+      minFraction = 0.1))
+    val hierAuto = rows(Classify.hierarchicalSketchWithFilters(filters,
+      queries, minFraction = 0.1, nBuckets = 0,
+      expectedShinglesPerGroup = 4096))
+    filters.unpersist()
+    assert(Classify.autoBuckets(9) == 3)
+    assert(flat2 == flat && hierAuto == flat,
+      s"shared/auto paths diverged: flat2=$flat2 hierAuto=$hierAuto")
   }
 
   test("profile unique-mapping + low-confidence filters") {
@@ -278,6 +290,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .select("query_id", "ref").as[(String, String)].collect().toSet
     assert(!got.exists(_._2 == "A"), s"A should be explained away: $got")
     assert(got.count(_._2 == "B") == 5, s"all A queries fold into B: $got")
+  }
+
+  test("association filter: dense co-occurrence, only planted edges remap") {
+    // 40 refs all pairwise co-occurring (the O(refs²) pair matrix is dense)
+    // but below the 0.95 share cut — plus a planted contained pair A0→B0.
+    // The explained-edge detection runs distributively; only A0 remaps.
+    val dense = (0 until 40).flatMap { q =>
+      (0 until 40).map(r => (s"dq$q", s"R$r", 5L)) // every query hits all refs
+    }
+    // uniques so every R_r has u >= 1 (no dominance among equals)
+    val uniq = (0 until 40).map(r => (s"uq$r", s"R$r", 5L))
+    val planted = Seq(
+      ("p1", "A0", 5L), ("p1", "B0", 5L),
+      ("p2", "A0", 5L), ("p2", "B0", 5L),
+      ("b1", "B0", 5L), ("b2", "B0", 5L), ("b3", "B0", 5L))
+    val m = (dense ++ uniq ++ planted)
+      .toDF("query_id", "ref", "match_cnt").withColumn("query_n", lit(10L))
+    val got = ProfilePipeline.associationFilter(m, shareCo = 0.95)
+      .select("query_id", "ref").as[(String, String)].collect().toSet
+    assert(!got.exists(_._2 == "A0"), s"A0 should fold into B0")
+    assert(got.count(_._1.startsWith("dq")) == 40 * 40,
+      "dense-but-unexplained refs must remain untouched")
+    assert((0 until 40).forall(r => got.contains((s"uq$r", s"R$r"))))
   }
 
   test("em assignment converges to the dominant ref") {

@@ -98,6 +98,18 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toArray.toSeq == want, got)
   }
 
+  test("cami binning distributed sink == single-file sink (golden)") {
+    val binning = Seq(("read3", "t7"), ("read1", null), ("read2", "t1"))
+      .toDF("query_id", "taxid")
+    val tmp = Files.createTempDirectory("graft-cami4")
+    ProfilePipeline.writeBinning(binning, s"$tmp/single.cami", "s3")
+    ProfilePipeline.writeBinningDistributed(binning, s"$tmp/dist", "s3")
+    val single = Files.readAllLines(
+      java.nio.file.Paths.get(s"$tmp/single.cami")).toArray.toSeq
+    val dist = ProfilePipeline.readBinningLines(spark, s"$tmp/dist")
+    assert(dist == single, s"dist=$dist single=$single")
+  }
+
   test("time-file sink: reference header/precision shape (golden)") {
     val timer = new Timing.PhaseTimer
     timer.add("Index I/O", 1.234)
@@ -124,5 +136,29 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(back.count() == 1)
     assert(manifest.contains("\"hll_p\":\"14\"") &&
       manifest.contains("\"version\":1"))
+    assert(SketchTable.params(manifest) ==
+      Map("hll_p" -> "14", "seed" -> "42"))
+  }
+
+  test("probe-param validation: mismatched probe fails loudly") {
+    // the reference's multi-index sanity check (taxor_search.cpp:97-151):
+    // probing an index with a different k/seed must error, not mis-answer
+    val df = Seq(("user", Array[Byte](1, 2, 3))).toDF("role", "hll")
+    val tmp = Files.createTempDirectory("graft-stv").toString
+    SketchTable.save(df, tmp, Map("shingle_k" -> "8", "seed" -> "42"))
+    // matched probe: unchanged behavior
+    val (ok, _) = SketchTable.loadValidated(spark, tmp,
+      Map("shingle_k" -> "8", "seed" -> "42"))
+    assert(ok.count() == 1)
+    // mismatched seed AND a param the manifest never recorded: loud errors
+    val e1 = intercept[IllegalArgumentException] {
+      SketchTable.loadValidated(spark, tmp, Map("seed" -> "43"))
+    }
+    assert(e1.getMessage.contains("param mismatch") &&
+      e1.getMessage.contains("seed"))
+    val e2 = intercept[IllegalArgumentException] {
+      SketchTable.loadValidated(spark, tmp, Map("fpp" -> "0.01"))
+    }
+    assert(e2.getMessage.contains("<absent>"))
   }
 }
