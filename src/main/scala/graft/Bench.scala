@@ -26,6 +26,33 @@ import org.apache.spark.sql.functions._
   * filter is as cache-resident as the data allows.
   */
 object Bench {
+  /** Contention sentinel: a contaminated bench (another JVM hammering the
+    * box) is machine-detectable from the artifact itself — record the
+    * 1-minute load average and the number of live java processes (a clean
+    * solo run shows exactly 2: the sbt launcher + this forked JVM). */
+  private def sentinel(): (Double, Int) = {
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val javas =
+      try {
+        new java.io.File("/proc").listFiles()
+          .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+          .count { d =>
+            try new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(d.getPath, "comm"))).trim == "java"
+            catch { case _: Throwable => false }
+          }
+      } catch { case _: Throwable => -1 }
+    (math.rint(load * 100) / 100, javas)
+  }
+
+  /** Median (even length: mean of the middle two). */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -73,6 +100,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "90000").toLong
+    val sentStart = sentinel()
 
     // --- per-query timings at the requested parallelism -------------------
     var spark = session(cpus)
@@ -158,8 +186,16 @@ object Bench {
         .collect())
       val oursKll = best(turns.groupBy("role")
         .agg(kll_quantile(kll_agg(length(col("text")), 200), 0.5)).collect())
+      // heavy-hitter enumeration: Spark has no built-in enumerating top-k —
+      // the baseline is the exact pass (groupBy every key, global sort,
+      // limit). topk_agg shuffles O(capacity) counter blobs instead of one
+      // row per distinct key, at the documented eps = 1/(capacity+1) cost.
+      val exactTopk = best(turns.groupBy("tool").count()
+        .orderBy(col("count").desc, col("tool")).limit(10).collect())
+      val oursTopk = best(turns
+        .agg(topk_items(topk_agg(col("tool"), 64), 10)).collect())
       s.stop()
-      (builtinHll, oursHll, builtinPct, oursKll)
+      (builtinHll, oursHll, builtinPct, oursKll, exactTopk, oursTopk)
     }
 
     // best-of-2 at every level + explicit GC between sessions: the JVM is
@@ -172,18 +208,24 @@ object Bench {
       s.stop()
       (rs.head._1, rs.map(_._2).max)
     }
-    // interleave the two levels across separate sessions and take the max
-    // per level: external throttling (shared host) hits contiguous time
-    // windows, so back-to-back reps inside one session share the same fate
-    // while alternation decorrelates them. THREE rounds: a two-round run
-    // was observed landing every 16-core sample inside one throttled
-    // window (reported 0.75 on a job whose clean scaling is ~0.9)
-    val m4a = measure(4); val m16a = measure(16)
-    val m4b = measure(4); val m16b = measure(16)
-    val m4c = measure(4); val m16c = measure(16)
-    val rows = m4a._1
-    val tps4 = Seq(m4a._2, m4b._2, m4c._2).max
-    val tps16 = Seq(m16a._2, m16b._2, m16c._2).max
+    // interleave the two levels across separate sessions: external
+    // throttling (shared host) hits contiguous time windows, so
+    // back-to-back reps inside one session share the same fate while
+    // alternation decorrelates them. FOUR interleaved rounds with per-level
+    // MEDIANS (not max): max-of-3 capped downward outliers but let one
+    // lucky small-core sample drag the ratio across the >= 0.8 gate in
+    // either direction (observed spread 0.75-0.93 across replays); the
+    // median of 4 best-of-2 samples tolerates a throttled round per level
+    // on both sides of the ratio. All samples are reported so the artifact
+    // shows its own spread.
+    val sentScaling = sentinel()
+    val rounds = 4
+    val samples = (1 to rounds).map(_ => (measure(4), measure(16)))
+    val rows = samples.head._1._1
+    val tps4s = samples.map(_._1._2)
+    val tps16s = samples.map(_._2._2)
+    val tps4 = median(tps4s)
+    val tps16 = median(tps16s)
     val tps8 = measure(8)._2
     val tps32 = measure(32)._2
     // >1.0 is physically impossible for real scaling: it means the small-
@@ -201,13 +243,22 @@ object Bench {
         s""""failed":$failedJson,"profile_em_full_sec":${r3(emFullSec)},""" +
         s""""sketch_build":{"turns":$rows,"bloom_items":$bloomItems,""" +
         s""""turns_per_sec_4":${tps4.toLong},"turns_per_sec_16":${tps16.toLong},""" +
+        s""""tps4_samples":${tps4s.map(_.toLong).mkString("[", ",", "]")},""" +
+        s""""tps16_samples":${tps16s.map(_.toLong).mkString("[", ",", "]")},""" +
         s""""turns_per_sec_8":${tps8.toLong},"turns_per_sec_32":${tps32.toLong},""" +
         s""""scaling_efficiency":${r3(eff4to16)},""" +
         s""""scaling_efficiency_8_to_32":${r3(eff8to32)}},""" +
+        s""""sentinel":{"load_avg_start":${sentStart._1},""" +
+        s""""java_procs_start":${sentStart._2},""" +
+        s""""load_avg_scaling":${sentScaling._1},""" +
+        s""""java_procs_scaling":${sentScaling._2},""" +
+        s""""clean_java_procs":2},""" +
         s""""vs_builtin":{"hll_builtin_sec":${r3(cmp._1)},""" +
         s""""hll_ours_sec":${r3(cmp._2)},""" +
         s""""pctile_builtin_sec":${r3(cmp._3)},""" +
-        s""""kll_ours_sec":${r3(cmp._4)}},""" +
+        s""""kll_ours_sec":${r3(cmp._4)},""" +
+        s""""topk_exact_sec":${r3(cmp._5)},""" +
+        s""""topk_ours_sec":${r3(cmp._6)}},""" +
         s""""sf":"$sfDir"}""")
   }
 }

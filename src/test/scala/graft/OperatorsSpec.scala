@@ -25,6 +25,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         (4L, 4L, true)))
   }
 
+  test("span dedup canonicalizes repeated substrings across documents") {
+    // doc 10 and doc 20 share an identical leading span; doc 30 is unique.
+    // size=8, overlap=0 → chunks are the 8-char windows themselves.
+    val spans = Seq(
+      (10L, "AAAABBBBCCCCDDDD"), // chunks: AAAABBBB, CCCCDDDD
+      (20L, "AAAABBBBEEEEFFFF"), // chunk 0 duplicates doc 10's chunk 0
+      (30L, "GGGGHHHH")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(spans, "doc_id", "text", size = 8)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Long, Int, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (10L, 0, 10L, 0, true), (10L, 1, 10L, 1, true),
+      (20L, 0, 10L, 0, false), // the repeated span maps to doc 10's copy
+      (20L, 1, 20L, 1, true),
+      (30L, 0, 30L, 0, true)), got)
+  }
+
   test("minhash lsh finds exact+near dups, nothing else") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         numBands = 32, rowsPerBand = 4, threshold = 0.5)
