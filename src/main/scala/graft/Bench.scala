@@ -108,8 +108,15 @@ object Bench {
     // footer cache) so the alphabetically-first query is not charged JVM
     // startup — measured ~9s of warmup landing on ann_recall_floor otherwise
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // a crashing query reports the -1 sentinel (never a fast "success")
+    // a crashing query reports the -1 sentinel (never a fast "success").
+    // Each query starts from a clean slate: drop any cache a previous
+    // query's library call left persisted and hint a GC, so one query's
+    // leaked executor state can't be billed to its alphabetical neighbour
+    // (observed: classify_bloom_bounds 17s in a sweep vs 2-3s isolated —
+    // pure neighbour GC debt).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>

@@ -93,6 +93,9 @@ object GraftFunctions {
     "graft_topk_merge_agg" -> { es =>
       TopKAgg(es.head, intArg(es(1), "capacity"), mergeInput = true)
     },
+    "graft_topk_weighted_agg" -> { es =>
+      TopKWeightedAgg(es.head, es(1), intArg(es(2), "capacity"))
+    },
     "graft_topk_items" -> { es => TopKItems(es.head, intArg(es(1), "k")) },
     "graft_topk_total" -> { es => TopKTotal(es.head) },
     "graft_topk_dec" -> { es => TopKDec(es.head) },
@@ -220,6 +223,12 @@ object GraftFunctions {
     call_function("graft_topk_agg", c.cast("string"), lit(capacity))
   def topk_merge_agg(c: Column, capacity: Int): Column =
     call_function("graft_topk_merge_agg", c, lit(capacity))
+  /** Weighted variant: each row adds `weight` (positive long — token
+    * counts, bytes, cents) to its key; bounds hold with N = total weight.
+    * Null/non-positive weights are ignored. */
+  def topk_weighted_agg(c: Column, weight: Column, capacity: Int): Column =
+    call_function("graft_topk_weighted_agg", c.cast("string"),
+      weight.cast("long"), lit(capacity))
   /** Top-k entries as array<struct<item:string, est:long>>, est desc then
     * item asc. */
   def topk_items(sketch: Column, k: Int): Column =

@@ -569,6 +569,33 @@ object SparkEntry {
             .otherwise(col("exact_cnt") * (m + 1) <= col("n")).as("bound_ok"))
         .orderBy("k")
     },
+    // Weighted heavy hitters: same skewed key, but each event contributes
+    // pmod(event_id,100)+1 weight (tokens/bytes/cents in a real pipeline).
+    // The Misra–Gries bounds hold with N = total WEIGHT — deterministic,
+    // gate every row (same posture as heavy_hitters_topk).
+    "heavy_hitters_weighted" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val m = 6
+      val keyed = t(s, dir, "events")
+        .select(concat(lit("k"),
+          expr("64 div (pmod(user_id, 64) + 1)").cast("string")).as("k"),
+          (pmod(col("event_id"), lit(100)) + 1).cast("long").as("w"))
+      val sk = keyed.agg(topk_weighted_agg(col("k"), col("w"), m).as("tk"))
+      val items = sk.select(explode(topk_items(col("tk"), m)).as("it"))
+        .select(col("it.item").as("k"), col("it.est").as("est"))
+      val nDf = sk.select(topk_total(col("tk")).as("n"))
+      keyed.groupBy("k").agg(sum(col("w")).as("exact_w"))
+        .crossJoin(broadcast(nDf))
+        .join(broadcast(items), Seq("k"), "left")
+        .select(col("k"), col("exact_w"),
+          (!(col("exact_w") * (m + 1) > col("n")) || col("est").isNotNull)
+            .as("heavy_present"),
+          when(col("est").isNotNull,
+            col("est") <= col("exact_w") &&
+              (col("exact_w") - col("est")) * (m + 1) <= col("n"))
+            .otherwise(col("exact_w") * (m + 1) <= col("n")).as("bound_ok"))
+        .orderBy("k")
+    },
     // Scalar HLL union estimation (the reference's estimate_union planning
     // primitive, taxor_build.cpp:470-473): per-event-type user sketches,
     // every pair's |A ∪ B| estimate gated against the exact distinct union
@@ -602,6 +629,73 @@ object SparkEntry {
       Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text",
           size = 256, overlap = 32)
         .orderBy("doc_id", "chunk_idx")
+    },
+    // Deterministic stratified bottom-k-by-hash sampling: 10 docs per
+    // source, ranked by md5("graft:<id>") — engine-portable, so the oracle
+    // reproduces the EXACT sample (byte-equality gate, not a bound).
+    "sample_bottomk" -> { (s, dir) =>
+      Sampling.bottomK(t(s, dir, "documents").select("doc_id", "source"),
+          Seq("source"), "doc_id", k = 10)
+        .select(col("source"), col("doc_id"), col("rk"))
+        .orderBy("source", "doc_id")
+    },
+    // Deterministic 80/10/10 train/val/test split by id hash: assignment is
+    // a pure function of doc_id (repartition/reorder/append never move a
+    // row), expressed as two-hex-char threshold compares both engines
+    // reproduce verbatim — byte-equality gate.
+    "sample_hash_split" -> { (s, dir) =>
+      Sampling.hashSplit(t(s, dir, "documents").select("doc_id"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    },
+    // Winnowed-fingerprint shared-span detection at arbitrary offsets.
+    // Ground truth = pairs sharing an identical aligned 256-char chunk
+    // (computable exactly by the oracle via the chunk pattern); the
+    // winnowing theorem guarantees every such pair shares >= 1 fingerprint
+    // (shared span 256 >= w + k - 1 = 23; shortest possible chunk is 33),
+    // so `detected` is deterministically true — gate every row.
+    "dedup_winnowed_spans" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val wp = Dedup.winnowedSpanPairs(docs, "doc_id", "text",
+          shingleK = 8, window = 16)
+        .select(col("id_a"), col("id_b"), lit(true).as("__hit"))
+      val ch = TextStats.chunk(docs, "doc_id", "text", size = 256, overlap = 32)
+        .select(col("doc_id"), md5(col("chunk")).as("h"))
+      val truth = ch.as("a").join(ch.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      truth.join(wp, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("__hit"), lit(false)).as("detected"))
+        .orderBy("id_a", "id_b")
+    },
+    // Eval-set decontamination: every (train, held-out) pair sharing an
+    // identical 256-char chunk must be flagged by the winnowed cross-corpus
+    // scan — deterministic by the winnowing guarantee (same margin as
+    // dedup_winnowed_spans), gate every row.
+    "decontaminate_eval" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val hits = Dedup.crossSpanContamination(
+          docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id",
+          docs.where(pmod(col("doc_id"), lit(10)) === 0), "doc_id",
+          "text", shingleK = 8, window = 16)
+        .select(col("train_id"), col("heldout_id"), lit(true).as("__hit"))
+      val ch = TextStats.chunk(docs, "doc_id", "text", size = 256, overlap = 32)
+        .select(col("doc_id"), md5(col("chunk")).as("h"))
+      val truth = ch.as("a").join(ch.as("b"),
+          col("a.h") === col("b.h") &&
+            pmod(col("a.doc_id"), lit(10)) =!= 0 &&
+            pmod(col("b.doc_id"), lit(10)) === 0)
+        .select(col("a.doc_id").as("train_id"),
+          col("b.doc_id").as("heldout_id"))
+        .distinct()
+      truth.join(hits, Seq("train_id", "heldout_id"), "left")
+        .select(col("train_id"), col("heldout_id"),
+          coalesce(col("__hit"), lit(false)).as("detected"))
+        .orderBy("train_id", "heldout_id")
     },
     // inter-event latency quantiles from ts (lag window), t-digest bound.
     "latency_quantiles" -> { (s, dir) =>
@@ -966,6 +1060,11 @@ object SparkEntry {
       """SELECT 'k' || CAST(64 // (user_id % 64 + 1) AS VARCHAR) AS k,
          count(*) AS exact_cnt, true AS heavy_present, true AS bound_ok
          FROM events GROUP BY 1 ORDER BY 1""",
+    "heavy_hitters_weighted" ->
+      """SELECT 'k' || CAST(64 // (user_id % 64 + 1) AS VARCHAR) AS k,
+         CAST(sum(event_id % 100 + 1) AS BIGINT) AS exact_w,
+         true AS heavy_present, true AS bound_ok
+         FROM events GROUP BY 1 ORDER BY 1""",
     "hll_union_estimate" ->
       """WITH ty AS (SELECT DISTINCT event_type FROM events),
          p AS (SELECT a.event_type AS et_a, b.event_type AS et_b
@@ -991,6 +1090,41 @@ object SparkEntry {
            CAST(ck % 1000000 AS INT) AS canonical_chunk_idx,
            (doc_id*1000000 + chunk_idx) = ck AS is_canonical
          FROM c2 ORDER BY doc_id, chunk_idx""",
+    // same chunk pattern; pairs restricted to the train/held-out split
+    "decontaminate_eval" ->
+      """WITH ch AS (SELECT doc_id, substr(text, CAST(i*224+1 AS INT), 256) AS chunk
+           FROM documents, generate_series(0, 1000) t(i)
+           WHERE i <= greatest(0, ceil((length(text) - 256)*1.0/224))),
+         p AS (SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS heldout_id
+               FROM ch a JOIN ch b ON a.chunk = b.chunk
+               WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0)
+         SELECT train_id, heldout_id, true AS detected FROM p
+         ORDER BY train_id, heldout_id""",
+    // thresholds 'cc'/'e6' = floor(0.8*256)/floor(0.9*256) in hex — the
+    // exact literals Sampling.hashSplit derives for 80/10/10
+    "sample_hash_split" ->
+      """WITH h AS (SELECT doc_id,
+           substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) AS hh
+         FROM documents)
+         SELECT doc_id, CASE WHEN hh < 'cc' THEN 'train'
+                             WHEN hh < 'e6' THEN 'val'
+                             ELSE 'test' END AS split
+         FROM h ORDER BY doc_id""",
+    "sample_bottomk" ->
+      """WITH r AS (SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM documents)
+         SELECT source, doc_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+         ORDER BY source, doc_id""",
+    // same series cap + stride as text_chunks (1007-byte ASCII invariant)
+    "dedup_winnowed_spans" ->
+      """WITH ch AS (SELECT doc_id, substr(text, CAST(i*224+1 AS INT), 256) AS chunk
+           FROM documents, generate_series(0, 1000) t(i)
+           WHERE i <= greatest(0, ceil((length(text) - 256)*1.0/224))),
+         p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, true AS detected FROM p ORDER BY id_a, id_b""",
     "fracminhash_distinct" ->
       """WITH sh AS (SELECT DISTINCT source, substr(text, CAST(i AS INT), 8) AS s
                      FROM documents, generate_series(1, 1000) t(i)

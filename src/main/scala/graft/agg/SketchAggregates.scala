@@ -4,7 +4,7 @@ import graft.sketch._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.types._
 
 /** Mergeable sketch aggregations as Catalyst TypedImperativeAggregates.
@@ -163,7 +163,7 @@ case class KllAgg(
 /** Misra–Gries/SpaceSaving heavy-hitter top-k summary over STRING keys (or
   * BINARY sketches in merge mode). Unlike the hash-consuming sketches this
   * one stores the KEYS themselves — enumeration (`topk_items`) is the point.
-  * Optional weight child (LONG) supports pre-aggregated inputs. */
+  * For weighted contributions see TopKWeightedAgg. */
 case class TopKAgg(
     child: Expression,
     capacity: Int,
@@ -197,6 +197,48 @@ case class TopKAgg(
   override protected def withNewChildInternal(c: Expression): TopKAgg =
     copy(child = c)
   override def prettyName: String = "graft_topk_agg"
+}
+
+/** Weighted SpaceSaving: each row contributes `weight` (a positive LONG —
+  * token counts, bytes, revenue cents) to its key instead of 1, so the
+  * summary enumerates the keys carrying the most MASS. The Misra–Gries
+  * bounds hold verbatim with N = total weight W: no overcount, undercount
+  * <= W/(capacity+1), every key with true weight above that present. Rows
+  * with null or non-positive weight are ignored (a negative increment
+  * would break the no-overcount certificate). */
+case class TopKWeightedAgg(
+    left: Expression,
+    right: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[SpaceSaving]
+    with BinaryLike[Expression] {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): SpaceSaving = SpaceSaving.empty(capacity)
+  override def update(buf: SpaceSaving, input: InternalRow): SpaceSaving = {
+    val k = left.eval(input)
+    val w = right.eval(input)
+    if (k != null && w != null && w.asInstanceOf[Long] > 0L)
+      buf.update(
+        k.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+        w.asInstanceOf[Long])
+    buf
+  }
+  override def merge(a: SpaceSaving, b: SpaceSaving): SpaceSaving = a.merge(b)
+  override def eval(buf: SpaceSaving): Any = buf.toBytes
+  override def serialize(buf: SpaceSaving): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): SpaceSaving =
+    SpaceSaving.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): TopKWeightedAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKWeightedAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TopKWeightedAgg =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_topk_weighted_agg"
 }
 
 /** Merging t-digest over DOUBLE values (or BINARY sketches in merge mode). */

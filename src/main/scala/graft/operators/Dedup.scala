@@ -175,6 +175,94 @@ object Dedup {
           col("chunk_idx") === col("__c.chunk_idx")).as("is_canonical"))
   }
 
+  /** Winnowed-fingerprint shared-span detection (MOSS-style winnowing):
+    * finds document pairs sharing an identical span at ARBITRARY byte
+    * offsets — the case fixed-boundary chunk dedup (`spanDedup`) misses when
+    * boilerplate is shifted by edits above it. Each document is reduced to
+    * its winnowed fingerprint set (the minimizer scheme: min k-gram hash per
+    * window of `w` consecutive k-grams — TextOps.minimizerHashes), and pairs
+    * sharing >= `minShared` fingerprints are reported with the shared count.
+    *
+    * Deterministic guarantee (the winnowing theorem, Schleimer–Wilkerson–
+    * Aiken 2003): two documents sharing an identical substring of length
+    * >= w + k - 1 select the same minimum inside any k-gram window lying
+    * fully within the shared span, so with minShared = 1 every such pair IS
+    * detected — recall over long shared spans is 1 by construction, not a
+    * probability. (False positives need `minShared` distinct hash
+    * collisions/common short k-grams; raise minShared to tighten.)
+    *
+    * Scale shape: same inverted-index posture as exactJaccardPairs, but over
+    * the ~1/w-density winnowed set instead of every k-gram — the join input
+    * is w× smaller and only (id, fingerprint) longs shuffle. `maxFingerprintDf`
+    * caps quadratic blowup on boilerplate fingerprints appearing in more than
+    * that many docs (dropping a fingerprint weakens the guarantee only for
+    * spans whose EVERY window minimum is that hot — i.e. corpus-wide
+    * boilerplate, exactly what a dedup pass wants to treat separately). */
+  def winnowedSpanPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 8,
+      window: Int = 16,
+      minShared: Long = 1L,
+      seed: Long = DefaultSeed,
+      maxFingerprintDf: Option[Long] = None): DataFrame = {
+    val fp0 = df.select(col(idCol).as("id"),
+      explode(minimizers(col(textCol), shingleK, window, seed)).as("fp"))
+    val fp = maxFingerprintDf match {
+      case Some(cap) =>
+        val hot = fp0.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .where(col("__df") > cap).select("fp")
+        fp0.join(hot, Seq("fp"), "left_anti")
+      case None => fp0
+    }
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .where(col("shared_fingerprints") >= minShared)
+  }
+
+  /** Eval-set decontamination — the cross-corpus twin of winnowedSpanPairs:
+    * find (training doc, held-out doc) pairs sharing an identical span of
+    * >= window + shingleK - 1 bytes, so contaminated training examples can
+    * be dropped before an eval set leaks into the mixture. Same winnowing
+    * guarantee (recall 1 over such spans), same scale shape: both corpora
+    * reduce to ~1/window-density fingerprint sets and only (id, long) rows
+    * shuffle; at 100 TB train × small eval the join is effectively a
+    * semi-join against the (tiny) held-out fingerprint side.
+    *
+    * Output: (train_id, heldout_id, shared_fingerprints). */
+  def crossSpanContamination(
+      train: DataFrame,
+      trainIdCol: String,
+      heldout: DataFrame,
+      heldoutIdCol: String,
+      textCol: String,
+      shingleK: Int = 8,
+      window: Int = 16,
+      minShared: Long = 1L,
+      seed: Long = DefaultSeed,
+      maxFingerprintDf: Option[Long] = None): DataFrame = {
+    def fps(df: DataFrame, idCol: String, as: String) =
+      df.select(col(idCol).as(as),
+        explode(minimizers(col(textCol), shingleK, window, seed)).as("fp"))
+    val tf0 = fps(train, trainIdCol, "train_id")
+    val tf = maxFingerprintDf match {
+      case Some(cap) =>
+        // the cap is train-side document frequency (boilerplate lives in
+        // the big corpus); held-out fingerprints are never dropped
+        val hot = tf0.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .where(col("__df") > cap).select("fp")
+        tf0.join(hot, Seq("fp"), "left_anti")
+      case None => tf0
+    }
+    tf.join(fps(heldout, heldoutIdCol, "heldout_id"), "fp")
+      .groupBy("train_id", "heldout_id")
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .where(col("shared_fingerprints") >= minShared)
+  }
+
   /** SimHash near-dup pairs: 64-bit simhash, banded into 4 × 16-bit chunks
     * (a pair within Hamming distance 3 must agree on at least one chunk),
     * verified with bit_count(xor) <= maxHamming.

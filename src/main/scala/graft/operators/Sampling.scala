@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed sampling for training-data pipelines.
+  *
+  * A 100 TB corpus is never inspected or ablated whole — every curation loop
+  * (quality audits, contamination spot-checks, mixture experiments) runs on
+  * samples, and those samples must be REPRODUCIBLE across reruns, engines and
+  * partitionings, which `rand()`-based sampling is not. Bottom-k-by-hash
+  * gives all of that with plain relational algebra: rank rows inside each
+  * stratum by a keyed hash of their id and keep the k smallest. The same
+  * (seed, id) always hashes the same, so the sample is stable under
+  * repartitioning, incremental (a new row only enters if it beats the
+  * current k-th hash), and mergeable — bottomK(A ∪ B) = bottomK(bottomK(A)
+  * ∪ bottomK(B)), the same min-k law the reference's FracMinHash scaling
+  * filter relies on (/root/reference/src/main/taxor_build.cpp:335-340; the
+  * hash-threshold sample there is the unbounded-k cousin of this operator).
+  *
+  * Scale shape: one shuffle on the stratum key; the rank-≤-k predicate is
+  * pushed into the exchange as a per-partition top-k (Spark's
+  * WindowGroupLimit), so at most k·partitions rows per stratum cross the
+  * wire regardless of corpus size. The hash is md5 of `seed || ':' || id`
+  * rendered in hex — deliberately engine-portable (any SQL engine reproduces
+  * the exact sample), which is what makes the DuckDB oracle byte-exact.
+  */
+object Sampling {
+  /** Keep the `k` rows with the smallest md5("<seed>:<id>") per stratum
+    * (ties broken by id; rows with equal ids are interchangeable). Output:
+    * all input columns plus `rk` (1-based rank within the stratum).
+    */
+  def bottomK(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      k: Int,
+      seed: String = "graft"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val h = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(strataCols.map(col): _*).orderBy(h, col(idCol))
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Deterministic train/val/test (or any weighted) split by id hash —
+    * the other sampling primitive every training pipeline needs: the split
+    * must be a pure function of the example id, so it never changes when
+    * the corpus is re-partitioned, re-ordered, or incrementally extended
+    * (new rows land in splits at the right rates; old rows never migrate,
+    * which is what keeps eval sets uncontaminated across dataset versions).
+    *
+    * Assignment: the first two hex chars of md5("<seed>:<id>") are a
+    * uniform 256-bucket value; cumulative weight boundaries are rendered as
+    * two-char hex thresholds and compared LEXICOGRAPHICALLY (hex strings
+    * order identically to their numeric value), so the whole operator is
+    * three string comparisons — row-local, codegen'd, zero shuffle, and
+    * reproducible verbatim in any SQL engine (the DuckDB oracle gate is
+    * byte-exact). Granularity is 1/256 of the corpus per weight step;
+    * weights are normalized and each boundary rounds down.
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      seed: String = "graft",
+      splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    val h = substring(
+      md5(concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 2)
+    // cumulative upper bounds in buckets-of-256, as two-char hex literals
+    val bounds = weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+      .map(c => f"${math.min(255, math.floor(c * 256).toInt)}%02x")
+    val assigned = weights.init.zip(bounds.init)
+      .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (acc, ((name, _), bound)) =>
+          val cond = h < lit(bound)
+          Some(acc.fold(when(cond, name))(_.when(cond, name)))
+      }
+      .fold(lit(weights.head._1))(_.otherwise(weights.last._1))
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** Unstratified corpus-wide sample (single stratum). For very large k a
+    * single-partition window would bottleneck; this keeps the global sample
+    * exact by ranking within hash-prefix buckets first (WindowGroupLimit
+    * prunes each bucket to k) and then taking the global k smallest — the
+    * classic two-level top-k. */
+  def bottomKGlobal(
+      df: DataFrame, idCol: String, k: Int, seed: String = "graft",
+      buckets: Int = 64): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val h = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val bucketed = df.withColumn("__h", h)
+      .withColumn("__b", pmod(xxhash64(col("__h")), lit(buckets)))
+    val wLocal = Window.partitionBy("__b").orderBy(col("__h"), col(idCol))
+    val pruned = bucketed
+      .withColumn("__lrk", row_number().over(wLocal))
+      .where(col("__lrk") <= k)
+    val wGlobal = Window.orderBy(col("__h"), col(idCol))
+    pruned.withColumn("rk", row_number().over(wGlobal))
+      .where(col("rk") <= k)
+      .drop("__h", "__b", "__lrk")
+  }
+}

@@ -40,6 +40,32 @@ object StreamingSketch {
         hll_estimate(col("hll_convs")).as("distinct_convs_est"),
         cms_total(col("cms_tools")).as("tool_events"))
 
+  /** Per-(event-time window) heavy-hitter enumeration: the SpaceSaving
+    * top-k aggregate over a streaming source — "hot tools/URLs/vocab this
+    * hour" without an exact per-key groupBy, the one query shape a 100 TB/day
+    * ingest monitors continuously. State per window = ONE O(capacity)
+    * counter blob (not one row per distinct key): late partials merge into
+    * the blob exactly like shuffle partials, so the Misra–Gries guarantees
+    * (no overcount; undercount ≤ N/(capacity+1); every key above that bound
+    * present) hold for the window total regardless of arrival order —
+    * enumeration VALUES are arrival-order dependent, the bounds are not
+    * (same posture as the batch `heavy_hitters_topk` gate). */
+  def windowedTopK(
+      events: DataFrame, // streaming: (<keyCol>, ts, ...)
+      keyCol: String,
+      capacity: Int = 16,
+      k: Int = 10,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(topk_agg(col(keyCol), capacity).as("tk"))
+      .select(col("window"),
+        topk_items(col("tk"), k).as("items"),
+        topk_total(col("tk")).as("n"),
+        topk_dec(col("tk")).as("dec"))
+
   /** Streaming exact dedup: keep the FIRST arrival of each content hash
     * within the watermark horizon, drop later copies (the streaming twin of
     * Dedup.exactCanonical — an ingestion pipeline dedups documents as they

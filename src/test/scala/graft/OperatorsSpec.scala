@@ -484,4 +484,115 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .collect()
     got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("winnowed fingerprints detect a shared span at shifted offsets") {
+    // ~100-char shared span >= w + k - 1 = 23, planted at DIFFERENT byte
+    // offsets (the case aligned-chunk span dedup misses); doc 3 is built
+    // from a disjoint byte alphabet so no 8-gram can collide with 1/2.
+    val span = "SHARED-BOILERPLATE-LICENSE-HEADER-0123456789-" * 3
+    val d = Seq(
+      (1L, "unique preamble alpha beta gamma " + span + " short tail"),
+      (2L, "a much longer and completely different lead-in text before " +
+        span),
+      (3L, "zzzz" * 40)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedSpanPairs(d, "doc_id", "text",
+        shingleK = 8, window = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"shared span missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"false positive with disjoint-alphabet doc: $pairs")
+  }
+
+  test("winnowed fingerprint df cap drops corpus-wide boilerplate pairs") {
+    val boiler = "COMMON-FOOTER-APPENDED-EVERYWHERE-" * 3
+    val d = (1L to 6L).map(i => (i, s"doc $i body ${"u" * i.toInt * 8} " +
+      boiler)).toDF("doc_id", "text")
+    val uncapped = Dedup.winnowedSpanPairs(d, "doc_id", "text")
+      .count()
+    val capped = Dedup.winnowedSpanPairs(d, "doc_id", "text",
+      maxFingerprintDf = Some(3L)).count()
+    assert(uncapped == 15L, s"boilerplate should pair all 15: $uncapped")
+    assert(capped < uncapped, s"df cap must prune boilerplate: $capped")
+  }
+
+  test("cross-corpus contamination scan flags the leaked eval doc only") {
+    val leak = "THE-EVAL-QUESTION-AND-ITS-ANSWER-TEXT-9876543210-" * 3
+    val train = Seq(
+      (100L, "training document alpha with ordinary content " + leak),
+      (101L, "another training doc, no overlap, plain body text here"),
+      (102L, "yyyy" * 40)
+    ).toDF("doc_id", "text")
+    val heldout = Seq(
+      (1L, "eval prompt preamble " + leak + " trailing context"),
+      (2L, "clean eval item with its own unique wording qqqq" * 4)
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossSpanContamination(train, "doc_id",
+        heldout, "doc_id", "text")
+      .select("train_id", "heldout_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((100L, 1L)), s"leaked pair missed: $got")
+    assert(!got.exists(_._2 == 2L), s"clean eval doc flagged: $got")
+    assert(!got.exists(p => p._1 == 102L), s"disjoint-alphabet doc flagged: $got")
+  }
+
+  test("bottom-k sample is deterministic, stratified, and mergeable") {
+    val rows = (0L until 200L).map(i => (i, s"s${i % 4}"))
+      .toDF("id", "stratum")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      df.select("stratum", "id").as[(String, Long)].collect().toSet
+    val s1 = Sampling.bottomK(rows, Seq("stratum"), "id", 5)
+    val s2 = Sampling.bottomK(rows.repartition(13), Seq("stratum"), "id", 5)
+    assert(ids(s1) == ids(s2), "sample must be partitioning-invariant")
+    val perStratum = s1.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(perStratum.values.forall(_ == 5L), s"quota violated: $perStratum")
+    // mergeable min-k law: bottomK(bottomK(A) ∪ bottomK(B)) == bottomK(A ∪ B)
+    val a = rows.where($"id" < 100L)
+    val b = rows.where($"id" >= 100L)
+    val merged = Sampling.bottomK(
+      Sampling.bottomK(a, Seq("stratum"), "id", 5).drop("rk")
+        .union(Sampling.bottomK(b, Seq("stratum"), "id", 5).drop("rk")),
+      Seq("stratum"), "id", 5)
+    assert(ids(merged) == ids(s1), "min-k merge law violated")
+    // a group smaller than k returns the whole group
+    val small = Sampling.bottomK(rows.where($"id" < 3L),
+      Seq("stratum"), "id", 5)
+    assert(small.count() == 3L)
+  }
+
+  test("hash split is stable, rate-correct, and append-invariant") {
+    val rows = (0L until 2000L).map(i => (i, i.toString)).toDF("id", "pad")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def splits(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Sampling.hashSplit(df, "id", w).select("id", "split")
+        .as[(Long, String)].collect().toMap
+    val full = splits(rows)
+    assert(splits(rows.repartition(17)) == full, "not partitioning-invariant")
+    // appending rows never moves an existing row's assignment
+    val half = splits(rows.where($"id" < 1000L))
+    assert(half.forall { case (id, sp) => full(id) == sp },
+      "rows migrated between splits on append")
+    // observed rates within ±3% of requested at n=2000 (256-bucket grain
+    // contributes <= 1/256 of deterministic skew per boundary)
+    val rates = full.values.groupBy(identity).view.mapValues(_.size / 2000.0)
+    w.foreach { case (name, wt) =>
+      assert(math.abs(rates.getOrElse(name, 0.0) - wt) <= 0.03,
+        s"$name rate ${rates.get(name)} far from $wt")
+    }
+    // single-weight degenerate case assigns everything
+    val one = Sampling.hashSplit(rows, "id", Seq("all" -> 1.0))
+      .select("split").distinct().as[String].collect().toSeq
+    assert(one == Seq("all"))
+  }
+
+  test("global bottom-k equals the single-window ranking") {
+    val rows = (0L until 500L).map(i => (i, "x")).toDF("id", "pad")
+    val got = Sampling.bottomKGlobal(rows, "id", 20)
+      .select("id").as[Long].collect().toSet
+    val want = rows
+      .withColumn("h", md5(concat(lit("graft:"), $"id".cast("string"))))
+      .orderBy("h", "id").limit(20).select("id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.size == 20)
+  }
 }

@@ -64,4 +64,26 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert("""\(\d+\) Window\s""".r.findAllIn(p).size == 1, p)
     assert(p.contains("graft_nearest_centroids"), p)
   }
+
+  test("bottom-k sample gets per-partition top-k pruning before the shuffle") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = graft.operators.Sampling
+      .bottomK(docs.select("doc_id", "source"), Seq("source"), "doc_id", 10)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // WindowGroupLimit both below (partial) and above (final) the exchange:
+    // at most k rows per stratum per input partition cross the wire
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("hash split is row-local: no exchange in the plan") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = graft.operators.Sampling
+      .hashSplit(docs.select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("[codegen id :"), p) // whole-stage codegen'd project
+  }
 }

@@ -70,6 +70,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming windowed top-k satisfies the misra-gries bounds") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val t0 = 1700000000000L
+    // skewed keys over 3 event-time hours: "hot" carries half the stream
+    val rows = (0 until 600).map { i =>
+      StreamDoc(i.toLong,
+        if (i % 2 == 0) "hot" else s"k${i % 13}",
+        new Timestamp(t0 + i * 18000L)) // one per 18s -> 3 hours
+    }
+    mem.addData(rows: _*)
+    val q = StreamingSketch.windowedTopK(
+        mem.toDF().withColumnRenamed("text", "key"), "key",
+        capacity = 4, k = 4, windowLen = "1 hour", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("windowed_topk")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far enough to close all three windows
+      mem.addData(StreamDoc(9999L, "late",
+        new Timestamp(t0 + 12 * 3600 * 1000L)))
+      q.processAllAvailable()
+      val got = spark.table("windowed_topk")
+        .select(col("window.start").cast("long").as("ws"),
+          col("items"), col("n"), col("dec"))
+        .collect()
+      assert(got.length >= 3, s"expected 3 closed windows, got ${got.length}")
+      val exactByWindow = rows.groupBy(_.ts.getTime / 3600000L)
+        .map { case (h, rs) =>
+          h -> rs.groupBy(_.text).map { case (k, g) => k -> g.size.toLong } }
+      got.foreach { r =>
+        val exact = exactByWindow(r.getLong(0) / 3600L)
+        val n = r.getLong(2)
+        assert(n == exact.values.sum, "window total mismatch")
+        val items = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(it => it.getString(0) -> it.getLong(1)).toMap
+        // no overcount; undercount bounded; the heavy key enumerated
+        items.foreach { case (k, est) =>
+          assert(est <= exact(k), s"overcount on $k")
+          assert(exact(k) - est <= n / 5, s"undercount bound broken on $k")
+        }
+        assert(items.contains("hot"), s"heavy key missing: $items")
+      }
+    } finally q.stop()
+  }
+
   test("windowed sketches with watermark produce per-window rows") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Turn]

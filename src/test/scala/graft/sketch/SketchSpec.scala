@@ -269,6 +269,33 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("spacesaving: weighted updates keep the MG bounds with N = total weight") {
+    val m = 8
+    val r = new Random(11)
+    // skewed keys with independent weights 1..50
+    val rows = Array.fill(30000)((s"k${r.nextInt(r.nextInt(120) + 1)}",
+      (r.nextInt(50) + 1).toLong))
+    val exact = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val w = rows.map(_._2).sum
+    // split into parts, merge both association orders
+    val parts = rows.grouped(7919).map(_.toSeq).toSeq
+    def sk(p: Seq[(String, Long)]): SpaceSaving = {
+      val s = SpaceSaving.empty(m); p.foreach { case (k, c) => s.update(k, c) }; s
+    }
+    val whole = sk(rows.toSeq)
+    val merged = parts.map(sk).reduceLeft(_.merge(_))
+    for (s <- Seq(whole, merged)) {
+      assert(s.n == w, "total weight conserved")
+      assert(s.dec * (m + 1) <= w, "dec <= W/(m+1)")
+      exact.foreach { case (k, cnt) =>
+        val est = s.estimate(k)
+        assert(est <= cnt, s"$k overcounts: est=$est exact=$cnt")
+        assert(cnt - est <= s.dec, s"$k busts dec certificate")
+        if (cnt * (m + 1) > w) assert(est > 0, s"heavy $k (w=$cnt) evicted")
+      }
+    }
+  }
+
   test("spacesaving codec round-trips (counts, n, dec, capacity)") {
     val s = SpaceSaving.empty(5)
     Seq("a", "b", "a", "c", "a", "d", "b", "e", "f", "g", "a")
