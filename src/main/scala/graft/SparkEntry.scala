@@ -93,6 +93,24 @@ object SparkEntry {
           sum(cents(col("o_totalprice"))).as("revenue_cents"))
         .orderBy("c_mktsegment")
     },
+    // Bloom-pruned join: the probe side (lineitem) is pre-filtered by ONE
+    // broadcast Bloom blob of the (selective) build side's keys BEFORE the
+    // shuffle — the 100 TB shuffle-volume trick. False positives are
+    // discarded by the join itself, so the result is EXACT: byte-equality
+    // oracle against the plain join.
+    "join_bloom_pruned" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("orderkey"), col("l_quantity"))
+      val ords = t(s, dir, "orders")
+        .where(col("o_totalprice") > 450000) // ~10% of orders
+        .select(col("o_orderkey").as("orderkey"))
+      Joins.bloomPrunedJoin(li, ords, "orderkey", expectedKeys = 1 << 14)
+        .groupBy("orderkey")
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("orderkey")
+    },
     // ---- sketch bound checks (S5/A2, S3/A3, S1/S2/S4, quantiles) ----------
     "hll_distinct_users" -> { (s, dir) =>
       GraftFunctions.register(s)
@@ -568,6 +586,32 @@ object SparkEntry {
               (col("exact_cnt") - col("est")) * (m + 1) <= col("n"))
             .otherwise(col("exact_cnt") * (m + 1) <= col("n")).as("bound_ok"))
         .orderBy("k")
+    },
+    // HLL hierarchy rollup by sketch MERGE: nation-level user sketches are
+    // built ONCE and region-level estimates come from merging those blobs
+    // in-plan (hll_merge_agg) — never rescanning the fact table. The
+    // 100 TB pattern: materialize fine-grain sketches, roll up any
+    // hierarchy by merge. custkey is unique, so exact region distinct =
+    // sum of per-nation exacts (the oracle recomputes it directly).
+    "hll_rollup_merge" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val p = 14
+      val perNation = t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(hll_agg(col("c_custkey"), p).as("sk"),
+          countDistinct(col("c_custkey")).as("exact_n"))
+      val region = perNation
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_regionkey"))),
+          "c_nationkey")
+        .groupBy("n_regionkey")
+        .agg(hll_estimate(hll_merge_agg(col("sk"), p)).as("est"),
+          sum(col("exact_n")).as("exact_distinct"))
+      region.select(col("n_regionkey"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) <=
+            lit(3 * graft.sketch.Hll.stdError(p)) * col("exact_distinct") +
+              lit(2.0)).as("within_bound"))
+        .orderBy("n_regionkey")
     },
     // Weighted heavy hitters: same skewed key, but each event contributes
     // pmod(event_id,100)+1 weight (tokens/bytes/cents in a real pipeline).
@@ -1056,10 +1100,22 @@ object SparkEntry {
     "latency_quantiles" ->
       """SELECT q_label, true AS within_rank_error FROM (VALUES ('q10'),
          ('q50'),('q90')) AS t(q_label) ORDER BY q_label""",
+    "hll_rollup_merge" ->
+      """SELECT n_regionkey, count(DISTINCT c_custkey) AS exact_distinct,
+         true AS within_bound
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
     "heavy_hitters_topk" ->
       """SELECT 'k' || CAST(64 // (user_id % 64 + 1) AS VARCHAR) AS k,
          count(*) AS exact_cnt, true AS heavy_present, true AS bound_ok
          FROM events GROUP BY 1 ORDER BY 1""",
+    "join_bloom_pruned" ->
+      """SELECT l_orderkey AS orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 450000
+         GROUP BY 1 ORDER BY 1""",
     "heavy_hitters_weighted" ->
       """SELECT 'k' || CAST(64 // (user_id % 64 + 1) AS VARCHAR) AS k,
          CAST(sum(event_id % 100 + 1) AS BIGINT) AS exact_w,

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-accelerated join pruning.
+  *
+  * At 100 TB the dominant join cost is shuffling probe-side rows that can
+  * never match — a Bloom filter of the build side's keys, broadcast as ONE
+  * fixed-size blob and evaluated row-locally BEFORE the exchange, removes
+  * them at scan speed. False positives only pass extra rows into the join,
+  * which discards them — the result is EXACT (byte-equality oracle), only
+  * the pruning rate is probabilistic. This is the same build→probe shape as
+  * the reference's filter-then-verify classification
+  * (/root/reference/src/main/taxor_search.cpp: Bloom probe gates the exact
+  * count), re-aimed at relational joins; Spark's own runtime bloom-filter
+  * injection (InjectRuntimeFilter) applies the identical idea when its
+  * heuristics fire — this operator makes it explicit, deterministic
+  * (seeded), and available on any column expression.
+  */
+object Joins {
+  /** Inner-join `probe` with `build`, pre-filtering the probe side with a
+    * Bloom filter of the build side's join keys.
+    *
+    * The filter is built with ONE aggregate over the build side (a single
+    * fixed-size blob — crossJoin(broadcast) ships it once per executor, not
+    * per row) and applied as a codegen'd `bloom_count_contained`-style
+    * predicate before the shuffle, so at selectivity s only ~(s + fpp) of
+    * probe rows reach the exchange.
+    *
+    * @param expectedKeys sizing for the filter (distinct build keys); use
+    *                     an HLL pre-pass or domain knowledge at scale.
+    */
+  def bloomPrunedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      expectedKeys: Long = 1 << 16,
+      fpp: Double = 0.0039,
+      seed: Long = DefaultSeed): DataFrame = {
+    val bf = build.agg(
+      bloom_agg_hashed(xxhash64(col(key)), expectedKeys, fpp, seed).as("__bf"))
+    probe
+      .crossJoin(broadcast(bf))
+      .where(bloom_contains_hashed(col("__bf"), xxhash64(col(key))))
+      .drop("__bf")
+      .join(build, key)
+  }
+
+  /** The pruning predicate alone — for callers composing their own join
+    * (different join types, multi-key, or pre-shuffle placement in a larger
+    * plan): returns `probe` with non-members of `build`'s key set removed
+    * (false-positive rate `fpp` of non-members survive; all members do). */
+  def bloomSemiFilter(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      expectedKeys: Long = 1 << 16,
+      fpp: Double = 0.0039,
+      seed: Long = DefaultSeed): DataFrame = {
+    val bf = build.agg(
+      bloom_agg_hashed(xxhash64(col(key)), expectedKeys, fpp, seed).as("__bf"))
+    probe
+      .crossJoin(broadcast(bf))
+      .where(bloom_contains_hashed(col("__bf"), xxhash64(col(key))))
+      .drop("__bf")
+  }
+}

@@ -516,6 +516,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(capped < uncapped, s"df cap must prune boilerplate: $capped")
   }
 
+  test("bloom-pruned join is exactly the plain join; members always pass") {
+    val probe = (0L until 5000L).map(i => (i % 997L, i)).toDF("k", "payload")
+    val build = (0L until 997L).filter(_ % 13 == 0).map(k => (k, s"b$k"))
+      .toDF("k", "tag")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "tag").as[(Long, Long, String)].collect().toSet
+    val pruned = rows(Joins.bloomPrunedJoin(probe, build, "k",
+      expectedKeys = 1024))
+    val plain = rows(probe.join(build, "k"))
+    assert(pruned == plain, "bloom pruning changed the join result")
+    // the semi-filter never drops a member (no false negatives) and prunes
+    // most non-members at fpp=0.0039
+    val kept = Joins.bloomSemiFilter(probe, build, "k", expectedKeys = 1024)
+      .select("k").as[Long].collect()
+    val members = build.select("k").as[Long].collect().toSet
+    assert(plain.map(_._1).subsetOf(kept.toSet), "member key dropped")
+    val nonMemberSurvivors = kept.count(!members.contains(_))
+    assert(nonMemberSurvivors <= 200,
+      s"bloom pruned too little: $nonMemberSurvivors non-members survived")
+  }
+
   test("cross-corpus contamination scan flags the leaked eval doc only") {
     val leak = "THE-EVAL-QUESTION-AND-ITS-ANSWER-TEXT-9876543210-" * 3
     val train = Seq(

@@ -65,6 +65,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("graft_nearest_centroids"), p)
   }
 
+  test("bloom-pruned join evaluates the filter probe-side before joining") {
+    val p = plan("join_bloom_pruned")
+    // the codegen'd membership predicate must appear as a Filter/Project
+    // over the probe scan (pre-shuffle), and the blob arrives by broadcast
+    assert(p.contains("graft_bloom_contains"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "bloom-pruned join fell back to SMJ")
+    assert(p.contains("partial_"), "final aggregate lost map-side combine")
+  }
+
   test("bottom-k sample gets per-partition top-k pruning before the shuffle") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
