@@ -640,6 +640,35 @@ object SparkEntry {
             .otherwise(col("exact_w") * (m + 1) <= col("n")).as("bound_ok"))
         .orderBy("k")
     },
+    // Rollup-by-merge for the counter sketch: per-event-type SpaceSaving
+    // summaries merged to a global one with topk_merge_agg — the mergeable-
+    // summaries theorem keeps ALL the MG bounds for the combined stream, so
+    // the same deterministic per-row gate as heavy_hitters_topk applies to
+    // the merged result.
+    "topk_rollup_merge" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val m = 6
+      val keyed = t(s, dir, "events").select(col("event_type"),
+        concat(lit("k"),
+          expr("64 div (pmod(user_id, 64) + 1)").cast("string")).as("k"))
+      val merged = keyed.groupBy("event_type")
+        .agg(topk_agg(col("k"), m).as("tk_part"))
+        .agg(topk_merge_agg(col("tk_part"), m).as("tk"))
+      val items = merged.select(explode(topk_items(col("tk"), m)).as("it"))
+        .select(col("it.item").as("k"), col("it.est").as("est"))
+      val nDf = merged.select(topk_total(col("tk")).as("n"))
+      keyed.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(broadcast(nDf))
+        .join(broadcast(items), Seq("k"), "left")
+        .select(col("k"), col("exact_cnt"),
+          (!(col("exact_cnt") * (m + 1) > col("n")) || col("est").isNotNull)
+            .as("heavy_present"),
+          when(col("est").isNotNull,
+            col("est") <= col("exact_cnt") &&
+              (col("exact_cnt") - col("est")) * (m + 1) <= col("n"))
+            .otherwise(col("exact_cnt") * (m + 1) <= col("n")).as("bound_ok"))
+        .orderBy("k")
+    },
     // Scalar HLL union estimation (the reference's estimate_union planning
     // primitive, taxor_build.cpp:470-473): per-event-type user sketches,
     // every pair's |A ∪ B| estimate gated against the exact distinct union
@@ -1120,6 +1149,10 @@ object SparkEntry {
       """SELECT 'k' || CAST(64 // (user_id % 64 + 1) AS VARCHAR) AS k,
          CAST(sum(event_id % 100 + 1) AS BIGINT) AS exact_w,
          true AS heavy_present, true AS bound_ok
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "topk_rollup_merge" ->
+      """SELECT 'k' || CAST(64 // (user_id % 64 + 1) AS VARCHAR) AS k,
+         count(*) AS exact_cnt, true AS heavy_present, true AS bound_ok
          FROM events GROUP BY 1 ORDER BY 1""",
     "hll_union_estimate" ->
       """WITH ty AS (SELECT DISTINCT event_type FROM events),

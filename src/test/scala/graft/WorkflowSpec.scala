@@ -100,4 +100,62 @@ class WorkflowSpec extends AnyFunSuite with SparkTestBase {
     // the three assigned refs each carry a species row
     assert(saLines.size == 5 + 3, s"$saLines")
   }
+
+  test("curation pipeline: quality -> dedup -> decontaminate -> split") {
+    import graft.operators.{Dedup, Sampling, TextStats}
+    val prose = "the quick brown fox jumps over the lazy dog and it runs " +
+      "to the hills for a while and then it rests in the shade "
+    val evalLeak = "EVAL-SET-ITEM-THE-EXACT-QUESTION-TEXT-0123456789-" * 3
+    val docs = Seq(
+      (1L, prose * 6),                       // good prose
+      (2L, prose * 6),                       // exact dup of 1
+      (3L, prose.replace("fox", "cat") * 6), // near dup of 1
+      (4L, "a b " * 200),                    // degenerate repetition
+      (5L, "training article with an original body of words standing " +
+        "alone apart from every other document in this corpus " * 4 +
+        evalLeak),                           // contaminated by the eval set
+      (6L, "entirely different prose on sketching engines and data " +
+        "streams merging partial summaries across executors at scale " * 6)
+    ).toDF("doc_id", "text")
+    val heldout = Seq((900L, "question preamble " + evalLeak))
+      .toDF("doc_id", "text")
+
+    // 1. quality gate: token-shape flags drop the degenerate doc
+    val quality = TextStats.qualityFlags(docs, "doc_id", "text")
+    val good = docs.join(
+      quality.where(col("is_quality")).select("doc_id"), "doc_id")
+    val goodIds = good.select("doc_id").as[Long].collect().toSet
+    assert(!goodIds.contains(4L), "degenerate doc survived the quality gate")
+    assert(Set(1L, 2L, 3L, 5L, 6L).subsetOf(goodIds))
+
+    // 2. exact + near dedup: keep canonical copies only
+    val canon = Dedup.nearDupCanonical(good, "doc_id", "text",
+      numBands = 32, rowsPerBand = 4, threshold = 0.6)
+    val keep = canon.where(col("is_canonical"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!keep.contains(2L), "exact duplicate kept")
+    assert(!keep.contains(3L), "near duplicate kept")
+    assert(keep.contains(1L))
+
+    // 3. decontamination: drop training docs sharing a span with the eval set
+    val deduped = good.join(canon.where(col("is_canonical"))
+      .select("doc_id"), "doc_id")
+    val leaked = Dedup.crossSpanContamination(deduped, "doc_id",
+      heldout, "doc_id", "text")
+      .select("train_id").as[Long].collect().toSet
+    assert(leaked == Set(5L), s"expected exactly the planted leak: $leaked")
+    val clean = deduped.join(leaked.toSeq.toDF("doc_id"), Seq("doc_id"),
+      "left_anti")
+
+    // 4. deterministic split: assignment is append-stable — re-splitting
+    //    the cleaned subset gives the same labels as splitting everything
+    val all = Sampling.hashSplit(docs, "doc_id", Seq("train" -> 0.9,
+      "holdout" -> 0.1)).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val sub = Sampling.hashSplit(clean, "doc_id", Seq("train" -> 0.9,
+      "holdout" -> 0.1)).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(sub.forall { case (id, sp) => all(id) == sp })
+    assert(sub.keySet == Set(1L, 6L), s"pipeline survivors: ${sub.keySet}")
+  }
 }
