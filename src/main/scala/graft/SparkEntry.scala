@@ -669,6 +669,42 @@ object SparkEntry {
             .otherwise(col("exact_cnt") * (m + 1) <= col("n")).as("bound_ok"))
         .orderBy("k")
     },
+    // Rollup-by-merge for the quantile sketches: per-event-type KLL and
+    // t-digest blobs merged to GLOBAL ones in-plan (kll_merge_agg /
+    // tdigest_merge_agg) — fine-grain blobs built once, any coarser level
+    // is a merge, never a fact-table rescan. KLL's rank-error bound
+    // survives merge (mergeable-summaries), so the kll_price_quantiles
+    // rank-check gate applies unchanged to the merged sketch; the merged
+    // t-digest gets a looser empirical bound (merging-digest accuracy
+    // degrades ~2x vs single-pass, same posture as tdigest_value_quantiles).
+    "quantile_rollup_merge" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("value").cast("double").as("x"))
+        .where(col("x").isNotNull)
+      val merged = ev.groupBy("event_type")
+        .agg(kll_agg(col("x"), 200).as("kll_part"),
+          tdigest_agg(col("x"), 100).as("td_part"))
+        .agg(kll_merge_agg(col("kll_part"), 200).as("kll"),
+          tdigest_merge_agg(col("td_part"), 100).as("td"))
+      val row = merged.first()
+      val kll = graft.sketch.Kll.fromBytes(row.getAs[Array[Byte]]("kll"))
+      val td = graft.sketch.TDigest.fromBytes(row.getAs[Array[Byte]]("td"))
+      val eps = 3 * kll.rankErrorBound + 0.005
+      val qs = Seq(0.1 -> "q10", 0.5 -> "q50", 0.9 -> "q90")
+      val ests = qs.map { case (q, _) => kll.quantile(q) } ++
+        qs.map { case (q, _) => td.quantile(q) }
+      val ranks = ev.agg(count(lit(1)).cast("double").as("n"),
+        ests.map(e => sum(when(col("x") < e, 1L).otherwise(0L))): _*).first()
+      val n = ranks.getDouble(0)
+      import s.implicits._
+      qs.zipWithIndex.map { case ((q, label), i) =>
+        (label,
+          math.abs(ranks.getLong(i + 1) / n - q) <= eps,
+          math.abs(ranks.getLong(i + 1 + qs.size) / n - q) <= 0.025)
+      }.toDF("q_label", "kll_within_rank_error", "td_within_rank_error")
+        .orderBy("q_label")
+    },
     // Scalar HLL union estimation (the reference's estimate_union planning
     // primitive, taxor_build.cpp:470-473): per-event-type user sketches,
     // every pair's |A ∪ B| estimate gated against the exact distinct union
@@ -693,6 +729,51 @@ object SparkEntry {
           (abs(col("est") - col("exact_union")) <=
             lit(3 * graft.sketch.Hll.stdError(p)) * col("exact_union") +
               lit(2.0)).as("within_bound"))
+        .orderBy("et_a", "et_b")
+    },
+    // KMV (k-minimum-values) distinct sketch: bottom-k of an engine-portable
+    // md5-derived 60-bit hash per event_type (Bar-Yossef et al. 2002).
+    // Unlike the HLL gates, the ESTIMATE column itself is gated BYTE-EXACT
+    // against DuckDB — integer hash order statistics plus one IEEE division
+    // with an exact-Double numerator — alongside the usual statistical
+    // bound vs the exact distinct count (sd ~ exact/sqrt(k-2)).
+    "kmv_distinct" -> { (s, dir) =>
+      val k = 128
+      val ev = t(s, dir, "events")
+      val est = Kmv.sketch(ev, Seq("event_type"), "user_id", k)
+        .select(col("event_type"), Kmv.estimate(col("ks"), k).as("kmv_est"))
+      ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        .join(broadcast(est), Seq("event_type"))
+        .select(col("event_type"), col("exact_distinct"), col("kmv_est"),
+          (abs(col("kmv_est") - col("exact_distinct")) <=
+            lit(4.0 / math.sqrt(k - 2)) * col("exact_distinct") + lit(2.0))
+            .as("within_bound"))
+        .orderBy("event_type")
+    },
+    // KMV union rollup: per-type sketches merged row-locally (bottom-k of
+    // the hash-set union — the min-k law), every pair's |A ∪ B| estimate
+    // gated byte-exact AND bound-checked vs the exact distinct union. The
+    // deterministic counterpart of hll_union_estimate for dedup-overlap
+    // planning: |A ∩ B| follows by inclusion–exclusion.
+    "kmv_union_estimate" -> { (s, dir) =>
+      val k = 128
+      val ev = t(s, dir, "events")
+      val sk = Kmv.sketch(ev, Seq("event_type"), "user_id", k)
+      val ests = sk.as("a")
+        .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("et_a"), col("b.event_type").as("et_b"),
+          Kmv.estimate(Kmv.merge(col("a.ks"), col("b.ks"), k), k).as("kmv_est"))
+      val exact = ests.select("et_a", "et_b")
+        .join(ev, ev("event_type") === col("et_a") ||
+          ev("event_type") === col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(countDistinct(col("user_id")).as("exact_union"))
+      exact.join(broadcast(ests), Seq("et_a", "et_b"))
+        .select(col("et_a"), col("et_b"), col("exact_union"), col("kmv_est"),
+          (abs(col("kmv_est") - col("exact_union")) <=
+            lit(4.0 / math.sqrt(k - 2)) * col("exact_union") + lit(2.0))
+            .as("within_bound"))
         .orderBy("et_a", "et_b")
     },
     // Substring-level dedup: identical 256-char spans (stride 224)
@@ -1154,6 +1235,11 @@ object SparkEntry {
       """SELECT 'k' || CAST(64 // (user_id % 64 + 1) AS VARCHAR) AS k,
          count(*) AS exact_cnt, true AS heavy_present, true AS bound_ok
          FROM events GROUP BY 1 ORDER BY 1""",
+    "quantile_rollup_merge" ->
+      """SELECT q_label, true AS kll_within_rank_error,
+         true AS td_within_rank_error
+         FROM (VALUES ('q10'),('q50'),('q90')) AS t(q_label)
+         ORDER BY q_label""",
     "hll_union_estimate" ->
       """WITH ty AS (SELECT DISTINCT event_type FROM events),
          p AS (SELECT a.event_type AS et_a, b.event_type AS et_b
@@ -1163,6 +1249,49 @@ object SparkEntry {
                  THEN e.user_id END) AS exact_union,
            true AS within_bound
          FROM p, events e GROUP BY 1,2 ORDER BY 1,2""",
+    // KMV oracles recompute the sketch itself: the md5-derived hash, the
+    // bottom-k order statistics, and the estimate expression are all
+    // engine-portable (Kmv.hashSql / Kmv.estimateSql are generated from the
+    // same single source as the Column code), so kmv_est gates byte-exact.
+    "kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+             ${Kmv.hashSql("CAST(user_id AS VARCHAR)", "graft")} AS hv
+           FROM events),
+         rk AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+           FROM h),
+         agg AS (SELECT event_type, count(*) AS cnt,
+             max(CASE WHEN r = 128 THEN hv END) AS hk
+           FROM rk WHERE r <= 128 GROUP BY 1),
+         ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+           FROM events GROUP BY 1)
+         SELECT e.event_type, e.exact_distinct,
+           ${Kmv.estimateSql("a.cnt", "a.hk", 128)} AS kmv_est,
+           true AS within_bound
+         FROM ex e JOIN agg a USING (event_type) ORDER BY event_type""",
+    "kmv_union_estimate" ->
+      s"""WITH ty AS (SELECT DISTINCT event_type FROM events),
+         p AS (SELECT a.event_type AS et_a, b.event_type AS et_b
+               FROM ty a, ty b WHERE a.event_type < b.event_type),
+         h AS (SELECT DISTINCT event_type,
+             ${Kmv.hashSql("CAST(user_id AS VARCHAR)", "graft")} AS hv
+           FROM events),
+         uh AS (SELECT DISTINCT p.et_a, p.et_b, h.hv FROM p, h
+           WHERE h.event_type = p.et_a OR h.event_type = p.et_b),
+         rk AS (SELECT et_a, et_b, hv,
+             row_number() OVER (PARTITION BY et_a, et_b ORDER BY hv) AS r
+           FROM uh),
+         agg AS (SELECT et_a, et_b, count(*) AS cnt,
+             max(CASE WHEN r = 128 THEN hv END) AS hk
+           FROM rk WHERE r <= 128 GROUP BY 1,2),
+         ex AS (SELECT p.et_a, p.et_b,
+             count(DISTINCT CASE WHEN e.event_type IN (p.et_a, p.et_b)
+                   THEN e.user_id END) AS exact_union
+           FROM p, events e GROUP BY 1,2)
+         SELECT x.et_a, x.et_b, x.exact_union,
+           ${Kmv.estimateSql("a.cnt", "a.hk", 128)} AS kmv_est,
+           true AS within_bound
+         FROM ex x JOIN agg a USING (et_a, et_b) ORDER BY et_a, et_b""",
     // same series cap + stride as text_chunks; canonical = lexicographic
     // min (doc_id, chunk_idx) over identical chunk text, encoded as
     // doc_id*1000000+chunk_idx (chunk_idx <= 4 under the 1007-byte invariant)
