@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Variance probe: run named SparkEntry queries N times in one session and
+  * print per-repeat wall times. Usage:
+  *   runMain graft.QueryTime <sfDir> <reps> <query...>
+  * Bimodal timings here (same JVM, same plan) point at cache eviction / GC,
+  * not at plan shape — the complement of PlanCheck.
+  */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.sql.files.openCostInBytes", 64 * 1024)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    // print any stage slower than 2s with its straggler profile, so a slow
+    // rep can be attributed to a stage (and to skew vs uniform slowness)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val info = sc.stageInfo
+          val wall = (for {
+            s <- info.submissionTime; c <- info.completionTime
+          } yield (c - s) / 1e3).getOrElse(0.0)
+          if (wall > 0.5) {
+            val m = info.taskMetrics
+            println(f"[qtime-stage] stage=${info.stageId} wall=$wall%.1f s " +
+              f"tasks=${info.numTasks} " +
+              f"cpu=${m.executorCpuTime / 1e9}%.1f s " +
+              f"run=${m.executorRunTime / 1e3}%.1f s " +
+              f"shRead=${m.shuffleReadMetrics.totalBytesRead / 1e6}%.0f MB " +
+              f"shWrite=${m.shuffleWriteMetrics.bytesWritten / 1e6}%.0f MB " +
+              f"in=${m.inputMetrics.bytesRead / 1e6}%.0f MB " +
+              s"rdd=${sc.stageInfo.rddInfos.map(_.name).mkString("|").take(120)}")
+          }
+        }
+      })
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).map { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[qtime] $name rep$i: $sec%.2f s ($n rows)")
+        sec
+      }
+      println(f"[qtime] $name min=${times.min}%.2f max=${times.max}%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -34,7 +34,14 @@ object SparkEntry {
   /** Corpus/query split of the documents table for classification demos:
     * every 10th doc is a query, the rest are the grouped reference corpus. */
   private def corpusQueries(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // the sf-scale documents parquet is one row group, so the scan is ONE
+    // task no matter how many byte-range splits Spark makes — repartition
+    // the (tiny) raw text once so the dominant downstream work (shingle
+    // explode + filter build/probe) uses every core, as a many-split 100 TB
+    // input would natively. Results are partitioning-invariant (salted
+    // builds byte-identical by spec, counts exact).
     val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
     (docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
        .select(col("source").as("group"), col("text")),
      docs.where(pmod(col("doc_id"), lit(10)) === 0)

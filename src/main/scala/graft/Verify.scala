@@ -10,6 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // split small parquet files to all cores (same knobs as Bench): the
+      // sf-table files are a few MB and would otherwise scan single-task
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.sql.files.openCostInBytes", 64 * 1024)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
