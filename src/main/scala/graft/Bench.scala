@@ -53,25 +53,30 @@ object Bench {
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
-  private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
+  /** `splitSmallFiles` applies the small-file scan knobs used by the
+    * per-query phase: sf0.1 parquet files are a few MB and with the
+    * default 4 MB openCostInBytes floor each maps to ONE split, so every
+    * scan-rooted stage runs single-task and leaves cores-1 threads idle
+    * (observed: classify_* probe stages at 1 task × 1-14 s — the 14 s
+    * mode is a fresh codegen class running before C2 compiles it,
+    * amplified cores× by the serial stage). The SCALING sessions keep the
+    * defaults instead: the turns input is 32 × ~6 MB files and the 64 KB
+    * open cost repacks them into one wave of fat tasks at 8/16 cores,
+    * which measurably worsens tail balance (16-level throughput dropped
+    * ~25% in a clean run) — the north-rule pair must be measured under
+    * identical, wave-balanced packing at every level. */
+  private def session(cores: Int, splitSmallFiles: Boolean = true): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores)
-      // sf0.1 parquet files are a few MB: with the default 4 MB
-      // openCostInBytes floor each maps to ONE split, so every scan-rooted
-      // stage runs single-task and leaves cores-1 threads idle (observed:
-      // the classify_* probe stages at 1 task × 1-14 s — the 14 s mode is
-      // a fresh whole-stage-codegen class running before C2 compiles it,
-      // amplified cores× by the serial stage). Real deployments tune the
-      // same two knobs for small-file inputs; splits stay byte-ranges of
-      // row groups, results are partitioning-invariant (salted builds are
-      // byte-identical by spec; sketch gates are bounds).
-      .config("spark.sql.files.minPartitionNum", cores)
-      .config("spark.sql.files.openCostInBytes", 64 * 1024)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (splitSmallFiles) {
+      b.config("spark.sql.files.minPartitionNum", cores)
+        .config("spark.sql.files.openCostInBytes", 64 * 1024)
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(s)
     s
@@ -210,7 +215,8 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val cmp = {
-      val s = session(cpus)
+      // turns input, not sf tables: default packing (see session scaladoc)
+      val s = session(cpus, splitSmallFiles = false)
       val turns = s.read.parquet(input)
       def best(f: => Unit): Double = { f; math.min(timeJob(f), timeJob(f)) }
       val builtinHll = best(turns.groupBy("role")
@@ -240,7 +246,7 @@ object Bench {
     // level runs first (observed 2x run-to-run swings at local[4])
     def measure(cores: Int, reps: Int = 2): (Long, Double) = {
       System.gc()
-      val s = session(cores)
+      val s = session(cores, splitSmallFiles = false)
       val rs = (1 to reps).map(_ => sketchBuildThroughput(s, input, bloomItems))
       s.stop()
       (rs.head._1, rs.map(_._2).max)

@@ -113,6 +113,7 @@ object GraftFunctions {
       BloomCountContained(es.head, es(1))
     },
     "graft_bloom_fpp" -> { es => BloomFpp(es.head) },
+    "graft_bloom_items_estimate" -> { es => BloomItemsEstimate(es.head) },
     "graft_cms_agg" -> { es =>
       CmsAgg(es.head, doubleArg(es(1), "eps"), doubleArg(es(2), "delta"),
         longArg(es(3), "seed"))
@@ -255,6 +256,8 @@ object GraftFunctions {
   def bloom_count_contained(sketch: Column, hashes: Column): Column =
     call_function("graft_bloom_count_contained", sketch, hashes)
   def bloom_fpp(sketch: Column): Column = call_function("graft_bloom_fpp", sketch)
+  def bloom_items_estimate(sketch: Column): Column =
+    call_function("graft_bloom_items_estimate", sketch)
 
   def cms_agg(c: Column, eps: Double = 0.0001, delta: Double = 0.01,
       seed: Long = DefaultSeed): Column =

@@ -260,6 +260,20 @@ case class BloomFpp(child: Expression)
   override def prettyName: String = "graft_bloom_fpp"
 }
 
+/** Swamidass–Baldi distinct-item estimate from a Bloom blob's slice fill
+  * (see Bloom.estimateItems) — the load signal for coarse-layout planning. */
+case class BloomItemsEstimate(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    graft.sketch.Bloom.estimateItems(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sketch.Bloom.estimateItems($c)")
+  override protected def withNewChildInternal(c: Expression): BloomItemsEstimate =
+    copy(child = c)
+  override def prettyName: String = "graft_bloom_items_estimate"
+}
+
 case class CmsEstimate(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType

@@ -205,6 +205,63 @@ object Classify {
   def autoBuckets(nGroups: Long): Int =
     math.max(2, math.min(1024, math.ceil(math.sqrt(nGroups.toDouble)).toInt))
 
+  /** Driver-side twin of the probe's coarse-bucket assignment
+    * `pmod(xxhash64(col("group")), lit(b))` (xxhash64 = XXH64 with seed 42
+    * over the string's UTF-8 bytes) — parity asserted in OperatorsSpec, so
+    * the planner simulates exactly the buckets the probe will use. */
+  def bucketOf(group: String, b: Int): Int = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(group)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    val m = (h % b).toInt
+    if (m < 0) m + b else m
+  }
+
+  /** C3 expected-probe-cost layout search for the coarse level — the
+    * engine's analogue of the reference's sweep over t_max candidates
+    * picking the layout with minimum expected query cost from sketch-based
+    * size estimates (taxor_build.cpp:168-233, chopper's estimate_union DP
+    * at :470-473). `autoBuckets`' sqrt heuristic balances the two probe
+    * stages by COUNT; this refines it with the failure mode the count
+    * cannot see: bucket-filter SATURATION. The coarse filter is the OR of
+    * its members with the same (m, k) as a member filter, so a bucket
+    * whose merged load exceeds the per-group capacity fills up and prunes
+    * nothing.
+    *
+    * For each power-of-two candidate b, groups are placed with the real
+    * probe assignment (bucketOf) and a query's modeled cost is
+    *   b                    stage-1 bucket probes (and broadcast rows)
+    * + worst bucket members stage-2 probes behind the true bucket
+    * + n · fpr(worst load)  stage-2 probes behind false-positive buckets,
+    *   where fpr comes from the partitioned-Bloom fill 1 - e^(-load/slice)
+    *   raised to k — saturation sends this term to n and forces a finer b.
+    * Returns the cheapest b (ties → fewer buckets = smaller broadcast).
+    */
+  def planCoarseBuckets(
+      groupEstimates: Seq[(String, Double)],
+      expectedShinglesPerGroup: Long = 1 << 17,
+      fpp: Double = 0.0039): Int = {
+    import graft.sketch.Bloom
+    val n = groupEstimates.size
+    if (n <= 2) return 2
+    val k = Bloom.optimalK(fpp)
+    val slice = math.max(8L,
+      Bloom.bitsFor(expectedShinglesPerGroup, fpp, k) / k + 1).toDouble
+    val candidates = Iterator.iterate(2)(_ * 2)
+      .takeWhile(_ <= math.min(1024, n)).toVector
+    candidates.minBy { b =>
+      val loads = new Array[Double](b)
+      val members = new Array[Long](b)
+      groupEstimates.foreach { case (g, est) =>
+        val i = bucketOf(g, b)
+        loads(i) += math.max(0.0, est)
+        members(i) += 1
+      }
+      val fill = 1.0 - math.exp(-loads.max / slice)
+      b.toDouble + members.max.toDouble + n * math.pow(fill, k)
+    }
+  }
+
   /** Two-level probe of a prebuilt (group, bf) filter table (see
     * hierarchicalSketch for semantics and the losslessness argument).
     * `filters` should be persisted by the caller — the plan references it
@@ -220,7 +277,19 @@ object Classify {
       fpp: Double = 0.0039,
       seed: Long = DefaultSeed): DataFrame = {
     val buckets =
-      if (nBuckets > 0) nBuckets else autoBuckets(filters0.count())
+      if (nBuckets > 0) nBuckets
+      else {
+        // cost-model auto layout: per-group loads read straight off the
+        // built member filters (Swamidass–Baldi slice-fill estimate — no
+        // extra corpus pass), then the expected-probe-cost sweep. The
+        // collect is one (group, double) row per group, same tiny scale as
+        // the broadcast the probe ships anyway.
+        val ests = filters0
+          .select(col("group"), bloom_items_estimate(col("bf")).as("est"))
+          .collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+        planCoarseBuckets(ests, expectedShinglesPerGroup, fpp)
+      }
     val filters = filters0
       .withColumn("bucket", pmod(xxhash64(col("group")), lit(buckets)))
     // coarse level: OR-merge of member filters per bucket (tiny table)

@@ -101,6 +101,28 @@ object Bloom {
     a
   }
 
+  /** Swamidass–Baldi estimate of the number of distinct items inserted,
+    * from the observed fill of each slice: every item sets exactly one bit
+    * per slice, so n̂_i = -slice·ln(1 - ones_i/slice); the estimate is the
+    * mean over slices. A saturated slice (fill = 1) caps at the count that
+    * would fill all but one bit — callers treating the result as a load
+    * signal (layout planning) only need "way over capacity" there. */
+  def estimateItems(buf: Array[Byte]): Double = {
+    val kk = k(buf); val slice = sliceBits(buf)
+    var sum = 0.0
+    var i = 0
+    while (i < kk) {
+      var ones = 0L
+      var bit = i * slice
+      val end = bit + slice
+      while (bit < end) { if (getBit(buf, bit)) ones += 1; bit += 1 }
+      val fill = math.min(ones, slice - 1).toDouble / slice
+      sum += -slice * math.log1p(-fill)
+      i += 1
+    }
+    sum / kk
+  }
+
   /** Expected false-positive probability from the observed fill ratio of
     * each slice (product over slices of its load factor). */
   def expectedFpp(buf: Array[Byte]): Double = {

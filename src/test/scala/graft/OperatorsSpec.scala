@@ -242,6 +242,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(skci == got, "bloom CI classification disagrees")
   }
 
+  test("coarse-layout cost search avoids saturated bucket filters") {
+    // 1) the planner's driver-side bucket assignment must mirror the
+    // probe's pmod(xxhash64(group), b) exactly, or it plans the wrong
+    // layout
+    val names = (0 until 64).map(g => s"g$g")
+    val b = 16
+    val engine = names.toDF("group")
+      .select(col("group"),
+        pmod(xxhash64(col("group")), lit(b)).cast("int").as("bk"))
+      .as[(String, Int)].collect().toMap
+    names.foreach(g => assert(Classify.bucketOf(g, b) == engine(g), g))
+
+    // 2) tiny loads: saturation impossible, the sweep reduces to balancing
+    // bucket count vs members-per-bucket — a coarse (small-b) layout
+    val cap = 4096L
+    val tiny = Classify.planCoarseBuckets(names.map(_ -> 1.0),
+      expectedShinglesPerGroup = cap)
+    // 3) every group at filter capacity: any co-bucketed pair saturates
+    // the OR-merged coarse filter (fpr → 1 ⇒ no pruning), so the model
+    // must choose a strictly finer layout than the tiny-load case
+    val loaded = Classify.planCoarseBuckets(names.map(_ -> cap.toDouble),
+      expectedShinglesPerGroup = cap)
+    assert(tiny <= 16, s"tiny-load choice $tiny")
+    assert(loaded > tiny, s"saturated choice $loaded vs tiny $tiny")
+  }
+
   test("hierarchical bloom probe equals the flat probe exactly") {
     // 9 groups across 3 buckets so the coarse layer actually prunes
     val corpus = (0 until 9).map { g =>

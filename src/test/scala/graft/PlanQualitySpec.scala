@@ -87,6 +87,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
   }
 
+  test("kmv sketch gets per-partition top-k pruning before the shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = graft.operators.Kmv
+      .sketch(docs, Seq("source"), "doc_id", 32)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // same shape as bottomK: rank<=k runs below AND above the exchange, so
+    // at most k hashes per stratum per input partition cross the wire
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
   test("hash split is row-local: no exchange in the plan") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
