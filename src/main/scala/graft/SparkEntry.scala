@@ -832,6 +832,22 @@ object SparkEntry {
           coalesce(col("__hit"), lit(false)).as("detected"))
         .orderBy("id_a", "id_b")
     },
+    // Incremental dedup: build a persisted fingerprint index over the
+    // 'old' two-thirds once, dedup the 'new' third against it — old text
+    // is never re-read. Exact hits join content hashes; near hits use
+    // md5-scaled k-gram subsets (the engine-portable FracMinHash twin), so
+    // the gate is byte-exact INCLUDING the scaled-Jaccard estimate — no
+    // LSH band-miss caveat anywhere in this path.
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-fpidx").toString
+      Dedup.buildFingerprintIndex(
+        docs.where(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text", idx)
+      Dedup.dedupAgainstIndex(
+        docs.where(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", idx)
+        .orderBy("doc_id", "match_id", "kind")
+    },
     // Eval-set decontamination: every (train, held-out) pair sharing an
     // identical 256-char chunk must be flagged by the winnowed cross-corpus
     // scan — deterministic by the winnowing guarantee (same margin as
@@ -1302,6 +1318,35 @@ object SparkEntry {
     // same series cap + stride as text_chunks; canonical = lexicographic
     // min (doc_id, chunk_idx) over identical chunk text, encoded as
     // doc_id*1000000+chunk_idx (chunk_idx <= 4 under the 1007-byte invariant)
+    // index-side scaled sets recomputed in full SQL: same md5 scaling rule
+    // and the same jaccard_x1m expression tree as the engine (byte-exact,
+    // estimator value included); series cap per the 1007-byte invariant
+    "dedup_incremental" ->
+      """WITH ex AS (SELECT md5(text) AS h, min(doc_id) AS canonical_id
+             FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
+         exact AS (SELECT n.doc_id, e.canonical_id AS match_id,
+               'exact' AS kind, CAST(1000000 AS BIGINT) AS jaccard_x1m
+             FROM documents n JOIN ex e ON md5(n.text) = e.h
+             WHERE n.doc_id % 3 = 0),
+         gs AS (SELECT doc_id, substr(text, CAST(i AS INT), 8) AS g
+             FROM documents, generate_series(1, 1000) t(i)
+             WHERE i <= length(text) - 7 GROUP BY 1, 2),
+         sc AS (SELECT doc_id, md5(g) AS gh FROM gs
+             WHERE substr(md5('graft:' || g), 1, 2) < '40'),
+         ns AS (SELECT doc_id, count(*) AS n FROM sc GROUP BY 1),
+         pair AS (SELECT b.doc_id AS doc_id, a.doc_id AS match_id,
+               count(*) AS i
+             FROM sc a JOIN sc b USING (gh)
+             WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0 GROUP BY 1, 2),
+         near0 AS (SELECT p.doc_id, p.match_id, 'near' AS kind,
+               CAST(round(p.i * 1000000.0 / (nn.n + nold.n - p.i)) AS BIGINT)
+                 AS jaccard_x1m
+             FROM pair p JOIN ns nn ON nn.doc_id = p.doc_id
+                         JOIN ns nold ON nold.doc_id = p.match_id),
+         near AS (SELECT * FROM near0 WHERE jaccard_x1m >= 500000)
+         SELECT doc_id, match_id, kind, jaccard_x1m
+         FROM (SELECT * FROM exact UNION ALL SELECT * FROM near)
+         ORDER BY doc_id, match_id, kind""",
     "dedup_span_exact" ->
       """WITH ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
              substr(text, CAST(i*224+1 AS INT), 256) AS chunk

@@ -337,4 +337,103 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  // ---- incremental dedup against a persisted fingerprint index ------------
+
+  /** Engine-portable scaled k-gram fingerprints: (id, gh) where gh is the
+    * md5 hex of the k-gram and a k-gram survives iff the first two hex
+    * chars of md5("<seed>:<kgram>") order below `scaleHex` — the
+    * FracMinHash scaling filter (reference taxor_build.cpp:335-340, S6/F1)
+    * re-expressed over the md5 portability trick, so any SQL engine
+    * reproduces the subset (and therefore the scaled Jaccard) byte-exact.
+    * The xxhash-based `shingles(...)` tokenizer is the faster in-engine
+    * twin; this variant is for artifacts other engines must re-derive. */
+  private[graft] def scaledFingerprints(
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      scaleHex: String, seed: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol).cast("long").as("id"),
+        explode(transform(
+          sequence(lit(1L), greatest(length(t).cast("long") - (k - 1), lit(1L))),
+          i => t.substr(i.cast("int"), lit(k)))).as("g"))
+      .where(length(col("g")) === k) // drops the <k-char tail of short docs
+      .where(substring(md5(concat(lit(seed + ":"), col("g"))), 1, 2) <
+        lit(scaleHex))
+      .select(col("id"), md5(col("g")).as("gh"))
+      .distinct()
+  }
+
+  /** Persist a dedup fingerprint index for a corpus:
+    *   dir/exact/    (content_hash, canonical_id) — one row per distinct text
+    *   dir/shingles/ (id, gh)                     — scaled k-gram md5 hexes
+    * plus a versioned manifest (kind/k/scale_hex/seed) that probes validate.
+    *
+    * This is the INCREMENTAL half of exactCanonical/minhashLshPairs: a
+    * 100 TB corpus is deduplicated once, and every new batch then dedups
+    * against these tables without re-reading (or re-shingling) old text —
+    * the index is ~scale_hex/256 of the corpus shingle volume. */
+  def buildFingerprintIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      k: Int = 8, scaleHex: String = "40", seed: String = "graft"): Unit = {
+    require(scaleHex.length == 2 &&
+      scaleHex.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+      s"scaleHex must be two lowercase hex chars, got '$scaleHex'")
+    val spark = df.sparkSession
+    df.select(md5(col(textCol)).as("content_hash"),
+        col(idCol).cast("long").as("id"))
+      .groupBy("content_hash").agg(min(col("id")).as("canonical_id"))
+      .write.mode("overwrite").parquet(s"$dir/exact")
+    scaledFingerprints(df, idCol, textCol, k, scaleHex, seed)
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+    graft.sources.SketchTable.saveManifestOnly(spark, dir,
+      Map("kind" -> "fingerprint", "k" -> k.toString,
+        "scale_hex" -> scaleHex, "seed" -> seed))
+  }
+
+  /** Dedup a new batch against a persisted fingerprint index. Output:
+    * (doc_id, match_id, kind, jaccard_x1m) — kind 'exact' (content-hash
+    * hit on the index, jaccard_x1m = 1000000) or 'near' (scaled-set
+    * Jaccard ≥ minJaccardX1m; the x1m value is integer-derived with the
+    * dedup_ngram_jaccard expression convention, so it gates byte-exact).
+    * Probe-side params come from the manifest — a mismatched index fails
+    * loudly, never probes wrong.
+    *
+    * Scale shape: old text is never touched — the exact probe joins
+    * 32-char hashes; the near probe joins scaled fingerprints (both sides
+    * ~scale/256 of shingle volume) and aggregates (new, old) candidate
+    * pairs only. */
+  def dedupAgainstIndex(
+      newDocs: DataFrame, idCol: String, textCol: String, dir: String,
+      minJaccardX1m: Long = 500000L): DataFrame = {
+    val spark = newDocs.sparkSession
+    val manifest = graft.sources.SketchTable.readManifest(spark, dir)
+    graft.sources.SketchTable.requireParams(manifest,
+      Map("kind" -> "fingerprint"), dir)
+    val p = graft.sources.SketchTable.params(manifest)
+    val k = p("k").toInt
+    val exact = newDocs
+      .select(col(idCol).cast("long").as("doc_id"),
+        md5(col(textCol)).as("content_hash"))
+      .join(spark.read.parquet(s"$dir/exact"), "content_hash")
+      .select(col("doc_id"), col("canonical_id").as("match_id"),
+        lit("exact").as("kind"), lit(1000000L).as("jaccard_x1m"))
+    val shIdx = spark.read.parquet(s"$dir/shingles")
+      .select(col("id").as("old_id"), col("gh"))
+    val oldN = shIdx.groupBy("old_id").agg(count(lit(1)).as("n_old"))
+    val newSh = scaledFingerprints(newDocs, idCol, textCol, k,
+      p("scale_hex"), p("seed"))
+    val newN = newSh.groupBy("id").agg(count(lit(1)).as("n_new"))
+    val near = newSh.join(shIdx, "gh")
+      .groupBy(col("id"), col("old_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(newN, "id")
+      .join(oldN, "old_id")
+      .withColumn("jaccard_x1m",
+        round(col("inter") * 1000000.0 /
+          (col("n_new") + col("n_old") - col("inter"))).cast("long"))
+      .where(col("jaccard_x1m") >= minJaccardX1m)
+      .select(col("id").as("doc_id"), col("old_id").as("match_id"),
+        lit("near").as("kind"), col("jaccard_x1m"))
+    exact.unionByName(near)
+  }
 }

@@ -242,6 +242,39 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(skci == got, "bloom CI classification disagrees")
   }
 
+  test("incremental dedup probes a persisted index for exact and near hits") {
+    val tmp = java.nio.file.Files.createTempDirectory("fpidx-spec").toString
+    val base =
+      "the quick brown fox jumps over the lazy dog again and again " * 8
+    val oldDocs = Seq(
+      (1L, base),
+      (2L, "completely different content about spark aggregation flows " * 8))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, base), // exact dup of 1
+      (11L, base.replace("lazy", "hazy")), // near dup of 1
+      (12L, "unrelated text sharing nothing with the indexed corpus " * 8))
+      .toDF("doc_id", "text")
+    Dedup.buildFingerprintIndex(oldDocs, "doc_id", "text", tmp)
+    val out = Dedup
+      .dedupAgainstIndex(newDocs, "doc_id", "text", tmp,
+        minJaccardX1m = 400000)
+      .select("doc_id", "match_id", "kind")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out.contains((10L, 1L, "exact")), out)
+    assert(out.contains((10L, 1L, "near")), out) // j = 1.0 also clears near
+    assert(out.contains((11L, 1L, "near")), out)
+    assert(!out.exists(_._1 == 12L), out) // unrelated doc untouched
+    assert(!out.exists(_._2 == 2L), out) // nothing matches the other old doc
+    // probing a non-fingerprint dir fails loudly, never probes wrong
+    val wrong = java.nio.file.Files.createTempDirectory("fpidx-wrong").toString
+    graft.sources.SketchTable.saveManifestOnly(spark, wrong,
+      Map("kind" -> "ivf"))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(newDocs, "doc_id", "text", wrong)
+    }
+  }
+
   test("coarse-layout cost search avoids saturated bucket filters") {
     // 1) the planner's driver-side bucket assignment must mirror the
     // probe's pmod(xxhash64(group), b) exactly, or it plans the wrong
