@@ -20,14 +20,27 @@ import org.apache.spark.sql.functions._
   * (seeded), and available on any column expression.
   */
 object Joins {
+  /** Build the filter blob with ONE aggregate over the build side and
+    * embed it as a binary LITERAL. The earlier crossJoin(broadcast(blob))
+    * form was quadratic in disguise: the probe predicate read the blob out
+    * of the joined UnsafeRow, and `getBinary` COPIES — one full blob copy
+    * per probe row (~95 KB × every scanned row ⇒ tens of GB of memcpy at
+    * sf0.1, measured as the dominant CPU of join_bloom_pruned). A literal
+    * lands in the codegen references array and is probed in place, zero
+    * per-row copies; the blob rides the task binary once per stage. */
+  private def buildFilterLit(
+      build: DataFrame, key: String, expectedKeys: Long, fpp: Double,
+      seed: Long): Column = {
+    val blob = build
+      .agg(bloom_agg_hashed(xxhash64(col(key)), expectedKeys, fpp, seed))
+      .first().getAs[Array[Byte]](0)
+    lit(blob)
+  }
+
   /** Inner-join `probe` with `build`, pre-filtering the probe side with a
-    * Bloom filter of the build side's join keys.
-    *
-    * The filter is built with ONE aggregate over the build side (a single
-    * fixed-size blob — crossJoin(broadcast) ships it once per executor, not
-    * per row) and applied as a codegen'd `bloom_count_contained`-style
-    * predicate before the shuffle, so at selectivity s only ~(s + fpp) of
-    * probe rows reach the exchange.
+    * Bloom filter of the build side's join keys, applied as a codegen'd
+    * row-local predicate before the shuffle — at selectivity s only
+    * ~(s + fpp) of probe rows reach the exchange.
     *
     * @param expectedKeys sizing for the filter (distinct build keys); use
     *                     an HLL pre-pass or domain knowledge at scale.
@@ -39,12 +52,9 @@ object Joins {
       expectedKeys: Long = 1 << 16,
       fpp: Double = 0.0039,
       seed: Long = DefaultSeed): DataFrame = {
-    val bf = build.agg(
-      bloom_agg_hashed(xxhash64(col(key)), expectedKeys, fpp, seed).as("__bf"))
+    val bf = buildFilterLit(build, key, expectedKeys, fpp, seed)
     probe
-      .crossJoin(broadcast(bf))
-      .where(bloom_contains_hashed(col("__bf"), xxhash64(col(key))))
-      .drop("__bf")
+      .where(bloom_contains_hashed(bf, xxhash64(col(key))))
       .join(build, key)
   }
 
@@ -59,11 +69,7 @@ object Joins {
       expectedKeys: Long = 1 << 16,
       fpp: Double = 0.0039,
       seed: Long = DefaultSeed): DataFrame = {
-    val bf = build.agg(
-      bloom_agg_hashed(xxhash64(col(key)), expectedKeys, fpp, seed).as("__bf"))
-    probe
-      .crossJoin(broadcast(bf))
-      .where(bloom_contains_hashed(col("__bf"), xxhash64(col(key))))
-      .drop("__bf")
+    val bf = buildFilterLit(build, key, expectedKeys, fpp, seed)
+    probe.where(bloom_contains_hashed(bf, xxhash64(col(key))))
   }
 }

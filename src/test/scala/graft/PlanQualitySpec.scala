@@ -67,11 +67,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
 
   test("bloom-pruned join evaluates the filter probe-side before joining") {
     val p = plan("join_bloom_pruned")
-    // the codegen'd membership predicate must appear as a Filter/Project
-    // over the probe scan (pre-shuffle), and the blob arrives by broadcast
+    // the codegen'd membership predicate must appear as a row-local Filter
+    // over the probe scan (pre-shuffle); the blob is a references-array
+    // literal, so NO nested-loop join may reappear (its per-row getBinary
+    // copied the whole blob for every probe row)
     assert(p.contains("graft_bloom_contains"), p)
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), "bloom-pruned join fell back to SMJ")
     assert(p.contains("partial_"), "final aggregate lost map-side combine")
   }
