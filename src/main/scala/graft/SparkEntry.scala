@@ -154,16 +154,19 @@ object SparkEntry {
       val fpp = 0.01
       val members = t(s, dir, "orders").select(col("o_custkey")).distinct()
       val nMembers = members.count()
-      val bf = members.agg(
-        bloom_agg(col("o_custkey"), math.max(nMembers, 1024), fpp).as("bf"))
-      val missed = members.crossJoin(broadcast(bf))
-        .where(!bloom_contains(col("bf"), col("o_custkey")))
+      // scalar blob probed as a LITERAL (references-array, zero per-row
+      // copies) — the crossJoin(broadcast) form copies the blob out of the
+      // joined row for every probe row (see Joins.buildFilterLit)
+      val bf = lit(members.agg(
+        bloom_agg(col("o_custkey"), math.max(nMembers, 1024), fpp))
+        .first().getAs[Array[Byte]](0))
+      val missed = members
+        .where(!bloom_contains(bf, col("o_custkey")))
         .count()
       val probes = 200000L
       val fps = s.range(probes)
         .select((col("id") + 1000000000L).as("k"))
-        .crossJoin(broadcast(bf))
-        .where(bloom_contains(col("bf"), col("k")))
+        .where(bloom_contains(bf, col("k")))
         .count()
       import s.implicits._
       Seq((missed, fps <= (3 * fpp * probes).toLong))
