@@ -846,7 +846,8 @@ object SparkEntry {
       val idx = java.nio.file.Files
         .createTempDirectory("graft-fpidx").toString
       Dedup.buildFingerprintIndex(
-        docs.where(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text", idx)
+        docs.where(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text", idx,
+        maxDf = Some(64))
       Dedup.dedupAgainstIndex(
         docs.where(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", idx)
         .orderBy("doc_id", "match_id", "kind")
@@ -1334,8 +1335,11 @@ object SparkEntry {
          gs AS (SELECT doc_id, substr(text, CAST(i AS INT), 8) AS g
              FROM documents, generate_series(1, 1000) t(i)
              WHERE i <= length(text) - 7 GROUP BY 1, 2),
-         sc AS (SELECT doc_id, md5(g) AS gh FROM gs
+         sc0 AS (SELECT doc_id, md5('graft:' || g) AS gh FROM gs
              WHERE substr(md5('graft:' || g), 1, 2) < '40'),
+         hot AS (SELECT gh FROM sc0 WHERE doc_id % 3 <> 0
+             GROUP BY 1 HAVING count(*) > 64),
+         sc AS (SELECT * FROM sc0 WHERE gh NOT IN (SELECT gh FROM hot)),
          ns AS (SELECT doc_id, count(*) AS n FROM sc GROUP BY 1),
          pair AS (SELECT b.doc_id AS doc_id, a.doc_id AS match_id,
                count(*) AS i

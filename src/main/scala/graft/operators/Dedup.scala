@@ -340,14 +340,16 @@ object Dedup {
 
   // ---- incremental dedup against a persisted fingerprint index ------------
 
-  /** Engine-portable scaled k-gram fingerprints: (id, gh) where gh is the
-    * md5 hex of the k-gram and a k-gram survives iff the first two hex
-    * chars of md5("<seed>:<kgram>") order below `scaleHex` — the
-    * FracMinHash scaling filter (reference taxor_build.cpp:335-340, S6/F1)
-    * re-expressed over the md5 portability trick, so any SQL engine
-    * reproduces the subset (and therefore the scaled Jaccard) byte-exact.
-    * The xxhash-based `shingles(...)` tokenizer is the faster in-engine
-    * twin; this variant is for artifacts other engines must re-derive. */
+  /** Engine-portable scaled k-gram fingerprints: (id, gh) where
+    * gh = md5("<seed>:<kgram>") hex and a k-gram survives iff gh's first
+    * two hex chars order below `scaleHex` — the FracMinHash scaling filter
+    * (reference taxor_build.cpp:335-340, S6/F1: keep the fraction of hash
+    * space below a threshold) re-expressed over the md5 portability trick,
+    * so any SQL engine reproduces the subset (and therefore the scaled
+    * Jaccard) byte-exact. One hash serves as both the scale filter and the
+    * join key. The xxhash-based `shingles(...)` tokenizer is the faster
+    * in-engine twin; this variant is for artifacts other engines must
+    * re-derive. */
   private[graft] def scaledFingerprints(
       df: DataFrame, idCol: String, textCol: String, k: Int,
       scaleHex: String, seed: String): DataFrame = {
@@ -357,9 +359,9 @@ object Dedup {
           sequence(lit(1L), greatest(length(t).cast("long") - (k - 1), lit(1L))),
           i => t.substr(i.cast("int"), lit(k)))).as("g"))
       .where(length(col("g")) === k) // drops the <k-char tail of short docs
-      .where(substring(md5(concat(lit(seed + ":"), col("g"))), 1, 2) <
-        lit(scaleHex))
-      .select(col("id"), md5(col("g")).as("gh"))
+      .select(col("id"),
+        md5(concat(lit(seed + ":"), col("g"))).as("gh"))
+      .where(substring(col("gh"), 1, 2) < lit(scaleHex))
       .distinct()
   }
 
@@ -372,9 +374,17 @@ object Dedup {
     * 100 TB corpus is deduplicated once, and every new batch then dedups
     * against these tables without re-reading (or re-shingling) old text —
     * the index is ~scale_hex/256 of the corpus shingle volume. */
+  /** @param maxDf drop fingerprints shared by more than this many indexed
+    *   docs (written to `dir/hot` so probes apply the same universe). A
+    *   fingerprint in hundreds of docs is corpus boilerplate: it carries no
+    *   near-dup signal but dominates the probe join quadratically (df² pair
+    *   rows — measured 99% of join work above df 64 on a repetitive
+    *   corpus). Jaccard becomes exact-over-the-capped-universe, same
+    *   posture as `exactJaccardPairs(maxShingleDf)`. */
   def buildFingerprintIndex(
       df: DataFrame, idCol: String, textCol: String, dir: String,
-      k: Int = 8, scaleHex: String = "40", seed: String = "graft"): Unit = {
+      k: Int = 8, scaleHex: String = "40", seed: String = "graft",
+      maxDf: Option[Long] = None): Unit = {
     require(scaleHex.length == 2 &&
       scaleHex.forall(c => c.isDigit || ('a' to 'f').contains(c)),
       s"scaleHex must be two lowercase hex chars, got '$scaleHex'")
@@ -383,11 +393,25 @@ object Dedup {
         col(idCol).cast("long").as("id"))
       .groupBy("content_hash").agg(min(col("id")).as("canonical_id"))
       .write.mode("overwrite").parquet(s"$dir/exact")
-    scaledFingerprints(df, idCol, textCol, k, scaleHex, seed)
+    // cached between the df pass and the capped write — both consume the
+    // same explode+md5 scan; unpersisted before return (build-local state)
+    val sc = scaledFingerprints(df, idCol, textCol, k, scaleHex, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = maxDf match {
+      case Some(cap) =>
+        sc.groupBy("gh").agg(count(lit(1)).as("__df"))
+          .where(col("__df") > cap).select("gh")
+      case None => sc.select("gh").limit(0)
+    }
+    hot.write.mode("overwrite").parquet(s"$dir/hot")
+    sc.join(spark.read.parquet(s"$dir/hot"), Seq("gh"), "left_anti")
+      .select("id", "gh")
       .write.mode("overwrite").parquet(s"$dir/shingles")
+    sc.unpersist()
     graft.sources.SketchTable.saveManifestOnly(spark, dir,
       Map("kind" -> "fingerprint", "k" -> k.toString,
-        "scale_hex" -> scaleHex, "seed" -> seed))
+        "scale_hex" -> scaleHex, "seed" -> seed,
+        "max_df" -> maxDf.map(_.toString).getOrElse("none")))
   }
 
   /** Dedup a new batch against a persisted fingerprint index. Output:
@@ -420,8 +444,13 @@ object Dedup {
     val shIdx = spark.read.parquet(s"$dir/shingles")
       .select(col("id").as("old_id"), col("gh"))
     val oldN = shIdx.groupBy("old_id").agg(count(lit(1)).as("n_old"))
+    // the probe works in the index's capped universe: fingerprints the
+    // build dropped as boilerplate are dropped here too (including from
+    // the n_new denominator), so the Jaccard both sides compute is over
+    // the same set family
     val newSh = scaledFingerprints(newDocs, idCol, textCol, k,
-      p("scale_hex"), p("seed"))
+        p("scale_hex"), p("seed"))
+      .join(spark.read.parquet(s"$dir/hot"), Seq("gh"), "left_anti")
     val newN = newSh.groupBy("id").agg(count(lit(1)).as("n_new"))
     val near = newSh.join(shIdx, "gh")
       .groupBy(col("id"), col("old_id"))

@@ -266,6 +266,18 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.contains((11L, 1L, "near")), out)
     assert(!out.exists(_._1 == 12L), out) // unrelated doc untouched
     assert(!out.exists(_._2 == 2L), out) // nothing matches the other old doc
+    // df cap: with every fingerprint declared boilerplate (cap 0) the near
+    // channel is silenced — capped-universe semantics — while the exact
+    // content-hash channel is untouched
+    val capped = java.nio.file.Files.createTempDirectory("fpidx-cap").toString
+    Dedup.buildFingerprintIndex(oldDocs, "doc_id", "text", capped,
+      maxDf = Some(0))
+    val outCap = Dedup
+      .dedupAgainstIndex(newDocs, "doc_id", "text", capped,
+        minJaccardX1m = 400000)
+      .select("doc_id", "match_id", "kind")
+      .as[(Long, Long, String)].collect().toSet
+    assert(outCap == Set((10L, 1L, "exact")), outCap)
     // probing a non-fingerprint dir fails loudly, never probes wrong
     val wrong = java.nio.file.Files.createTempDirectory("fpidx-wrong").toString
     graft.sources.SketchTable.saveManifestOnly(spark, wrong,
