@@ -58,6 +58,24 @@ class SketchSpec extends AnyFunSuite {
     assert(Bloom.expectedFpp(b) <= 2 * fpp)
   }
 
+  test("bloom slice-fill item estimate tracks the true insert count") {
+    // Swamidass–Baldi estimate (feeds Classify.planCoarseBuckets loads):
+    // within 10% at design load, and a saturating filter still reads as
+    // way-over-capacity rather than wrapping or NaN-ing
+    val n = 20000
+    val b = Bloom.empty(n, 0.01, seed = 5)
+    hashes(n, 31).foreach(Bloom.update(b, _))
+    val est = Bloom.estimateItems(b)
+    assert(math.abs(est - n) <= 0.1 * n, s"est=$est true=$n")
+    val empty = Bloom.empty(n, 0.01, seed = 5)
+    assert(Bloom.estimateItems(empty) === 0.0)
+    val over = Bloom.empty(100, 0.01, seed = 6)
+    hashes(5000, 32).foreach(Bloom.update(over, _))
+    val overEst = Bloom.estimateItems(over)
+    assert(!overEst.isNaN && !overEst.isInfinite && overEst > 200,
+      s"saturated estimate $overEst")
+  }
+
   test("bloom xor-parity sizing reaches <= 0.0039 fpr") {
     // FPR parity with the reference's 8-bit XOR fingerprints
     // (/root/reference/src/main/xorfilter.hpp:60-62).
