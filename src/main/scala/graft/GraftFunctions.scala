@@ -114,6 +114,13 @@ object GraftFunctions {
     },
     "graft_bloom_fpp" -> { es => BloomFpp(es.head) },
     "graft_bloom_items_estimate" -> { es => BloomItemsEstimate(es.head) },
+    "graft_ixf_count_contained" -> { es => IxfCountContained(es.head, es(1)) },
+    // builder runs during ANALYSIS on the driver: the token literal resolves
+    // to a Broadcast handle there, and only the stub reaches executors
+    "graft_ixf_count_contained_bcast" -> { es =>
+      IxfCountContainedBcast(
+        IxfBlobs.get(arg(es.head, "token").toString), es(1))
+    },
     "graft_cms_agg" -> { es =>
       CmsAgg(es.head, doubleArg(es(1), "eps"), doubleArg(es(2), "delta"),
         longArg(es(3), "seed"))
@@ -258,6 +265,10 @@ object GraftFunctions {
   def bloom_fpp(sketch: Column): Column = call_function("graft_bloom_fpp", sketch)
   def bloom_items_estimate(sketch: Column): Column =
     call_function("graft_bloom_items_estimate", sketch)
+  def ixf_count_contained(blob: Column, hashes: Column): Column =
+    call_function("graft_ixf_count_contained", blob, hashes)
+  def ixf_count_contained_bcast(token: String, hashes: Column): Column =
+    call_function("graft_ixf_count_contained_bcast", lit(token), hashes)
 
   def cms_agg(c: Column, eps: Double = 0.0001, delta: Double = 0.01,
       seed: Long = DefaultSeed): Column =

@@ -265,6 +265,29 @@ object SparkEntry {
       Seq(("hier_equals_flat", nFlat == nHier && inter == nHier && nFlat > 0))
         .toDF("check", "ok").orderBy("check")
     },
+    // Interleaved bulk-count probe (the reference's namesake structure):
+    // member filters bit-transposed into ONE literal blob, per-group
+    // counts from a single pass per query. Same bits as the flat probe ⇒
+    // provably identical output, asserted here on the shared build.
+    "classify_interleaved" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val (corpus, qs) = corpusQueries(s, dir)
+      val cols = Seq("query_id", "group", "match_cnt", "query_n")
+      val filters = Classify.buildFilters(corpus)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val flat = Classify.sketchWithFilters(filters, qs, minFraction = 0.1)
+        .select(cols.map(col): _*).cache()
+      val ixf = Classify.interleavedSketchWithFilters(filters, qs,
+          minFraction = 0.1)
+        .select(cols.map(col): _*).cache()
+      val nFlat = flat.count()
+      val nIxf = ixf.count()
+      val inter = ixf.join(flat, cols, "left_semi").count()
+      flat.unpersist(); ixf.unpersist(); filters.unpersist()
+      import s.implicits._
+      Seq(("interleaved_equals_flat", nFlat == nIxf && inter == nIxf && nFlat > 0))
+        .toDF("check", "ok").orderBy("check")
+    },
     // ---- taxor profile analogues (F5, F6, A11) ----------------------------
     "profile_unique_filter" -> { (s, dir) =>
       ProfilePipeline.uniqueMappingFilter(eventMatches(s, dir))
@@ -1064,6 +1087,9 @@ object SparkEntry {
     "classify_hixf" ->
       """SELECT * FROM (VALUES ('hier_equals_flat', true)) AS t("check", ok)
          ORDER BY "check"""",
+    "classify_interleaved" ->
+      """SELECT * FROM (VALUES ('interleaved_equals_flat', true))
+         AS t("check", ok) ORDER BY "check"""",
     "profile_unique_filter" ->
       """WITH m0 AS (SELECT user_id AS query_id, event_type AS ref,
                     count(*) AS match_cnt FROM events GROUP BY 1,2),

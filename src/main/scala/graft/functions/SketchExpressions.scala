@@ -260,6 +260,83 @@ case class BloomFpp(child: Expression)
   override def prettyName: String = "graft_bloom_fpp"
 }
 
+/** Interleaved bulk count: per-bin contained-hash counts from ONE pass of
+  * a query's hash set over an interleaved multi-bin Bloom blob (see
+  * sketch.Interleaved — the reference's counting bulk_count port). */
+case class IxfCountContained(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(blob: Any, hashes: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.sketch.Interleaved.countContained(
+        blob.asInstanceOf[Array[Byte]],
+        hashes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, h) =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.sketch.Interleaved.countContained($b, $h))")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): IxfCountContained =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_ixf_count_contained"
+}
+
+/** Driver-side registry routing interleaved blobs into expressions as
+  * TorrentBroadcast handles instead of Literals: a multi-MB Literal is
+  * re-hashed by every Catalyst tree comparison and re-serialized into
+  * every stage's task binary, which measurably dominates planning
+  * (classify_interleaved: 15-25 s with a 12 MB literal, ~3 s broadcast).
+  * The registry lives only on the driver: GraftFunctions' builder resolves
+  * the token DURING ANALYSIS and embeds the Broadcast handle in the
+  * expression, which serializes as a stub; executors fetch blocks once.
+  * Bounded FIFO — entries are only routing state, the broadcast itself is
+  * owned by Spark's ContextCleaner once unreferenced. */
+object IxfBlobs {
+  private val MaxEntries = 64
+  private val m = new java.util.LinkedHashMap[String,
+      org.apache.spark.broadcast.Broadcast[Array[Byte]]](16, 0.75f, false) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String,
+          org.apache.spark.broadcast.Broadcast[Array[Byte]]]): Boolean =
+      size() > MaxEntries
+  }
+  def register(
+      spark: org.apache.spark.sql.SparkSession,
+      blob: Array[Byte]): String = m.synchronized {
+    val token = java.util.UUID.randomUUID().toString
+    m.put(token, spark.sparkContext.broadcast(blob))
+    token
+  }
+  def get(token: String): org.apache.spark.broadcast.Broadcast[Array[Byte]] =
+    m.synchronized {
+      val b = m.get(token)
+      require(b != null, s"unknown interleaved-blob token $token " +
+        "(evicted or from another driver) — re-register the blob")
+      b
+    }
+}
+
+/** Bulk count against a broadcast interleaved blob (see IxfBlobs). */
+case class IxfCountContainedBcast(
+    blob: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(hashes: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.sketch.Interleaved.countContained(blob.value,
+        hashes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ixfBlob", blob,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, h =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.sketch.Interleaved.countContained((byte[]) $ref.value(), $h))")
+  }
+  override protected def withNewChildInternal(c: Expression): IxfCountContainedBcast =
+    copy(child = c)
+  override def prettyName: String = "graft_ixf_count_contained_bcast"
+}
+
 /** Swamidass–Baldi distinct-item estimate from a Bloom blob's slice fill
   * (see Bloom.estimateItems) — the load signal for coarse-layout planning. */
 case class BloomItemsEstimate(child: Expression)

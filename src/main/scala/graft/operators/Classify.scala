@@ -149,6 +149,45 @@ object Classify {
     applyFilters(
       sketchCountsWithFilters(filters, queries, shingleK, seed), minFraction)
 
+  /** Interleaved-probe classification over a prebuilt (group, bf) filter
+    * table — the reference's own probe shape (bulk count over an
+    * interleaved multi-bin structure, see [[graft.sketch.Interleaved]]):
+    * all member filters are bit-transposed into ONE blob (driver-side;
+    * bounded by the same groups×filter-size budget as the flat broadcast,
+    * with `hierarchicalSketch` remaining the many-groups answer) embedded
+    * as a LITERAL — zero per-row blob copies — and each query's per-group
+    * counts come from one codegen'd bulk-count pass over its hash set
+    * where every probed bit-block serves ALL groups at once. Output is
+    * provably identical to `sketchWithFilters` (same bits; equality
+    * gated in `classify_interleaved` and OperatorsSpec). */
+  def interleavedSketchWithFilters(
+      filters: DataFrame, // (group, bf)
+      queries: DataFrame, // (query_id, text)
+      shingleK: Int = 8,
+      minFraction: Double = 0.1,
+      seed: Long = DefaultSeed): DataFrame = {
+    val rows = filters.select("group", "bf").collect()
+    val groups = rows.map(_.getString(0)).toSeq
+    val blob = graft.sketch.Interleaved.fromFilters(
+      rows.map(_.getAs[Array[Byte]](1)).toSeq)
+    // multi-MB blob travels as a TorrentBroadcast, not a Literal — a
+    // Literal this size dominates planning (re-hashed per tree compare,
+    // re-serialized per stage); see IxfBlobs
+    val token = graft.functions.IxfBlobs.register(filters.sparkSession, blob)
+    val probes = queries.select(col("query_id"),
+      shingles(col("text"), shingleK, seed = seed).as("hs"))
+      .withColumn("query_n", size(col("hs")))
+    val counts = probes
+      .select(col("query_id"), col("query_n"),
+        posexplode(ixf_count_contained_bcast(token, col("hs")))
+          .as(Seq("bin", "match_cnt")))
+      .where(col("match_cnt") > 0)
+      .select(col("query_id"),
+        element_at(typedLit(groups), col("bin") + 1).as("group"),
+        col("match_cnt"), col("query_n"))
+    applyFilters(counts, minFraction)
+  }
+
   /** Hierarchical two-level Bloom probe — the Spark-first analogue of the
     * reference's HIXF search structure (a coarse level prunes which
     * fine-level filters a query probes at all,

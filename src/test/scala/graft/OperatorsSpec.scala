@@ -340,6 +340,10 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     val hierAuto = rows(Classify.hierarchicalSketchWithFilters(filters,
       queries, minFraction = 0.1, nBuckets = 0,
       expectedShinglesPerGroup = 4096))
+    // interleaved bulk-count probe: same bits, one blob, same output
+    val ixf = rows(Classify.interleavedSketchWithFilters(filters, queries,
+      minFraction = 0.1))
+    assert(ixf == flat, s"interleaved diverged: ixf=$ixf flat=$flat")
     filters.unpersist()
     assert(Classify.autoBuckets(9) == 3)
     assert(flat2 == flat && hierAuto == flat,
