@@ -820,6 +820,20 @@ object SparkEntry {
     // Deterministic stratified bottom-k-by-hash sampling: 10 docs per
     // source, ranked by md5("graft:<id>") — engine-portable, so the oracle
     // reproduces the EXACT sample (byte-equality gate, not a bound).
+    // Weighted priority sampling: length-weighted 10-per-source sample.
+    // priority = (60-bit md5 hash) / weight — one IEEE division of
+    // integer-derived operands, so the oracle reproduces the EXACT sample
+    // (byte-equality), like sample_bottomk.
+    "sample_weighted" -> { (s, dir) =>
+      Sampling.weightedBottomK(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              length(col("text")).cast("long").as("w")),
+          Seq("source"), "doc_id", "w", k = 10)
+        .select(col("source"), col("doc_id"), col("w"),
+          col("rk").cast("int").as("rk"))
+        .orderBy("source", "doc_id")
+    },
     "sample_bottomk" -> { (s, dir) =>
       Sampling.bottomK(t(s, dir, "documents").select("doc_id", "source"),
           Seq("source"), "doc_id", k = 10)
@@ -1413,6 +1427,16 @@ object SparkEntry {
                              WHEN hh < 'e6' THEN 'val'
                              ELSE 'test' END AS split
          FROM h ORDER BY doc_id""",
+    "sample_weighted" ->
+      s"""WITH r AS (SELECT source, doc_id,
+           CAST(length(text) AS BIGINT) AS w,
+           row_number() OVER (PARTITION BY source
+             ORDER BY CAST(${Kmv.hashSql("CAST(doc_id AS VARCHAR)", "graft")}
+                        AS DOUBLE) / CAST(length(text) AS DOUBLE),
+                      doc_id) AS rk
+         FROM documents)
+         SELECT source, doc_id, w, CAST(rk AS INT) AS rk FROM r
+         WHERE rk <= 10 ORDER BY source, doc_id""",
     "sample_bottomk" ->
       """WITH r AS (SELECT source, doc_id,
            row_number() OVER (PARTITION BY source

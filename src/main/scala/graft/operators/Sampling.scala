@@ -104,4 +104,32 @@ object Sampling {
       .where(col("rk") <= k)
       .drop("__h", "__b", "__lrk")
   }
+
+  /** Weighted stratified sampling: keep the `k` rows with the smallest
+    * hash/weight PRIORITY per stratum — sequential-Poisson / priority
+    * sampling (Ohlsson 1998; Duffield et al. 2007): inclusion probability
+    * rises with weight, so heavy documents (tokens, bytes, cost) are
+    * over-represented exactly as mixture construction wants, yet the
+    * sample stays a pure function of (seed, id, weight): stable under
+    * repartitioning, appends, and engines.
+    *
+    * `weightCol` must be a positive INTEGER column; the priority is one
+    * IEEE division of integer-derived operands (the [[Kmv]] 60-bit md5
+    * hash over the weight), so any SQL engine reproduces the exact sample
+    * — the `sample_weighted` gate is byte-equality, like [[bottomK]].
+    * Same scale shape as bottomK: WindowGroupLimit prunes to ≤ k rows per
+    * stratum per partition before the exchange. */
+  def weightedBottomK(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: String = "graft"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val q = Kmv.hash(col(idCol), seed).cast("double") /
+      col(weightCol).cast("double")
+    val w = Window.partitionBy(strataCols.map(col): _*).orderBy(q, col(idCol))
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
 }

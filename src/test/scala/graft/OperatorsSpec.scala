@@ -242,6 +242,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(skci == got, "bloom CI classification disagrees")
   }
 
+  test("weighted priority sampling over-represents heavy rows, stably") {
+    val rows = ((1L to 100L).map(i => (i, 1000L)) ++
+      (101L to 1100L).map(i => (i, 1L))).toDF("id", "w")
+      .withColumn("g", lit("s"))
+    val sample = Sampling
+      .weightedBottomK(rows, Seq("g"), "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(sample.size === 50)
+    // 100 heavy rows at weight 1000 vs 1000 light rows at weight 1:
+    // priority sampling should hand most of the 50 slots to heavy rows
+    val heavy = sample.count(_ <= 100L)
+    assert(heavy >= 35, s"only $heavy heavy rows sampled")
+    // pure function of (seed, id, weight): partitioning cannot change it
+    val reshuffled = Sampling
+      .weightedBottomK(rows.repartition(7, col("id")).orderBy(desc("id")),
+        Seq("g"), "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(reshuffled === sample)
+  }
+
   test("incremental dedup probes a persisted index for exact and near hits") {
     val tmp = java.nio.file.Files.createTempDirectory("fpidx-spec").toString
     val base =
