@@ -88,6 +88,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
   }
 
+  test("interleaved probe is a row-local bulk count, no join in the plan") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val filters = graft.operators.Classify.buildFilters(
+      docs.select(col("source").as("group"), col("text")),
+      expectedShinglesPerGroup = 4096)
+    val p = graft.operators.Classify
+      .interleavedSketchWithFilters(filters,
+        docs.limit(20).select(col("doc_id").as("query_id"), col("text")),
+        minFraction = 0.1)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the blob arrives as a broadcast reference inside the expression —
+    // probing must NOT reintroduce a join against a filter table
+    assert(p.contains("graft_ixf_count_contained"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("kmv sketch gets per-partition top-k pruning before the shuffle") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val p = graft.operators.Kmv
