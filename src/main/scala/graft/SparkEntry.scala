@@ -702,6 +702,37 @@ object SparkEntry {
             .otherwise(col("exact_cnt") * (m + 1) <= col("n")).as("bound_ok"))
         .orderBy("k")
     },
+    // Rollup-by-merge for CMS, completing the family (HLL, top-k,
+    // KLL/t-digest, CMS): per-event-type counter sketches merged to a
+    // global one with cms_merge_agg. CMS merge is element-wise counter
+    // ADDITION, so unlike the other sketches the merged blob is provably
+    // byte-identical to a direct one-pass build — gated as byte equality
+    // on the blobs, plus the usual no-undercount / eps-overcount bounds
+    // vs exact counts.
+    "cms_rollup_merge" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val eps = 0.0005
+      val ev = t(s, dir, "events").select(col("event_type"),
+        concat(lit("k"),
+          expr("64 div (pmod(user_id, 64) + 1)").cast("string")).as("k"))
+      val mb = ev.groupBy("event_type")
+        .agg(cms_agg(col("k"), eps, 0.01).as("p"))
+        .agg(cms_merge_agg(col("p"), eps, 0.01))
+        .first().getAs[Array[Byte]](0)
+      val db = ev.agg(cms_agg(col("k"), eps, 0.01))
+        .first().getAs[Array[Byte]](0)
+      val identical = java.util.Arrays.equals(mb, db)
+      val cms = lit(mb)
+      ev.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+        .select(col("k"), col("exact_cnt"),
+          lit(identical).as("merged_equals_direct"),
+          (cms_estimate(cms, col("k")) >= col("exact_cnt"))
+            .as("no_undercount"),
+          (cms_estimate(cms, col("k")) <=
+            col("exact_cnt") + greatest(lit(1L),
+              (lit(eps) * cms_total(cms)).cast("long"))).as("within_eps"))
+        .orderBy("k")
+    },
     // Rollup-by-merge for the quantile sketches: per-event-type KLL and
     // t-digest blobs merged to GLOBAL ones in-plan (kll_merge_agg /
     // tdigest_merge_agg) — fine-grain blobs built once, any coarser level
@@ -1301,6 +1332,11 @@ object SparkEntry {
     "topk_rollup_merge" ->
       """SELECT 'k' || CAST(64 // (user_id % 64 + 1) AS VARCHAR) AS k,
          count(*) AS exact_cnt, true AS heavy_present, true AS bound_ok
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "cms_rollup_merge" ->
+      """SELECT 'k' || CAST(64 // (user_id % 64 + 1) AS VARCHAR) AS k,
+         count(*) AS exact_cnt, true AS merged_equals_direct,
+         true AS no_undercount, true AS within_eps
          FROM events GROUP BY 1 ORDER BY 1""",
     "quantile_rollup_merge" ->
       """SELECT q_label, true AS kll_within_rank_error,
