@@ -109,6 +109,10 @@ object GraftFunctions {
         longArg(es(3), "seed"), mergeInput = true)
     },
     "graft_bloom_contains" -> { es => BloomContains(es.head, es(1)) },
+    // analysis-time token resolution, same route as the interleaved blob
+    "graft_bloom_contains_bcast" -> { es =>
+      BloomContainsBcast(IxfBlobs.get(arg(es.head, "token").toString), es(1))
+    },
     "graft_bloom_count_contained" -> { es =>
       BloomCountContained(es.head, es(1))
     },
@@ -258,6 +262,29 @@ object GraftFunctions {
     call_function("graft_bloom_merge_agg", c, lit(items), lit(fpp), lit(seed))
   def bloom_contains_hashed(sketch: Column, hash: Column): Column =
     call_function("graft_bloom_contains", sketch, hash)
+  /** Membership probe against a broadcast-registered blob (IxfBlobs token);
+    * for blobs above IxfBlobs.LiteralMaxBytes — see bloom_contains_routed
+    * for the size-aware chooser. */
+  def bloom_contains_bcast(token: String, hash: Column): Column =
+    call_function("graft_bloom_contains_bcast", lit(token), hash)
+  /** Size-aware scalar-blob routing (the measured SURVEY §9 boundary):
+    * small blobs embed as binary LITERALS (probed in place, zero per-row
+    * copies); blobs above IxfBlobs.LiteralMaxBytes travel as a
+    * TorrentBroadcast handle resolved at analysis time — a multi-MB
+    * Literal is re-hashed per Catalyst tree compare and re-serialized into
+    * every stage's task binary. The broadcast route registers a token that
+    * stays live until `release()` is called; callers should release as
+    * soon as every plan embedding the column is CONSTRUCTED (Dataset
+    * analysis is eager, so construction resolves the token into the plan). */
+  def bloom_contains_routed(
+      spark: SparkSession, blob: Array[Byte],
+      hash: Column): (Column, () => Unit) =
+    if (blob.length <= IxfBlobs.LiteralMaxBytes)
+      (bloom_contains_hashed(lit(blob), hash), () => ())
+    else {
+      val token = IxfBlobs.register(spark, blob)
+      (bloom_contains_bcast(token, hash), () => IxfBlobs.unregister(token))
+    }
   def bloom_contains(sketch: Column, value: Column): Column =
     bloom_contains_hashed(sketch, xxhash64(value))
   def bloom_count_contained(sketch: Column, hashes: Column): Column =

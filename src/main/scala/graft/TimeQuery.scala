@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: TimeQuery <sfDir> <query...> [-r reps]")
+    require(args.length >= 2,
+      "usage: TimeQuery <sfDir> <query...>  (reps via SPARK_GRAFT_REPS, default 2)")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()

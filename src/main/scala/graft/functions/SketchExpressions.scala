@@ -281,7 +281,7 @@ case class IxfCountContained(left: Expression, right: Expression)
   override def prettyName: String = "graft_ixf_count_contained"
 }
 
-/** Driver-side registry routing interleaved blobs into expressions as
+/** Driver-side registry routing large sketch blobs into expressions as
   * TorrentBroadcast handles instead of Literals: a multi-MB Literal is
   * re-hashed by every Catalyst tree comparison and re-serialized into
   * every stage's task binary, which measurably dominates planning
@@ -289,9 +289,20 @@ case class IxfCountContained(left: Expression, right: Expression)
   * The registry lives only on the driver: GraftFunctions' builder resolves
   * the token DURING ANALYSIS and embeds the Broadcast handle in the
   * expression, which serializes as a stub; executors fetch blocks once.
-  * Bounded FIFO — entries are only routing state, the broadcast itself is
-  * owned by Spark's ContextCleaner once unreferenced. */
+  *
+  * Lifecycle: callers `unregister(token)` as soon as the plan embedding
+  * the blob is constructed (Dataset analysis is eager, so the builder has
+  * already resolved the token by then) — the resolved plan's own Broadcast
+  * reference keeps the blob alive, and Spark's ContextCleaner reclaims it
+  * once the plan is unreferenced. The bounded FIFO is only the backstop
+  * for callers that leak tokens. */
 object IxfBlobs {
+  /** Measured routing boundary for SCALAR sketch blobs (SURVEY §9): below
+    * this a binary Literal is optimal (probed in place from the codegen
+    * references array, rides the task binary once); above it the Literal's
+    * per-tree-compare re-hash + per-stage re-serialization dominates and
+    * the blob must travel as a TorrentBroadcast token instead. */
+  val LiteralMaxBytes: Int = 1 << 20
   private val MaxEntries = 64
   private val m = new java.util.LinkedHashMap[String,
       org.apache.spark.broadcast.Broadcast[Array[Byte]]](16, 0.75f, false) {
@@ -310,10 +321,37 @@ object IxfBlobs {
   def get(token: String): org.apache.spark.broadcast.Broadcast[Array[Byte]] =
     m.synchronized {
       val b = m.get(token)
-      require(b != null, s"unknown interleaved-blob token $token " +
-        "(evicted or from another driver) — re-register the blob")
+      require(b != null, s"unknown blob token $token " +
+        "(unregistered, evicted or from another driver) — re-register " +
+        "the blob")
       b
     }
+  /** Drop the routing entry (NOT the broadcast itself — any plan already
+    * holding the handle keeps it alive; ContextCleaner reclaims it when
+    * the last reference goes). Unknown tokens are a no-op. */
+  def unregister(token: String): Unit = m.synchronized { m.remove(token) }
+  /** Number of live routing entries (spec hook for release accounting). */
+  def liveTokens: Int = m.synchronized(m.size())
+}
+
+/** Bloom membership probe against a broadcast filter blob — the large-blob
+  * twin of [[BloomContains]] (see IxfBlobs.LiteralMaxBytes for the
+  * measured literal-vs-broadcast routing boundary). */
+case class BloomContainsBcast(
+    blob: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(hash: Any): Any =
+    Bloom.contains(blob.value, hash.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBlob", blob,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, h =>
+      s"graft.functions.SketchOps.bloomContains((byte[]) $ref.value(), $h)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomContainsBcast =
+    copy(child = c)
+  override def prettyName: String = "graft_bloom_contains_bcast"
 }
 
 /** Bulk count against a broadcast interleaved blob (see IxfBlobs). */

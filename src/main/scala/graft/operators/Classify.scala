@@ -153,39 +153,59 @@ object Classify {
     * table — the reference's own probe shape (bulk count over an
     * interleaved multi-bin structure, see [[graft.sketch.Interleaved]]):
     * all member filters are bit-transposed into ONE blob (driver-side;
-    * bounded by the same groups×filter-size budget as the flat broadcast,
-    * with `hierarchicalSketch` remaining the many-groups answer) embedded
-    * as a LITERAL — zero per-row blob copies — and each query's per-group
-    * counts come from one codegen'd bulk-count pass over its hash set
-    * where every probed bit-block serves ALL groups at once. Output is
-    * provably identical to `sketchWithFilters` (same bits; equality
-    * gated in `classify_interleaved` and OperatorsSpec). */
+    * `maxBlobBytes` bounds the groups×filter-size assembly loudly, with
+    * `hierarchicalSketch` as the many-groups answer) that travels as a
+    * TorrentBroadcast handle resolved at analysis time (the IxfBlobs token
+    * route — a multi-MB Literal would be re-hashed per Catalyst tree
+    * compare and re-serialized into every stage's task binary; small
+    * scalar blobs elsewhere do use Literals, see SURVEY §9) — and each
+    * query's per-group counts come from one codegen'd bulk-count pass over
+    * its hash set where every probed bit-block serves ALL groups at once.
+    * Output is provably identical to `sketchWithFilters` (same bits;
+    * equality gated in `classify_interleaved` and OperatorsSpec). */
   def interleavedSketchWithFilters(
       filters: DataFrame, // (group, bf)
       queries: DataFrame, // (query_id, text)
       shingleK: Int = 8,
       minFraction: Double = 0.1,
-      seed: Long = DefaultSeed): DataFrame = {
+      seed: Long = DefaultSeed,
+      maxBlobBytes: Long = 512L << 20): DataFrame = {
+    // loud driver budget: the transposed blob is ~sum of member filter
+    // sizes and is assembled (and broadcast) from the driver — at 100×
+    // group counts this must fail with a named fallback, not an OOM
+    val sizes = filters
+      .select(sum(length(col("bf")).cast("long"))).first()
+    val totalBytes = if (sizes.isNullAt(0)) 0L else sizes.getLong(0)
+    require(totalBytes <= maxBlobBytes,
+      s"interleaved blob would be ~$totalBytes bytes " +
+        s"(> budget $maxBlobBytes): too many groups for a single " +
+        "driver-assembled interleaved blob — probe with " +
+        "hierarchicalSketchWithFilters (two-level, broadcast bounded by " +
+        "surviving buckets) or raise maxBlobBytes")
     val rows = filters.select("group", "bf").collect()
     val groups = rows.map(_.getString(0)).toSeq
     val blob = graft.sketch.Interleaved.fromFilters(
       rows.map(_.getAs[Array[Byte]](1)).toSeq)
-    // multi-MB blob travels as a TorrentBroadcast, not a Literal — a
-    // Literal this size dominates planning (re-hashed per tree compare,
-    // re-serialized per stage); see IxfBlobs
     val token = graft.functions.IxfBlobs.register(filters.sparkSession, blob)
-    val probes = queries.select(col("query_id"),
-      shingles(col("text"), shingleK, seed = seed).as("hs"))
-      .withColumn("query_n", size(col("hs")))
-    val counts = probes
-      .select(col("query_id"), col("query_n"),
-        posexplode(ixf_count_contained_bcast(token, col("hs")))
-          .as(Seq("bin", "match_cnt")))
-      .where(col("match_cnt") > 0)
-      .select(col("query_id"),
-        element_at(typedLit(groups), col("bin") + 1).as("group"),
-        col("match_cnt"), col("query_n"))
-    applyFilters(counts, minFraction)
+    try {
+      val probes = queries.select(col("query_id"),
+        shingles(col("text"), shingleK, seed = seed).as("hs"))
+        .withColumn("query_n", size(col("hs")))
+      val counts = probes
+        .select(col("query_id"), col("query_n"),
+          posexplode(ixf_count_contained_bcast(token, col("hs")))
+            .as(Seq("bin", "match_cnt")))
+        .where(col("match_cnt") > 0)
+        .select(col("query_id"),
+          element_at(typedLit(groups), col("bin") + 1).as("group"),
+          col("match_cnt"), col("query_n"))
+      applyFilters(counts, minFraction)
+      // Dataset construction analyzes eagerly, so the builder has already
+      // resolved the token into a Broadcast handle inside the returned
+      // plan — the registry entry can be dropped immediately (the handle
+      // keeps the broadcast alive; ContextCleaner reclaims it when the
+      // plan itself is unreferenced).
+    } finally graft.functions.IxfBlobs.unregister(token)
   }
 
   /** Hierarchical two-level Bloom probe — the Spark-first analogue of the

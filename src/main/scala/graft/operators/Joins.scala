@@ -21,20 +21,33 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
   /** Build the filter blob with ONE aggregate over the build side and
-    * embed it as a binary LITERAL. The earlier crossJoin(broadcast(blob))
-    * form was quadratic in disguise: the probe predicate read the blob out
-    * of the joined UnsafeRow, and `getBinary` COPIES — one full blob copy
-    * per probe row (~95 KB × every scanned row ⇒ tens of GB of memcpy at
-    * sf0.1, measured as the dominant CPU of join_bloom_pruned). A literal
-    * lands in the codegen references array and is probed in place, zero
-    * per-row copies; the blob rides the task binary once per stage. */
-  private def buildFilterLit(
-      build: DataFrame, key: String, expectedKeys: Long, fpp: Double,
-      seed: Long): Column = {
+    * apply it as a probe-side predicate via the SIZE-AWARE scalar-blob
+    * route (`bloom_contains_routed`, the measured SURVEY §9 boundary):
+    *
+    *  - below ~1 MB the blob embeds as a binary LITERAL — it lands in the
+    *    codegen references array and is probed in place, zero per-row
+    *    copies, riding the task binary once per stage. (The earlier
+    *    crossJoin(broadcast(blob)) form was quadratic in disguise: the
+    *    probe predicate read the blob out of the joined UnsafeRow and
+    *    `getBinary` COPIES — ~95 KB × every scanned row ⇒ tens of GB of
+    *    memcpy at sf0.1, measured as the dominant CPU of
+    *    join_bloom_pruned);
+    *  - above the boundary (a build side of ~1e9 keys at fpp 0.0039 is a
+    *    ~1.7 GB filter) a Literal is itself the scale-killer — Catalyst
+    *    re-hashes a Literal's full bytes per tree compare and
+    *    re-serializes it into every stage's task binary — so the blob
+    *    travels as a TorrentBroadcast handle resolved at analysis time
+    *    (the IxfBlobs token route), released as soon as the plan is
+    *    constructed. */
+  private def bloomFiltered(
+      probe: DataFrame, build: DataFrame, key: String, expectedKeys: Long,
+      fpp: Double, seed: Long): DataFrame = {
     val blob = build
       .agg(bloom_agg_hashed(xxhash64(col(key)), expectedKeys, fpp, seed))
       .first().getAs[Array[Byte]](0)
-    lit(blob)
+    val (pred, release) =
+      bloom_contains_routed(probe.sparkSession, blob, xxhash64(col(key)))
+    try probe.where(pred) finally release()
   }
 
   /** Inner-join `probe` with `build`, pre-filtering the probe side with a
@@ -51,12 +64,8 @@ object Joins {
       key: String,
       expectedKeys: Long = 1 << 16,
       fpp: Double = 0.0039,
-      seed: Long = DefaultSeed): DataFrame = {
-    val bf = buildFilterLit(build, key, expectedKeys, fpp, seed)
-    probe
-      .where(bloom_contains_hashed(bf, xxhash64(col(key))))
-      .join(build, key)
-  }
+      seed: Long = DefaultSeed): DataFrame =
+    bloomFiltered(probe, build, key, expectedKeys, fpp, seed).join(build, key)
 
   /** The pruning predicate alone — for callers composing their own join
     * (different join types, multi-key, or pre-shuffle placement in a larger
@@ -68,8 +77,6 @@ object Joins {
       key: String,
       expectedKeys: Long = 1 << 16,
       fpp: Double = 0.0039,
-      seed: Long = DefaultSeed): DataFrame = {
-    val bf = buildFilterLit(build, key, expectedKeys, fpp, seed)
-    probe.where(bloom_contains_hashed(bf, xxhash64(col(key))))
-  }
+      seed: Long = DefaultSeed): DataFrame =
+    bloomFiltered(probe, build, key, expectedKeys, fpp, seed)
 }

@@ -71,8 +71,20 @@ object Sampling {
     val h = substring(
       md5(concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 2)
     // cumulative upper bounds in buckets-of-256, as two-char hex literals
-    val bounds = weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
-      .map(c => f"${math.min(255, math.floor(c * 256).toInt)}%02x")
+    val buckets = weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+      .map(c => math.min(255, math.floor(c * 256).toInt))
+    // a weight below the 1/256 granularity renders two adjacent bounds to
+    // the SAME hex threshold and its split silently receives zero rows —
+    // fail the impossible request at construction instead. The LAST split
+    // is exempt: it takes everything at or above its lower bound (the
+    // `otherwise` branch), which is non-empty for any lower bound <= 255.
+    (0 +: buckets.init).zip(buckets).zip(weights).dropRight(1).foreach {
+      case ((lo, hi), (name, w)) =>
+        require(hi > lo,
+          s"split '$name' (weight $w) is below the 1/256 hash granularity" +
+            s" — its bucket range [$lo, $hi) is empty; use a coarser split")
+    }
+    val bounds = buckets.map(b => f"$b%02x")
     val assigned = weights.init.zip(bounds.init)
       .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
         case (acc, ((name, _), bound)) =>
@@ -117,6 +129,10 @@ object Sampling {
     * IEEE division of integer-derived operands (the [[Kmv]] 60-bit md5
     * hash over the weight), so any SQL engine reproduces the exact sample
     * — the `sample_weighted` gate is byte-equality, like [[bottomK]].
+    * Rows with null or non-positive weight are EXCLUDED from the sample
+    * (enforced — a zero weight yields priority Infinity and a negative
+    * one a negative priority that silently wins every slot; same posture
+    * as TopKWeightedAgg, which ignores non-positive weights).
     * Same scale shape as bottomK: WindowGroupLimit prunes to ≤ k rows per
     * stratum per partition before the exchange. */
   def weightedBottomK(
@@ -130,6 +146,7 @@ object Sampling {
     val q = Kmv.hash(col(idCol), seed).cast("double") /
       col(weightCol).cast("double")
     val w = Window.partitionBy(strataCols.map(col): _*).orderBy(q, col(idCol))
-    df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 }

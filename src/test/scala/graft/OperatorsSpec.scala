@@ -632,6 +632,95 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       s"bloom pruned too little: $nonMemberSurvivors non-members survived")
   }
 
+  test("blob routing: >1 MB filters take the broadcast route, same result") {
+    val probe = (0L until 3000L).map(i => (i % 499L, i)).toDF("k", "payload")
+    val build = (0L until 499L).filter(_ % 7 == 0).map(k => (k, s"b$k"))
+      .toDF("k", "tag")
+    // expectedKeys 1<<20 at fpp 0.0039 sizes the blob to ~1.4 MB — above
+    // IxfBlobs.LiteralMaxBytes, so the predicate must resolve through the
+    // TorrentBroadcast token, never a multi-MB Literal
+    val before = graft.functions.IxfBlobs.liveTokens
+    val big = Joins.bloomSemiFilter(probe, build, "k",
+      expectedKeys = 1L << 20)
+    assert(graft.functions.IxfBlobs.liveTokens == before,
+      "broadcast token leaked after plan construction")
+    // analyzed plan (ConvertToLocalRelation folds the filter over this
+    // in-memory relation before the physical plan; parquet scans keep it)
+    val planBig = big.queryExecution.analyzed.toString
+    assert(planBig.contains("graft_bloom_contains_bcast"),
+      s"large blob did not take the broadcast route:\n$planBig")
+    val small = Joins.bloomSemiFilter(probe, build, "k",
+      expectedKeys = 1024)
+    val planSmall = small.queryExecution.analyzed.toString
+    assert(planSmall.contains("graft_bloom_contains") &&
+      !planSmall.contains("graft_bloom_contains_bcast"),
+      s"small blob should stay a literal probe:\n$planSmall")
+    // both routes keep every member (no false negatives) and agree with
+    // the exact semi-join on this corpus
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload").as[(Long, Long)].collect().toSet
+    val members = build.select("k").as[Long].collect().toSet
+    val exact = kept(probe.where($"k".isin(members.toSeq: _*)))
+    assert(exact.subsetOf(kept(big)), "broadcast route dropped a member")
+    assert(exact.subsetOf(kept(small)), "literal route dropped a member")
+    // big-filter pruned join still byte-equals the plain join
+    val prunedBig = Joins.bloomPrunedJoin(probe, build, "k",
+        expectedKeys = 1L << 20)
+      .select("k", "payload", "tag").as[(Long, Long, String)].collect().toSet
+    val plain = probe.join(build, "k")
+      .select("k", "payload", "tag").as[(Long, Long, String)].collect().toSet
+    assert(prunedBig == plain)
+  }
+
+  test("interleave assembly enforces its driver byte budget loudly") {
+    val corpus = Seq(
+      ("gA", "alpha beta gamma delta epsilon zeta eta theta " * 12),
+      ("gB", "one two three four five six seven eight nine ten " * 12)
+    ).toDF("group", "text")
+    val queries = Seq(
+      (1L, "one two three four five six seven eight nine ten " * 6)
+    ).toDF("query_id", "text")
+    val filters = Classify.buildFilters(corpus,
+      expectedShinglesPerGroup = 4096)
+    val e = intercept[IllegalArgumentException] {
+      Classify.interleavedSketchWithFilters(filters, queries,
+        maxBlobBytes = 64L)
+    }
+    assert(e.getMessage.contains("hierarchicalSketchWithFilters"),
+      s"budget error must name the fallback: ${e.getMessage}")
+    // within budget the probe works and releases its token
+    val before = graft.functions.IxfBlobs.liveTokens
+    val ok = Classify.interleavedSketchWithFilters(filters, queries)
+      .select("query_id", "group").as[(Long, String)].collect().toSet
+    assert(ok == Set((1L, "gB")))
+    assert(graft.functions.IxfBlobs.liveTokens == before,
+      "interleave token leaked after plan construction")
+  }
+
+  test("weighted sampling excludes null and non-positive weights") {
+    val rows = Seq((1L, 10L), (2L, 0L), (3L, -5L), (4L, 10L))
+      .toDF("id", "w")
+      .union(Seq((5L, null.asInstanceOf[java.lang.Long]))
+        .toDF("id", "w"))
+      .withColumn("g", lit("s"))
+    val got = Sampling.weightedBottomK(rows, Seq("g"), "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 4L),
+      s"non-positive/null weights must be excluded, got $got")
+  }
+
+  test("hash split rejects weights below the 1/256 granularity") {
+    val rows = (0L until 100L).map(i => (i, "x")).toDF("id", "pad")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.hashSplit(rows, "id", Seq("a" -> 0.001, "b" -> 0.999))
+    }
+    assert(e.getMessage.contains("granularity"), e.getMessage)
+    // the LAST split takes everything at or above its bound — a tiny tail
+    // weight is representable (gets bucket 0xff) and must NOT be rejected
+    val tail = Sampling.hashSplit(rows, "id", Seq("a" -> 0.999, "b" -> 0.001))
+    assert(tail.select("split").distinct().count() >= 1)
+  }
+
   test("cross-corpus contamination scan flags the leaked eval doc only") {
     val leak = "THE-EVAL-QUESTION-AND-ITS-ANSWER-TEXT-9876543210-" * 3
     val train = Seq(
