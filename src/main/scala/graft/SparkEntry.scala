@@ -225,6 +225,21 @@ object SparkEntry {
           graft.functions.Thresholds.KmerCI(8, 0.02), shingleK = 8)
         .orderBy("query_id", "group")
     },
+    // SF10's 4th branch in-plan: the empirical syncmer matching-ratio
+    // table (SF9) supplies the per-query threshold floor(query_n · ratio);
+    // the ratio is ONE driver constant from Thresholds.syncmerMatchRatio
+    // (single source), interpolated verbatim into the oracle — byte-exact
+    // gate, same recipe as classify_kmer_ci. (The k-gram tokenizer keeps
+    // the oracle SQL-expressible; like kmer_ci, the query gates the
+    // THRESHOLD model, not the tokenizer — syncmer tokenization itself is
+    // spec-gated in SyncmerPropsSpec.)
+    "classify_syncmer_ci" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val (corpus, qs) = corpusQueries(s, dir)
+      Classify.exactCI(corpus, qs,
+          graft.functions.Thresholds.SyncmerTable(12, 0.1), shingleK = 12)
+        .orderBy("query_id", "group")
+    },
     "classify_bloom_bounds" -> { (s, dir) =>
       GraftFunctions.register(s)
       val (corpus, qs) = corpusQueries(s, dir)
@@ -540,6 +555,20 @@ object SparkEntry {
     "text_quality" -> { (s, dir) =>
       GraftFunctions.register(s)
       TextStats.qualityFlags(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    // Gopher-style repetition signals. The synthetic documents carry no
+    // newlines, so the query derives a line-structured twin
+    // deterministically IN BOTH ENGINES (every ' the ' becomes a blank
+    // line, every space a line break) — duplicate-line/paragraph fractions
+    // and the top-2-gram character fraction are then non-vacuous and gate
+    // byte-exact.
+    "text_repetition" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val derived = t(s, dir, "documents").select(col("doc_id"),
+        replace(replace(col("text"), lit(" the "), lit("\n\n")),
+          lit(" "), lit("\n")).as("text"))
+      TextStats.repetitionStats(derived, "doc_id", "text")
         .orderBy("doc_id")
     },
     // context-window chunking (256 chars, 32 overlap): chunk strings are
@@ -1113,6 +1142,7 @@ object SparkEntry {
          SELECT query_id, grp AS "group", match_cnt, query_n FROM mx
          WHERE match_cnt >= 0.8*m ORDER BY query_id, "group"""",
     "classify_kmer_ci" -> classifyKmerCiSql,
+    "classify_syncmer_ci" -> classifySyncmerCiSql,
     "classify_bloom_bounds" ->
       """WITH corpus AS (SELECT source AS grp, text FROM documents
                          WHERE doc_id % 10 <> 0),
@@ -1520,6 +1550,7 @@ object SparkEntry {
          ORDER BY doc_id, chunk_idx""",
     "text_doc_stats" -> textDocStatsSql,
     "text_quality" -> textQualitySql,
+    "text_repetition" -> textRepetitionSql,
     "multimodal_frame_meta" ->
       """WITH chars AS (SELECT doc_id,
            CAST(count(DISTINCT substr(text, CAST(i AS INT), 1)) AS INT) AS dc
@@ -1567,17 +1598,61 @@ object SparkEntry {
         WHERE match_cnt >= 0.8*m ORDER BY query_id, "group""""
   }
 
+  /** classify_syncmer_ci oracle: the SF9 empirical-table threshold is
+    * floor(query_n × ratio) for a fixed (k, errorRate) — the ratio is the
+    * SAME Thresholds.syncmerMatchRatio constant the Column dispatcher
+    * reads (single source), interpolated via Scala Double.toString (which
+    * round-trips through DuckDB's strtod), so the filter compares
+    * byte-identically in both engines. k-gram size 12 (the table needs
+    * even k in [12,30]); docs <= 1007 bytes keeps the series cap valid. */
+  private def classifySyncmerCiSql: String = {
+    val ratio = graft.functions.Thresholds.syncmerMatchRatio(12, 0.1)
+    s"""WITH corpus AS (SELECT source AS grp, text FROM documents
+                        WHERE doc_id % 10 <> 0),
+        q AS (SELECT doc_id AS query_id, text FROM documents
+              WHERE doc_id % 10 = 0),
+        gsh AS (SELECT DISTINCT grp, substr(text, CAST(i AS INT), 12) AS s
+                FROM corpus, generate_series(1, 1000) t(i)
+                WHERE i <= length(text)-11),
+        qsh AS (SELECT DISTINCT query_id, substr(text, CAST(i AS INT), 12) AS s
+                FROM q, generate_series(1, 1000) t(i)
+                WHERE i <= length(text)-11),
+        qn AS (SELECT query_id, count(*) AS query_n FROM qsh GROUP BY 1),
+        cnt AS (SELECT query_id, grp, count(*) AS match_cnt
+                FROM qsh JOIN gsh USING (s) GROUP BY 1,2),
+        filt AS (SELECT c.query_id, c.grp, c.match_cnt, qn.query_n
+                 FROM cnt c JOIN qn USING (query_id)
+                 WHERE c.match_cnt >=
+                   CAST(floor(qn.query_n * $ratio) AS BIGINT)),
+        mx AS (SELECT *, max(match_cnt) OVER (PARTITION BY query_id) AS m
+               FROM filt)
+        SELECT query_id, grp AS "group", match_cnt, query_n FROM mx
+        WHERE match_cnt >= 0.8*m ORDER BY query_id, "group""""
+  }
+
   /** SQL form of TextStats.occurrences (length-difference trick), shared by
     * the doc-stats and quality oracles. */
   private def occSql(w: String): String =
     s"(length(text) - length(replace(text, '$w', '')))/${w.length}"
 
+  /** SQL form of TextStats.dupSplitRatioX100: duplicated-element fraction
+    * of `textExpr` split on `sepExpr` (DuckDB string_split keeps trailing
+    * empties like Java split(re, -1); list_distinct dedups like Spark's
+    * array_distinct — no NULL elements arise from split). */
+  private def dupSplitSql(textExpr: String, sepExpr: String): String =
+    s"""CAST(floor((len(string_split($textExpr, $sepExpr)) -
+        len(list_distinct(string_split($textExpr, $sepExpr)))) * 100 /
+        greatest(len(string_split($textExpr, $sepExpr)), 1)) AS BIGINT)"""
+
   /** text_quality oracle: same length-difference occurrence trick as the
-    * engine for the stopword ratio (TextStats.Stopwords inlined). */
+    * engine for the stopword ratio (TextStats.Stopwords inlined), plus the
+    * Gopher duplicate-line/paragraph fractions. */
   private def textQualitySql: String = {
     val stop = graft.operators.TextStats.Stopwords.map(occSql)
       .mkString("(", " + ", ")")
     val toks = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    val dupLine = dupSplitSql("text", "chr(10)")
+    val dupPara = dupSplitSql("text", "chr(10) || chr(10)")
     s"""SELECT doc_id,
        $toks AS n_tokens,
        CAST(floor(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
@@ -1587,13 +1662,55 @@ object SparkEntry {
        CAST(floor((length(text) -
          length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 100 /
          greatest(length(text), 1)) AS BIGINT) AS punct_ratio_x100,
+       $dupLine AS dup_line_ratio_x100,
+       $dupPara AS dup_para_ratio_x100,
        ($toks BETWEEN 5 AND 100000)
        AND (floor(length(regexp_replace(text, '\\s', '', 'g')) * 100 /
             greatest($toks, 1)) BETWEEN 150 AND 1500)
        AND (CAST(floor(len(list_distinct(regexp_split_to_array(trim(text),
             '\\s+'))) * 100 / greatest($toks, 1)) AS BIGINT) >= 5)
+       AND ($dupLine <= 30) AND ($dupPara <= 30)
          AS is_quality
        FROM documents ORDER BY doc_id"""
+  }
+
+  /** text_repetition oracle: the same newline-derivation as the Spark query
+    * (replace ' the ' with a blank line, then spaces with line breaks),
+    * then the Gopher signals; word 2-grams via the generate_series pattern
+    * (docs <= 1007 ASCII bytes ⇒ < 1000 words, Verify asserts). The single
+    * IEEE division per ratio has identical integer operands in both
+    * engines, so the gate is byte-exact. */
+  private def textRepetitionSql: String = {
+    val dupLine = dupSplitSql("t", "chr(10)")
+    val dupPara = dupSplitSql("t", "chr(10) || chr(10)")
+    s"""WITH d AS (SELECT doc_id,
+           replace(replace(text, ' the ', chr(10) || chr(10)),
+                   ' ', chr(10)) AS t
+         FROM documents),
+       base AS (SELECT doc_id,
+           CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+           $dupLine AS dup_line_ratio_x100,
+           $dupPara AS dup_para_ratio_x100,
+           CAST(length(t) AS BIGINT) AS n_chars
+         FROM d),
+       w AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ws
+             FROM d),
+       g AS (SELECT doc_id,
+               list_extract(ws, CAST(i AS INT)) || ' ' ||
+                 list_extract(ws, CAST(i + 1 AS INT)) AS g
+             FROM w, generate_series(1, 1000) t(i)
+             WHERE i <= len(ws) - 1),
+       c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+       top1 AS (SELECT doc_id, g, c FROM (
+                  SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY c DESC, g) AS rn FROM c) WHERE rn = 1)
+       SELECT b.doc_id, b.n_lines, b.dup_line_ratio_x100,
+              b.dup_para_ratio_x100,
+              COALESCE(CAST(floor(t1.c * length(t1.g) * 100 /
+                greatest(b.n_chars, 1)) AS BIGINT), CAST(0 AS BIGINT))
+                AS top_bigram_ratio_x100
+       FROM base b LEFT JOIN top1 t1 USING (doc_id)
+       ORDER BY b.doc_id"""
   }
 
   /** docStats oracle: marker-count language heuristic mirrored in SQL. */

@@ -100,24 +100,93 @@ object TextStats {
       length(regexp_replace(text, lit(PunctClass), lit(""))).cast("long"))
       * 100 / greatest(length(text).cast("long"), lit(1L))).cast("long")
 
+  /** floor(100 × duplicated elements / elements) for a text split on
+    * `sep` — the Gopher-style (Rae et al. 2021, §A1.1, public filters)
+    * duplicate-line / duplicate-paragraph fraction: an element is
+    * "duplicated" when an identical element appeared earlier in the same
+    * document. Pure integer arithmetic over split + array_distinct, so
+    * the ratio mirrors 1:1 into the SQL oracle. */
+  def dupSplitRatioX100(text: Column, sep: String): Column = {
+    val parts = split(text, sep)
+    floor((size(parts) - size(array_distinct(parts))) * 100 /
+      greatest(size(parts), lit(1))).cast("long")
+  }
+
+  /** Duplicate-line fraction (split on '\n'), x100. */
+  def dupLineRatioX100(text: Column): Column = dupSplitRatioX100(text, "\n")
+  /** Duplicate-paragraph fraction (split on blank line '\n\n'), x100. */
+  def dupParaRatioX100(text: Column): Column = dupSplitRatioX100(text, "\n\n")
+
+  /** Gopher-style intra-document repetition signals: duplicate-line and
+    * duplicate-paragraph fractions plus the fraction of characters covered
+    * by the most frequent word 2-gram (count × 2-gram length / chars) —
+    * the repetition family every LLM curation pipeline runs
+    * document-locally before training.
+    *
+    * Scale shape: the line/paragraph ratios are row-local codegen'd
+    * expressions; the top-2-gram signal explodes word 2-grams and
+    * aggregates per (id, gram) — ONE shuffle on short (id, gram) keys,
+    * never on document text, with the per-id top-1 pruned by
+    * WindowGroupLimit. All outputs integer-derived (floor(x*100/denom)),
+    * so the DuckDB oracle gates byte-exact.
+    *
+    * Output: (id, n_lines, dup_line_ratio_x100, dup_para_ratio_x100,
+    * top_bigram_ratio_x100). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val base = df.select(
+      col(idCol),
+      size(split(t, "\n")).cast("long").as("n_lines"),
+      dupLineRatioX100(t).as("dup_line_ratio_x100"),
+      dupParaRatioX100(t).as("dup_para_ratio_x100"),
+      length(t).cast("long").as("__n_chars"))
+    val grams = df
+      .select(col(idCol), split(trim(t), "\\s+").as("__ws"))
+      .where(size(col("__ws")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__ws")) - 1),
+          i => concat(element_at(col("__ws"), i), lit(" "),
+            element_at(col("__ws"), i + 1)))).as("g"))
+    val counts = grams.groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("c"))
+    // deterministic top-1: count desc, then lexicographically smallest gram
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("c").desc, col("g").asc)
+    val top1 = counts.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).select(col(idCol), col("g"), col("c"))
+    base.join(top1, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"), col("dup_line_ratio_x100"),
+        col("dup_para_ratio_x100"),
+        coalesce(
+          floor(col("c") * length(col("g")) * 100 /
+            greatest(col("__n_chars"), lit(1L))).cast("long"),
+          lit(0L)).as("top_bigram_ratio_x100"))
+  }
+
   /** Heuristic quality gate for training data: bounded length, plausible
-    * word shape, limited repetition (distinct-token ratio); plus the
-    * stopword ratio as a reported signal. */
+    * word shape, limited repetition (distinct-token ratio + Gopher-style
+    * duplicate-line/paragraph fractions); plus the stopword ratio as a
+    * reported signal. */
   def qualityFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val tokens = token_count(t)
     val distinctRatioX100 =
       floor(size(array_distinct(split(trim(t), "\\s+"))) * 100 /
         greatest(tokens, lit(1L))).cast("long")
+    val dupLine = dupLineRatioX100(t)
+    val dupPara = dupParaRatioX100(t)
     df.select(
       col(idCol),
       tokens.as("n_tokens"),
       distinctRatioX100.as("distinct_ratio_x100"),
       stopwordRatioX100(t).as("stopword_ratio_x100"),
       punctRatioX100(t).as("punct_ratio_x100"),
+      dupLine.as("dup_line_ratio_x100"),
+      dupPara.as("dup_para_ratio_x100"),
       (tokens.between(5, 100000) &&
         floor(length(regexp_replace(t, lit("\\s"), lit(""))) * 100 /
           greatest(tokens, lit(1L))).between(150, 1500) &&
-        distinctRatioX100 >= 5).as("is_quality"))
+        distinctRatioX100 >= 5 &&
+        dupLine <= 30 && dupPara <= 30).as("is_quality"))
   }
 }

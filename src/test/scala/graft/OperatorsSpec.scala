@@ -572,6 +572,45 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(doc2.length == 1 && doc2.head._3 == "short")
   }
 
+  test("repetition stats: dup-line/paragraph fractions and top 2-gram") {
+    val d = Seq(
+      (1L, "x y\nx y\nz w"),          // 3 lines, 1 dup; top bigram "x y" ×2
+      (2L, "aaa\n\naaa"),             // blank line: 3 lines / 2 paragraphs
+      (3L, "unique words only here")  // no repetition anywhere
+    ).toDF("doc_id", "text")
+    val got = TextStats.repetitionStats(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // floor(1*100/3)=33 dup lines; "x y" c=2 len=3 over 11 chars → 54
+      (1L, 3L, 33L, 0L, 54L),
+      // lines [aaa,"",aaa] → 33; paras [aaa,aaa] → 50; "aaa aaa" → 87
+      (2L, 3L, 33L, 50L, 87L),
+      // tie-break: lexicographically smallest of the c=1 bigrams is
+      // "only here" (9 chars over 22) → 40
+      (3L, 1L, 0L, 0L, 40L)), s"got $got")
+    // a doc with fewer than two words reports 0 for the bigram signal
+    val tiny = TextStats.repetitionStats(
+        Seq((9L, "word")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(tiny == (9L, 1L, 0L, 0L, 0L))
+  }
+
+  test("quality gate vetoes duplicate-line documents (Gopher filter)") {
+    val spam = ("hello world\n" * 20).trim // 20 identical lines
+    val clean = (1 to 20).map(i => s"alpha$i beta$i").mkString("\n")
+    val got = TextStats.qualityFlags(
+        Seq((1L, spam), (2L, clean)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("doc_id", "dup_line_ratio_x100", "is_quality")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (k, v, q) => k -> (v, q) }.toMap
+    assert(got(1L)._1 > 30 && !got(1L)._2,
+      s"repetitive doc must fail the gate: ${got(1L)}")
+    assert(got(2L)._1 == 0 && got(2L)._2,
+      s"clean doc must pass the gate: ${got(2L)}")
+  }
+
   test("token count handles whitespace edge cases") {
     val got = Seq(("", 0L), ("  ", 0L), ("a", 1L), (" a  b\tc\nd ", 4L))
       .toDF("text", "expected")
