@@ -198,6 +198,59 @@ object Similarity {
           "dims" -> cents.head.size.toString))
     }
 
+    /** Incremental append — the production shape for a GROWING embedding
+      * corpus (the Dedup.buildFingerprintIndex analogue for vectors): new
+      * rows are assigned to the EXISTING centroids and their cell
+      * partitions appended, so the base corpus is never re-read or
+      * re-assigned and a probe over the updated index sees base+appended
+      * rows identically to an inline IVF probe with the same centroids
+      * (OperatorsSpec asserts the equivalence). Mismatched dims fail
+      * loudly BEFORE any write (the taxor_search.cpp:97-151 posture).
+      *
+      * Returns the centroid-drift signal: the fraction of appended vectors
+      * whose nearest-centroid cosine falls below `driftSimFloor` — a
+      * growing fraction means the frozen centroid layout no longer covers
+      * the data distribution and a rebuild (or k-means refresh) is due.
+      * The fraction is also recorded in the manifest (`last_drift_x1m`,
+      * with `appends` bumped) so operators can watch it without rerunning. */
+    def append(newVecs: DataFrame, // (id, vec)
+        dir: String,
+        driftSimFloor: Double = 0.5): Double = {
+      val spark = newVecs.sparkSession
+      val manifest = graft.sources.SketchTable.readManifest(spark, dir)
+      graft.sources.SketchTable.requireParams(
+        manifest, Map("kind" -> "ivf"), dir)
+      val p = graft.sources.SketchTable.params(manifest)
+      val cents = loadCentroids(spark, dir)
+      val dims = cents.head.size
+      val badDims = newVecs.where(size(col("vec")) =!= dims).limit(1).count()
+      require(badDims == 0,
+        s"IVF append at $dir: input vectors disagree with the index " +
+          s"dims ($dims) — appending them would corrupt cell assignment")
+      val centsLit = typedLit(cents)
+      // one pass: assignment + best-centroid similarity for the drift stat
+      val cells = newVecs
+        .withColumn("cid",
+          element_at(nearest_centroids(col("vec"), centsLit, 1), 1))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = cells
+        .select(col("cid"), cosine(col("vec"),
+          element_at(centsLit, col("cid") + 1)).as("sim"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("sim") < driftSimFloor, 1L).otherwise(0L)).as("low"))
+        .first()
+      val drift =
+        if (stats.getLong(0) == 0L) 0.0
+        else stats.getLong(1).toDouble / stats.getLong(0)
+      cells.write.mode("append").partitionBy("cid").parquet(s"$dir/data")
+      cells.unpersist()
+      graft.sources.SketchTable.saveManifestOnly(spark, dir,
+        p + ("appends" ->
+              (p.getOrElse("appends", "0").toLong + 1).toString,
+             "last_drift_x1m" -> math.round(drift * 1e6).toString))
+      drift
+    }
+
     def loadCentroids(
         spark: org.apache.spark.sql.SparkSession,
         dir: String): Seq[Seq[Float]] = {

@@ -87,4 +87,37 @@ object StreamingSketch {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
+
+  /** Streaming twin of [[graft.operators.Dedup.dedupAgainstIndex]]: a
+    * foreachBatch sink that dedups each micro-batch against a PERSISTED
+    * fingerprint index and appends the matches to `outPath` — the shape an
+    * ingestion pipeline actually runs ("is this incoming document a copy
+    * of anything in the 100 TB corpus?") as documents land, not nightly.
+    *
+    * Batch/stream equivalence is EXACT, not approximate: every probe joins
+    * the frozen index only and aggregates within a document, so
+    * dedupAgainstIndex(b1 ∪ b2) = dedupAgainstIndex(b1) ∪
+    * dedupAgainstIndex(b2) — micro-batch boundaries cannot change any
+    * result row (asserted in StreamingSpec). In-stream duplicates are the
+    * complementary concern: compose with [[dedupStream]] upstream, or
+    * fold completed batches into the index with
+    * `Dedup.buildFingerprintIndex` on a rebuild cadence.
+    *
+    * Usage:
+    * {{{
+    * docs.writeStream
+    *   .foreachBatch(StreamingSketch.dedupAgainstIndexBatch(
+    *     indexDir, "id", "text", outPath))
+    *   .start()
+    * }}} */
+  def dedupAgainstIndexBatch(
+      indexDir: String,
+      idCol: String,
+      textCol: String,
+      outPath: String,
+      minJaccardX1m: Long = 500000L): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      graft.operators.Dedup
+        .dedupAgainstIndex(batch, idCol, textCol, indexDir, minJaccardX1m)
+        .write.mode("append").parquet(outPath)
 }

@@ -199,6 +199,53 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan)
   }
 
+  test("ivf append: probe over base+appended equals inline on index centroids") {
+    import graft.GraftFunctions.nearest_centroids
+    val corpus = vecs.toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    // base index over the first 40 vectors; the rest arrive incrementally
+    Similarity.IvfIndex.build(corpus.where($"id" < 40L), dir, nCentroids = 8)
+    val drift = Similarity.IvfIndex.append(corpus.where($"id" >= 40L), dir)
+    assert(drift >= 0.0 && drift <= 1.0)
+    val manifest = graft.sources.SketchTable.readManifest(spark, dir)
+    val p = graft.sources.SketchTable.params(manifest)
+    assert(p.get("appends").contains("1"), s"manifest not bumped: $p")
+    assert(p.contains("last_drift_x1m"), s"drift not recorded: $p")
+    // probe over the updated index == inline assignment of the FULL corpus
+    // to the index's frozen centroids (base rows never re-assigned)
+    val qs = corpus.limit(8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val fromIndex = Similarity.IvfIndex.topK(spark, dir, qs, 3, nProbe = 3)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val cents = Similarity.IvfIndex.loadCentroids(spark, dir)
+    val centsLit = typedLit(cents)
+    val cells = corpus.withColumn("cid",
+      element_at(nearest_centroids(col("vec"), centsLit, 1), 1))
+    val probes = qs.withColumn("cid",
+      explode(nearest_centroids(col("qvec"), centsLit, 3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+    val inline = cells.join(broadcast(probes), "cid")
+      .where(col("id") =!= col("qid"))
+      .withColumn("sim", Similarity.cosine(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(fromIndex == inline,
+      "appended index probe diverged from inline assignment on the " +
+        "index's centroids")
+    // mismatched dims must fail loudly BEFORE writing anything
+    val bad = Seq((999L, Array.fill(8)(0.5f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.IvfIndex.append(bad, dir)
+    }
+    assert(e.getMessage.contains("dims"), e.getMessage)
+    // the failed append left the index intact (same probe result)
+    val again = Similarity.IvfIndex.topK(spark, dir, qs, 3, nProbe = 3)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(again == fromIndex)
+  }
+
   test("cosine near-dup pairs via srp lsh") {
     val got = Similarity.cosineNearDupPairs(vecs, threshold = 0.999,
         tables = 16, bits = 6)

@@ -70,6 +70,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup against a persisted index equals the batch probe") {
+    implicit val sq = spark.sqlContext
+    val base =
+      "the quick brown fox jumps over the lazy dog again and again " * 8
+    val old = Seq(
+      (0L, base),
+      (1L, "completely different reference material on stream state " * 8)
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-stream-fpidx").toString
+    graft.operators.Dedup.buildFingerprintIndex(old, "doc_id", "text", idx)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-stream-dedup").toString + "/matches"
+    val t0 = 1700000000000L
+    val b1 = Seq(
+      StreamDoc(10L, base, new Timestamp(t0)), // exact dup of 0
+      StreamDoc(11L, "fresh unrelated content nothing shared here " * 8,
+        new Timestamp(t0 + 1000)))
+    val b2 = Seq(
+      StreamDoc(12L, base.replace("quick", "rapid"), // near dup of 0
+        new Timestamp(t0 + 2000)))
+    val mem = MemoryStream[StreamDoc]
+    val q = mem.toDF()
+      .writeStream
+      .foreachBatch(StreamingSketch.dedupAgainstIndexBatch(
+        idx, "id", "text", out))
+      .start()
+    try {
+      // two genuine micro-batches: add → drain → add → drain
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "match_id", "kind", "jaccard_x1m")
+      .as[(Long, Long, String, Long)].collect().toSet
+    val batch = graft.operators.Dedup.dedupAgainstIndex(
+        (b1 ++ b2).toDF().select($"id".as("doc_id"), $"text"),
+        "doc_id", "text", idx)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == batch,
+      s"stream/batch divergence:\n stream=$got\n batch=$batch")
+    assert(got.exists(r => r._1 == 10L && r._3 == "exact"), s"got $got")
+    assert(got.exists(r => r._1 == 12L && r._3 == "near"), s"got $got")
+    assert(!got.exists(_._1 == 11L), s"clean doc matched: $got")
+  }
+
   test("streaming windowed top-k satisfies the misra-gries bounds") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamDoc]
