@@ -53,8 +53,11 @@ abstract class BytesSketchAgg
   final override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     mergeInto(a, b)
   final override def eval(buf: Array[Byte]): Any = buf
-  final override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  final override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  // serialize/deserialize cross ONLY the shuffle boundary — eval output
+  // (the public artifact format) is always the dense versioned blob.
+  // Subclasses may substitute a compact wire form (see CmsAgg).
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
 }
 
 /** HyperLogLog distinct-cardinality sketch; p in [4,18]. */
@@ -120,6 +123,13 @@ case class CmsAgg(
     CountMin.update(buf, hash, 1L)
   override protected def mergeInto(a: Array[Byte], b: Array[Byte]) =
     CountMin.merge(a, b)
+  // partial CMS buffers are ~99.9% zeros at small key cardinalities and
+  // ~1 MB dense — ship them sparse across the shuffle (CountMin.toWire;
+  // never-lossy, dense fallback for saturated sketches)
+  override def serialize(buf: Array[Byte]): Array[Byte] =
+    CountMin.toWire(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Byte] =
+    CountMin.fromWire(bytes)
   override def withNewMutableAggBufferOffset(o: Int): CmsAgg =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): CmsAgg =

@@ -71,6 +71,21 @@ class SketchAggSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cms blob is byte-identical across partitionings (sparse wire path)") {
+    // the aggregation's shuffle boundary now ships sparse partials
+    // (CountMin.toWire); counter addition is order-independent, so the
+    // final dense blob must be byte-identical no matter how many partials
+    // the plan produced or in which order they merged
+    val toolRows = turns.where(col("tool").isNotNull)
+    def blob(parts: Int): Array[Byte] = toolRows.repartition(parts)
+      .agg(cms_agg(col("tool"), 0.0001, 0.01).as("cms"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val one = blob(1)
+    assert(blob(8).sameElements(one), "8-partition blob diverged")
+    assert(blob(3).sameElements(one), "3-partition blob diverged")
+    assert(one(1) == graft.sketch.CountMin.VER, "eval output must be dense")
+  }
+
   test("cms estimate expression matches exact within bound end-to-end") {
     val eps = 0.0005
     val toolRows = turns.where(col("tool").isNotNull)

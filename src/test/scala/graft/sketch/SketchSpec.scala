@@ -138,6 +138,26 @@ class SketchSpec extends AnyFunSuite {
     assert(CountMin.totalWeight(m1) == 211) // 100 + 101 + 10 items
   }
 
+  test("cms sparse wire codec round-trips byte-identically; dense fallback") {
+    // sparse: a 1e-4-eps sketch (27183x5 counters) touched by 40 keys
+    val sparse = CountMin.empty(0.0001, 0.01, seed = 7)
+    (1 to 40).foreach(i => CountMin.update(sparse, i.toLong * 1337L, i.toLong))
+    val wire = CountMin.toWire(sparse)
+    assert(wire.length < sparse.length / 100,
+      s"sparse wire not compact: ${wire.length} of ${sparse.length}")
+    assert(wire(1) == CountMin.VER_SPARSE)
+    val back = CountMin.fromWire(wire)
+    assert(back.sameElements(sparse), "wire round-trip lost bytes")
+    assert(CountMin.totalWeight(back) == CountMin.totalWeight(sparse))
+    // dense input passes through fromWire untouched
+    assert(CountMin.fromWire(sparse) eq sparse)
+    // saturated: a tiny-width sketch fully touched ships dense (no loss)
+    val dense = CountMin.empty(0.9, 0.5, seed = 7)
+    (1 to 500).foreach(i => CountMin.update(dense, i.toLong, 1L))
+    assert(CountMin.toWire(dense) eq dense,
+      "saturated sketch must ship dense")
+  }
+
   // ---- KLL -------------------------------------------------------------------
 
   test("kll quantiles within rank-error bound vs exact") {
