@@ -73,6 +73,10 @@ case class HllAgg(
     Hll.update(buf, hash)
   override protected def mergeInto(a: Array[Byte], b: Array[Byte]) =
     Hll.merge(a, b)
+  // low-cardinality partials are mostly zero registers; ship them sparse
+  override def serialize(buf: Array[Byte]): Array[Byte] = Hll.toWire(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Byte] =
+    Hll.fromWire(bytes)
   override def withNewMutableAggBufferOffset(o: Int): HllAgg =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): HllAgg =
@@ -98,6 +102,10 @@ case class BloomAgg(
     Bloom.update(buf, hash)
   override protected def mergeInto(a: Array[Byte], b: Array[Byte]) =
     Bloom.merge(a, b)
+  // few-item partials have sparse bit-bytes; ship them sparse
+  override def serialize(buf: Array[Byte]): Array[Byte] = Bloom.toWire(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Byte] =
+    Bloom.fromWire(bytes)
   override def withNewMutableAggBufferOffset(o: Int): BloomAgg =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): BloomAgg =

@@ -56,6 +56,20 @@ object Bloom {
   @inline def sliceBits(buf: Array[Byte]): Long = Bytes.getLong(buf, 6)
   @inline def seed(buf: Array[Byte]): Long = Bytes.getLong(buf, 14)
 
+  /** Sparse shuffle-wire form (see Bytes.sparseByteWire): a partial Bloom
+    * built from few items has set bits only where those items hashed —
+    * at a many-group filter build (Classify.buildFilters over 10k groups)
+    * the per-(group, task) partials dominate the shuffle, not the final
+    * per-group filters. Ships dense automatically once byte-fill ≥ 20%.
+    * Eval output stays dense VER=1. */
+  val VER_SPARSE: Byte = 2
+  def toWire(buf: Array[Byte]): Array[Byte] =
+    Bytes.sparseByteWire(buf, HEADER, VER_SPARSE)
+  def fromWire(bytes: Array[Byte]): Array[Byte] =
+    if (bytes(1) != VER_SPARSE) bytes
+    else Bytes.sparseByteFill(
+      emptyRaw(k(bytes), sliceBits(bytes), seed(bytes)), bytes, HEADER)
+
   @inline private def setBit(buf: Array[Byte], bit: Long): Unit = {
     val byteIdx = HEADER + (bit >>> 3).toInt
     buf(byteIdx) = (buf(byteIdx) | (1 << (bit & 7L).toInt)).toByte

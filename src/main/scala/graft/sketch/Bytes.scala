@@ -33,6 +33,56 @@ object Bytes {
   @inline def getDouble(a: Array[Byte], off: Int): Double =
     java.lang.Double.longBitsToDouble(getLong(a, off))
 
+  /** Sparse shuffle-wire encode for byte-payload sketches (HLL registers,
+    * Bloom bit-bytes): (int relative-index, byte value) pairs for the
+    * nonzero payload bytes, emitted only when STRICTLY smaller than the
+    * dense buffer — a saturated sketch ships dense, so the encoding never
+    * loses. The caller owns the header layout; byte [1] is rewritten to
+    * `verSparse` in the wire form, the rest of the header copied
+    * verbatim. Shuffle-boundary only: eval outputs stay dense. */
+  def sparseByteWire(
+      buf: Array[Byte], header: Int, verSparse: Byte): Array[Byte] = {
+    var nnz = 0
+    var i = header
+    while (i < buf.length) { if (buf(i) != 0) nnz += 1; i += 1 }
+    val sparseLen = header + 4 + nnz * 5
+    if (sparseLen >= buf.length) buf
+    else {
+      val out = new Array[Byte](sparseLen)
+      System.arraycopy(buf, 0, out, 0, header)
+      out(1) = verSparse
+      putInt(out, header, nnz)
+      var o = header + 4
+      i = header
+      while (i < buf.length) {
+        if (buf(i) != 0) {
+          putInt(out, o, i - header)
+          out(o + 4) = buf(i)
+          o += 5
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Sparse wire decode into `dense` (freshly allocated by the sketch's
+    * own empty(), so type/ver are already correct); header bytes [2,
+    * header) are copied from the wire form (param fields, counts). */
+  def sparseByteFill(
+      dense: Array[Byte], wire: Array[Byte], header: Int): Array[Byte] = {
+    System.arraycopy(wire, 2, dense, 2, header - 2)
+    val nnz = getInt(wire, header)
+    var o = header + 4
+    var k = 0
+    while (k < nnz) {
+      dense(header + getInt(wire, o)) = wire(o + 4)
+      o += 5
+      k += 1
+    }
+    dense
+  }
+
   /** Murmur3 64-bit finalizer — decorrelates derived hash streams from the
     * incoming xxhash64 values (reference analogue: murmur-style finalizer at
     * /root/reference/src/main/hashutil.hpp:50-57 and independent seeds per

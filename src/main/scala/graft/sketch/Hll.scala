@@ -27,6 +27,18 @@ object Hll {
 
   @inline def precision(buf: Array[Byte]): Int = buf(2).toInt
 
+  /** Sparse shuffle-wire form (see Bytes.sparseByteWire): a partial HLL
+    * that has seen few distinct values is mostly zero registers but 16 KB
+    * dense at p=14 — at many-group aggregations the partial traffic, not
+    * the final blobs, is the shuffle term that matters at scale. Eval
+    * output stays dense VER=1. */
+  val VER_SPARSE: Byte = 2
+  def toWire(buf: Array[Byte]): Array[Byte] =
+    Bytes.sparseByteWire(buf, HEADER, VER_SPARSE)
+  def fromWire(bytes: Array[Byte]): Array[Byte] =
+    if (bytes(1) != VER_SPARSE) bytes
+    else Bytes.sparseByteFill(empty(bytes(2).toInt), bytes, HEADER)
+
   /** Standard relative-error bound for this sketch's register count. */
   def stdError(p: Int): Double = 1.04 / math.sqrt(m(p).toDouble)
 

@@ -86,6 +86,23 @@ class SketchAggSpec extends AnyFunSuite with SparkTestBase {
     assert(one(1) == graft.sketch.CountMin.VER, "eval output must be dense")
   }
 
+  test("hll + bloom blobs byte-identical across partitionings (sparse wire)") {
+    val toolRows = turns.where(col("tool").isNotNull)
+    def blobs(parts: Int): (Array[Byte], Array[Byte]) = {
+      val r = toolRows.repartition(parts)
+        .agg(hll_agg(col("tool"), 14).as("h"),
+          bloom_agg(col("tool"), 1 << 16, 0.0039).as("b"))
+        .collect()(0)
+      (r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1))
+    }
+    val (h1, b1) = blobs(1)
+    val (h8, b8) = blobs(8)
+    assert(h8.sameElements(h1), "hll blob diverged across partitionings")
+    assert(b8.sameElements(b1), "bloom blob diverged across partitionings")
+    assert(h1(1) == graft.sketch.Hll.VER && b1(1) == graft.sketch.Bloom.VER,
+      "eval outputs must be dense")
+  }
+
   test("cms estimate expression matches exact within bound end-to-end") {
     val eps = 0.0005
     val toolRows = turns.where(col("tool").isNotNull)

@@ -138,6 +138,35 @@ class SketchSpec extends AnyFunSuite {
     assert(CountMin.totalWeight(m1) == 211) // 100 + 101 + 10 items
   }
 
+  test("hll + bloom sparse wire codecs round-trip byte-identically") {
+    // hll: 50 distinct values into 16384 registers → sparse
+    val h = Hll.empty(14)
+    (1 to 50).foreach(i => Hll.update(h, Bytes.mix64(i.toLong * 77L)))
+    val hw = Hll.toWire(h)
+    assert(hw.length < h.length / 10, s"hll wire not compact: ${hw.length}")
+    assert(hw(1) == Hll.VER_SPARSE)
+    assert(Hll.fromWire(hw).sameElements(h))
+    assert(Hll.estimate(Hll.fromWire(hw)) == Hll.estimate(h))
+    assert(Hll.fromWire(h) eq h, "dense hll must pass through")
+    // saturated hll ships dense
+    val full = Hll.empty(4)
+    (1 to 10000).foreach(i => Hll.update(full, Bytes.mix64(i.toLong)))
+    assert(Hll.toWire(full) eq full)
+    // bloom: 30 items into a 1<<16-sized filter → sparse
+    val b = Bloom.empty(1 << 16, 0.0039, seed = 5)
+    (1 to 30).foreach(i => Bloom.update(b, i.toLong * 31L))
+    val bw = Bloom.toWire(b)
+    assert(bw.length < b.length / 10, s"bloom wire not compact: ${bw.length}")
+    assert(bw(1) == Bloom.VER_SPARSE)
+    val bBack = Bloom.fromWire(bw)
+    assert(bBack.sameElements(b))
+    (1 to 30).foreach(i => assert(Bloom.contains(bBack, i.toLong * 31L)))
+    // saturated bloom ships dense
+    val tiny = Bloom.empty(8, 0.1, seed = 5)
+    (1 to 500).foreach(i => Bloom.update(tiny, i.toLong))
+    assert(Bloom.toWire(tiny) eq tiny)
+  }
+
   test("cms sparse wire codec round-trips byte-identically; dense fallback") {
     // sparse: a 1e-4-eps sketch (27183x5 counters) touched by 40 keys
     val sparse = CountMin.empty(0.0001, 0.01, seed = 7)
