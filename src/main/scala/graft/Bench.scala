@@ -235,7 +235,10 @@ object Bench {
       // turns input, not sf tables: default packing (see session scaladoc)
       val s = session(cpus, splitSmallFiles = false)
       val turns = s.read.parquet(input)
-      def best(f: => Unit): Double = { f; math.min(timeJob(f), timeJob(f)) }
+      // warm-up + best-of-3: the cmp phase is short enough that a single
+      // throttle window can double one side's reading (observed: KLL ours
+      // 0.3 → 4.1 s in one artifact); a third timed rep bounds that
+      def best(f: => Unit): Double = { f; Seq(timeJob(f), timeJob(f), timeJob(f)).min }
       val builtinHll = best(turns.groupBy("role")
         .agg(approx_count_distinct(col("conv_id"), 0.0081)).collect())
       val oursHll = best(turns.groupBy("role")

@@ -116,6 +116,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
   }
 
+  test("repetition stats: top-bigram aggregates short keys with top-1 pruning") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = graft.operators.TextStats
+      .repetitionStats(docs, "doc_id", "text")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the (id, gram) count must keep map-side combine, and the per-doc
+    // top-1 must prune per-partition before the window exchange — raw
+    // document text never becomes a shuffle key
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("hash split is row-local: no exchange in the plan") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
