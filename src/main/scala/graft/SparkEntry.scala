@@ -545,6 +545,50 @@ object SparkEntry {
       Seq(("planted_recall_09", found / nPlanted >= 0.9))
         .toDF("check", "ok").orderBy("check")
     },
+    // Incremental IVF index growth: build over two-thirds of the vectors,
+    // append the rest under the FROZEN centroids, then assert the probe
+    // over the updated index equals an inline assignment of the full
+    // corpus to the same centroids (checked-equality gate, classify_hixf
+    // style) and that the recorded drift fraction is a valid fraction.
+    "ann_index_append" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-ivf-append").toString
+      Similarity.IvfIndex.build(
+        emb.where(pmod(col("id"), lit(3)) =!= 0), idx, nCentroids = 16)
+      val drift = Similarity.IvfIndex.append(
+        emb.where(pmod(col("id"), lit(3)) === 0), idx)
+      val qs = emb.where(pmod(col("id"), lit(25)) === 0)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val cols = Seq("qid", "rank", "id")
+      val fromIndex = Similarity.IvfIndex.topK(s, idx, qs, 5, nProbe = 4)
+        .select(cols.map(col): _*).cache()
+      val cents = Similarity.IvfIndex.loadCentroids(s, idx)
+      val centsLit = typedLit(cents)
+      val cells = emb.withColumn("cid",
+        element_at(nearest_centroids(col("vec"), centsLit, 1), 1))
+      val probes = qs.withColumn("cid",
+        explode(nearest_centroids(col("qvec"), centsLit, 4)))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+      val inline = cells.join(broadcast(probes), "cid")
+        .where(col("id") =!= col("qid"))
+        .withColumn("sim", Similarity.cosine(col("vec"), col("qvec")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(cols.map(col): _*).cache()
+      val nIdx = fromIndex.count()
+      val nInline = inline.count()
+      val inter = fromIndex.join(inline, cols, "left_semi").count()
+      fromIndex.unpersist(); inline.unpersist()
+      import s.implicits._
+      Seq(
+        ("appended_index_equals_inline",
+          nIdx == nInline && inter == nIdx && nIdx > 0),
+        ("drift_is_fraction", drift >= 0.0 && drift <= 1.0))
+        .toDF("check", "ok").orderBy("check")
+    },
     // ---- text analysis -----------------------------------------------------
     "text_doc_stats" -> { (s, dir) =>
       GraftFunctions.register(s)
@@ -1551,6 +1595,9 @@ object SparkEntry {
     "text_doc_stats" -> textDocStatsSql,
     "text_quality" -> textQualitySql,
     "text_repetition" -> textRepetitionSql,
+    "ann_index_append" ->
+      """SELECT * FROM (VALUES ('appended_index_equals_inline', true),
+         ('drift_is_fraction', true)) AS t("check", ok) ORDER BY "check"""",
     "multimodal_frame_meta" ->
       """WITH chars AS (SELECT doc_id,
            CAST(count(DISTINCT substr(text, CAST(i AS INT), 1)) AS INT) AS dc
