@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   * KLL + t-digest of length, GROUP BY role) at two N-vs-4N parallelism
   * pairs on identical parquet input (the sandbox stand-in for N vs 4N
   * executors):
-  *   - local[4] vs local[16] — headline: both levels below the single
-  *     socket's memory-bandwidth saturation point, so it measures the
-  *     engine's scaling, as a multi-node cluster would (each node brings
-  *     its own memory bandwidth);
-  *   - local[8] vs local[32] — reported too: above ~16 threads this box's
-  *     single memory controller throttles the random Bloom/HLL probes, an
-  *     artifact a real 4N-executor cluster does not share.
+  *   - local[4] vs local[16] — headline: walls at both levels are long
+  *     enough that stage-boundary overheads amortize, so it measures the
+  *     engine's scaling, as a multi-node cluster would;
+  *   - local[8] vs local[32] — reported too: at 32 threads the job's wall
+  *     is ~3 s, so utilization drops to 80-86% (stage barrier + the
+  *     ~6-task final merge) and CPU-seconds run ~9% above the 8-core
+  *     level (memory contention) — both single-box artifacts a real
+  *     4N-executor cluster does not share (decomposition measured with
+  *     graft.ScalingProbe; see BASELINE.md round-4 section).
   *
   * The Bloom is sized from a cheap sampled-HLL cardinality pre-pass (the
   * reference's layout-planning analogue, taxor_build.cpp:168-233) so the
