@@ -1537,6 +1537,9 @@ object SparkEntry {
                              WHEN hh < 'e6' THEN 'val'
                              ELSE 'test' END AS split
          FROM h ORDER BY doc_id""",
+    // the null/non-positive-weight exclusion MUST mirror
+    // Sampling.weightedBottomK's guard — an empty/null-text doc in a
+    // small stratum would otherwise rank in the oracle but not in Spark
     "sample_weighted" ->
       s"""WITH r AS (SELECT source, doc_id,
            CAST(length(text) AS BIGINT) AS w,
@@ -1544,7 +1547,8 @@ object SparkEntry {
              ORDER BY CAST(${Kmv.hashSql("CAST(doc_id AS VARCHAR)", "graft")}
                         AS DOUBLE) / CAST(length(text) AS DOUBLE),
                       doc_id) AS rk
-         FROM documents)
+         FROM documents
+         WHERE text IS NOT NULL AND length(text) > 0)
          SELECT source, doc_id, w, CAST(rk AS INT) AS rk FROM r
          WHERE rk <= 10 ORDER BY source, doc_id""",
     "sample_bottomk" ->

@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** One-off per-query timing probe: `runMain graft.TimeQuery <sfDir>
-  * <query> [reps]` — runs the named SparkEntry query `reps` times in one
-  * warmed JVM and prints each wall time. For isolating a single query's
-  * cost from the full Bench sweep (JIT/GC/neighbour effects).
+  * <query...>` — runs each named SparkEntry query SPARK_GRAFT_REPS times
+  * (default 2) in one warmed JVM and prints each wall time. For isolating
+  * a single query's cost from the full Bench sweep (JIT/GC/neighbour
+  * effects).
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {

@@ -172,16 +172,36 @@ object Classify {
       maxBlobBytes: Long = 512L << 20): DataFrame = {
     // loud driver budget: the transposed blob is ~sum of member filter
     // sizes and is assembled (and broadcast) from the driver — at 100×
-    // group counts this must fail with a named fallback, not an OOM
-    val sizes = filters
-      .select(sum(length(col("bf")).cast("long"))).first()
-    val totalBytes = if (sizes.isNullAt(0)) 0L else sizes.getLong(0)
-    require(totalBytes <= maxBlobBytes,
-      s"interleaved blob would be ~$totalBytes bytes " +
-        s"(> budget $maxBlobBytes): too many groups for a single " +
-        "driver-assembled interleaved blob — probe with " +
-        "hierarchicalSketchWithFilters (two-level, broadcast bounded by " +
-        "surviving buckets) or raise maxBlobBytes")
+    // group counts this must fail with a named fallback, not an OOM.
+    // The pre-check projects (group, length(bf)) only — no blob ever
+    // reaches the driver before the budget is verified — and the filter
+    // table is persisted for the duration so an unpersisted input does
+    // not pay the dominant build twice (check pass + assembly pass).
+    val wasPersisted =
+      filters.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!wasPersisted)
+      filters.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = filters
+        .select(sum(length(col("bf")).cast("long"))).first()
+      val totalBytes = if (sizes.isNullAt(0)) 0L else sizes.getLong(0)
+      require(totalBytes <= maxBlobBytes,
+        s"interleaved blob would be ~$totalBytes bytes " +
+          s"(> budget $maxBlobBytes): too many groups for a single " +
+          "driver-assembled interleaved blob — probe with " +
+          "hierarchicalSketchWithFilters (two-level, broadcast bounded by " +
+          "surviving buckets) or raise maxBlobBytes")
+      interleaveWithFilters(filters, queries, shingleK, minFraction, seed)
+    } finally if (!wasPersisted) filters.unpersist()
+  }
+
+  /** Budget-cleared interleave assembly + probe (see the public variant). */
+  private def interleaveWithFilters(
+      filters: DataFrame,
+      queries: DataFrame,
+      shingleK: Int,
+      minFraction: Double,
+      seed: Long): DataFrame = {
     val rows = filters.select("group", "bf").collect()
     val groups = rows.map(_.getString(0)).toSeq
     val blob = graft.sketch.Interleaved.fromFilters(

@@ -45,10 +45,12 @@ object Bytes {
     var nnz = 0
     var i = header
     while (i < buf.length) { if (buf(i) != 0) nnz += 1; i += 1 }
-    val sparseLen = header + 4 + nnz * 5
+    // Long math: a multi-hundred-MB buffer at moderate fill overflows an
+    // Int here (nnz*5 > 2^31) and would bypass the dense fallback
+    val sparseLen = header.toLong + 4L + nnz.toLong * 5L
     if (sparseLen >= buf.length) buf
     else {
-      val out = new Array[Byte](sparseLen)
+      val out = new Array[Byte](sparseLen.toInt)
       System.arraycopy(buf, 0, out, 0, header)
       out(1) = verSparse
       putInt(out, header, nnz)

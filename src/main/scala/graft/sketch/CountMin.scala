@@ -112,10 +112,12 @@ object CountMin {
       if (Bytes.getLong(buf, HEADER + i * 8) != 0L) nnz += 1
       i += 1
     }
-    val sparseLen = HEADER + 4 + nnz * 12
+    // Long math: a near-max sketch at moderate fill overflows an Int here
+    // (nnz*12 > 2^31) and would bypass the dense fallback
+    val sparseLen = HEADER.toLong + 4L + nnz.toLong * 12L
     if (sparseLen >= buf.length) buf
     else {
-      val out = new Array[Byte](sparseLen)
+      val out = new Array[Byte](sparseLen.toInt)
       System.arraycopy(buf, 0, out, 0, HEADER)
       out(1) = VER_SPARSE
       Bytes.putInt(out, HEADER, nnz)

@@ -103,6 +103,13 @@ object StreamingSketch {
     * fold completed batches into the index with
     * `Dedup.buildFingerprintIndex` on a rebuild cadence.
     *
+    * The sink is IDEMPOTENT under micro-batch retries: each batch writes
+    * (mode overwrite) to its own `batch_id=<id>` partition directory, so
+    * a foreachBatch re-run after a partial write — Spark's at-least-once
+    * contract — replaces its own output instead of appending duplicates.
+    * Read the result as `spark.read.parquet(outPath)` (batch_id appears
+    * as a partition column).
+    *
     * Usage:
     * {{{
     * docs.writeStream
@@ -116,8 +123,8 @@ object StreamingSketch {
       textCol: String,
       outPath: String,
       minJaccardX1m: Long = 500000L): (DataFrame, Long) => Unit =
-    (batch, _) =>
+    (batch, batchId) =>
       graft.operators.Dedup
         .dedupAgainstIndex(batch, idCol, textCol, indexDir, minJaccardX1m)
-        .write.mode("append").parquet(outPath)
+        .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
 }

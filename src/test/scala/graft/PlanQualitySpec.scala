@@ -123,11 +123,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       .repetitionStats(docs, "doc_id", "text")
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // the (id, gram) count must keep map-side combine, and the per-doc
-    // top-1 must prune per-partition before the window exchange — raw
-    // document text never becomes a shuffle key
+    // top-1 must prune per-partition before the window exchange — and no
+    // exchange may ever hash-partition on the raw document text column
+    // (joins on the short doc_id key are fine, whatever their strategy)
     assert(p.contains("partial_count"), p)
     assert(p.contains("WindowGroupLimit"), p)
-    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("hashpartitioning(text"), p)
   }
 
   test("hash split is row-local: no exchange in the plan") {
