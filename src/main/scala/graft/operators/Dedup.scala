@@ -414,6 +414,52 @@ object Dedup {
         "max_df" -> maxDf.map(_.toString).getOrElse("none")))
   }
 
+  /** Incremental fingerprint-index GROWTH — the dedup twin of
+    * [[Similarity.IvfIndex.append]]: fold a new batch INTO the persisted
+    * index without re-reading or re-shingling the old corpus, so the
+    * standard production loop (probe the batch with `dedupAgainstIndex`,
+    * keep the survivors, append them) stays sublinear in corpus size
+    * forever.
+    *
+    * Semantics, stated not hidden:
+    *  - `exact/`: only content hashes the index has NOT seen are appended
+    *    — the first-arrived id stays canonical (arrival-order
+    *    canonicalization; identical to exactCanonical's min-id rule when
+    *    ids are assigned monotonically, as ingest pipelines do);
+    *  - `shingles/`: the new docs' scaled fingerprints, minus the
+    *    PERSISTED hot list — the capped universe is frozen at build time
+    *    (df is not recomputed over the union, the same posture as the
+    *    probe); schedule a full rebuild to refresh it;
+    *  - appending the same doc ids twice duplicates their fingerprint
+    *    rows and corrupts later Jaccards — append each batch exactly
+    *    once (the probe→filter→append loop does this naturally);
+    *  - manifest: `appends` counter bumped, params unchanged, so probes
+    *    validate exactly as before. */
+  def appendToFingerprintIndex(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val manifest = graft.sources.SketchTable.readManifest(spark, dir)
+    graft.sources.SketchTable.requireParams(manifest,
+      Map("kind" -> "fingerprint"), dir)
+    val p = graft.sources.SketchTable.params(manifest)
+    newDocs
+      .select(md5(col(textCol)).as("content_hash"),
+        col(idCol).cast("long").as("id"))
+      .groupBy("content_hash").agg(min(col("id")).as("canonical_id"))
+      .join(spark.read.parquet(s"$dir/exact").select("content_hash"),
+        Seq("content_hash"), "left_anti")
+      .write.mode("append").parquet(s"$dir/exact")
+    scaledFingerprints(newDocs, idCol, textCol, p("k").toInt,
+        p("scale_hex"), p("seed"))
+      .join(spark.read.parquet(s"$dir/hot"), Seq("gh"), "left_anti")
+      .select("id", "gh")
+      .write.mode("append").parquet(s"$dir/shingles")
+    graft.sources.SketchTable.saveManifestOnly(spark, dir,
+      p + ("appends" ->
+        (p.getOrElse("appends", "0").toLong + 1).toString))
+  }
+
   /** Dedup a new batch against a persisted fingerprint index. Output:
     * (doc_id, match_id, kind, jaccard_x1m) — kind 'exact' (content-hash
     * hit on the index, jaccard_x1m = 1000000) or 'near' (scaled-set

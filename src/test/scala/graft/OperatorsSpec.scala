@@ -354,6 +354,65 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("fingerprint index append equals a rebuild over the union") {
+    val base =
+      "the quick brown fox jumps over the lazy dog again and again " * 8
+    val oldDocs = Seq(
+      (1L, base),
+      (2L, "completely different content about spark aggregation flows " * 8))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (5L, base.replace("quick", "brisk")), // near dup of 1
+      (6L, "fresh corpus material with an entirely new vocabulary here " * 8))
+      .toDF("doc_id", "text")
+    val probeDocs = Seq(
+      (20L, base), // exact+near dup of 1
+      (21L, base.replace("quick", "brisk")), // exact dup of appended 5
+      (22L, "fresh corpus material with an entirely new vocabulary here " * 8
+        + " tail"), // near dup of appended 6
+      (23L, "matches nothing at all in either corpus generation qqqq " * 8))
+      .toDF("doc_id", "text")
+    def probe(dir: String) = Dedup
+      .dedupAgainstIndex(probeDocs, "doc_id", "text", dir,
+        minJaccardX1m = 400000)
+      .select("doc_id", "match_id", "kind", "jaccard_x1m")
+      .as[(Long, Long, String, Long)].collect().toSet
+    // appended index (ids monotone, maxDf=None) must probe identically to
+    // a from-scratch rebuild over the union
+    val appended = java.nio.file.Files
+      .createTempDirectory("fpidx-append").toString
+    Dedup.buildFingerprintIndex(oldDocs, "doc_id", "text", appended)
+    Dedup.appendToFingerprintIndex(batch, "doc_id", "text", appended)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("fpidx-rebuild").toString
+    Dedup.buildFingerprintIndex(oldDocs.unionByName(batch),
+      "doc_id", "text", rebuilt)
+    val got = probe(appended)
+    assert(got == probe(rebuilt),
+      s"append diverged from rebuild: $got vs ${probe(rebuilt)}")
+    assert(got.exists(r => r._1 == 21L && r._2 == 5L && r._3 == "exact"), got)
+    assert(got.exists(r => r._1 == 22L && r._2 == 6L && r._3 == "near"), got)
+    assert(!got.exists(_._1 == 23L), got)
+    // re-appending an already-indexed TEXT adds no exact row (first
+    // arrival stays canonical)
+    val before = spark.read.parquet(s"$appended/exact").count()
+    Dedup.appendToFingerprintIndex(
+      Seq((99L, base)).toDF("doc_id", "text"), "doc_id", "text", appended)
+    assert(spark.read.parquet(s"$appended/exact").count() == before,
+      "known content hash re-appended")
+    val p = graft.sources.SketchTable.params(
+      graft.sources.SketchTable.readManifest(spark, appended))
+    assert(p.get("appends").contains("2"), s"manifest not bumped: $p")
+    // appending into a non-fingerprint dir fails loudly
+    val wrong = java.nio.file.Files
+      .createTempDirectory("fpidx-append-wrong").toString
+    graft.sources.SketchTable.saveManifestOnly(spark, wrong,
+      Map("kind" -> "ivf"))
+    intercept[IllegalArgumentException] {
+      Dedup.appendToFingerprintIndex(batch, "doc_id", "text", wrong)
+    }
+  }
+
   test("coarse-layout cost search avoids saturated bucket filters") {
     // 1) the planner's driver-side bucket assignment must mirror the
     // probe's pmod(xxhash64(group), b) exactly, or it plans the wrong
