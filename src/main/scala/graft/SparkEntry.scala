@@ -944,6 +944,27 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("rk"))
         .orderBy("source", "doc_id")
     },
+    // Mixture construction by per-source RATE (web 12% / code 100% ...):
+    // keep iff the id's md5 prefix clears the source's 1/256-granular
+    // threshold — nested across rates, append-stable, byte-equality gate
+    // (thresholds from ONE Scala constant shared with the oracle builder).
+    "sample_mixture" -> { (s, dir) =>
+      Sampling.rateSample(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "source", MixtureRates, "doc_id")
+        .orderBy("doc_id")
+    },
+    // Token-budget fill per source: hash-ordered cumulative-sum cutoff —
+    // "fill N tokens per source, reproducibly". Integer weights in a
+    // deterministic order ⇒ byte-equality gate.
+    "sample_token_budget" -> { (s, dir) =>
+      Sampling.tokenBudget(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            length(col("text")).cast("long").as("w")),
+          Seq("source"), "doc_id", "w", budget = 1500)
+        .select(col("source"), col("doc_id"), col("w"), col("cum_w"))
+        .orderBy("source", "doc_id")
+    },
     // Deterministic 80/10/10 train/val/test split by id hash: assignment is
     // a pure function of doc_id (repartition/reorder/append never move a
     // row), expressed as two-hex-char threshold compares both engines
@@ -1558,6 +1579,21 @@ object SparkEntry {
          FROM documents)
          SELECT source, doc_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
          ORDER BY source, doc_id""",
+    "sample_mixture" -> sampleMixtureSql,
+    // explicit ROWS frame (DuckDB's default with ORDER BY is RANGE, which
+    // differs on peer rows); CAST around the window sum: DuckDB sum(BIGINT)
+    // is HUGEINT and the driver hash is type-sensitive
+    "sample_token_budget" ->
+      """WITH r AS (SELECT source, doc_id,
+           CAST(length(text) AS BIGINT) AS w,
+           CAST(sum(CAST(length(text) AS BIGINT)) OVER (PARTITION BY source
+             ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_w
+         FROM documents
+         WHERE text IS NOT NULL AND length(text) > 0)
+         SELECT source, doc_id, w, cum_w FROM r WHERE cum_w <= 1500
+         ORDER BY source, doc_id""",
     // same series cap + stride as text_chunks (1007-byte ASCII invariant)
     "dedup_winnowed_spans" ->
       """WITH ch AS (SELECT doc_id, substr(text, CAST(i*224+1 AS INT), 256) AS chunk
@@ -1679,6 +1715,29 @@ object SparkEntry {
                FROM filt)
         SELECT query_id, grp AS "group", match_cnt, query_n FROM mx
         WHERE match_cnt >= 0.8*m ORDER BY query_id, "group""""
+  }
+
+  /** Single source for the mixture demo's per-source rates — the query
+    * and the oracle builder both read this, so the 1/256-granular hex
+    * thresholds can never de-synchronize. Unlisted sources are dropped
+    * (exercised: src5..src19 have no rate). */
+  private val MixtureRates = Seq(
+    "src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25,
+    "src3" -> 0.0625, "src4" -> 0.01)
+
+  /** sample_mixture oracle: the same threshold derivation as
+    * Sampling.rateSample (floor(rate·256) rendered as two lowercase hex
+    * chars, lexicographic compare; rate 1.0 keeps all). */
+  private def sampleMixtureSql: String = {
+    val conds = MixtureRates.map { case (g, r) =>
+      val bucket = math.min(256, math.floor(r * 256).toInt)
+      if (bucket >= 256) s"(source = '$g')"
+      else
+        s"(source = '$g' AND substr(md5('graft:' || " +
+          f"CAST(doc_id AS VARCHAR)), 1, 2) < '$bucket%02x')"
+    }.mkString(" OR ")
+    s"""SELECT doc_id, source FROM documents
+        WHERE $conds ORDER BY doc_id"""
   }
 
   /** SQL form of TextStats.occurrences (length-difference trick), shared by

@@ -95,6 +95,69 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Deterministic per-group RATE sampling — mixture construction's core
+    * op ("web at 12%, code at 100%, forums at 3%"): keep a row iff the
+    * first two hex chars of md5("<seed>:<id>") fall below the group's
+    * rate threshold, rendered at the same 1/256 granularity (and with the
+    * same lexicographic-hex compare) as [[hashSplit]]. Pure function of
+    * (seed, id): stable under repartitioning and appends, NESTED across
+    * rates (the 3% sample is a subset of the 12% sample — a rate increase
+    * only ADDS documents, it never swaps them), and byte-exact across
+    * engines. Rows whose group has no configured rate are dropped.
+    * Row-local, zero shuffle. Rates below 1/256 reject at construction
+    * (the silently-empty-sample case), rate 1.0 keeps everything. */
+  def rateSample(
+      df: DataFrame,
+      groupCol: String,
+      rates: Seq[(String, Double)],
+      idCol: String,
+      seed: String = "graft"): DataFrame = {
+    require(rates.nonEmpty && rates.forall(r => r._2 > 0 && r._2 <= 1.0),
+      s"rates must be in (0, 1]: $rates")
+    val h = substring(
+      md5(concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 2)
+    val keep = rates.map { case (g, r) =>
+      val bucket = math.min(256, math.floor(r * 256).toInt)
+      require(bucket >= 1,
+        s"rate $r for group '$g' is below the 1/256 hash granularity — " +
+          "the sample would be silently empty")
+      // bucket 256 (rate 1.0) keeps every hash; thresholds compare as hex
+      val cond =
+        if (bucket >= 256) lit(true) else h < lit(f"$bucket%02x")
+      (col(groupCol) === g) && cond
+    }.reduce(_ || _)
+    df.where(keep)
+  }
+
+  /** Deterministic token-budget fill — the other half of mixture
+    * construction: within each stratum, rank rows by the engine-portable
+    * md5 hash (the bottomK order) and keep rows while the RUNNING SUM of
+    * `weightCol` (tokens, bytes, cost) stays within `budget` — "fill 10B
+    * tokens per source, reproducibly". The cumulative sum is over
+    * integer weights in a deterministic order, so the kept set is
+    * byte-exact across engines, stable under repartitioning, and nested
+    * across budgets (a bigger budget only ADDS rows). A single row larger
+    * than the whole budget is excluded (inclusive-sum rule). Rows with
+    * null/non-positive weight are excluded like [[weightedBottomK]].
+    * Scale shape: one shuffle on the stratum key; the running sum is a
+    * window cumsum (sort within stratum), not a driver loop. */
+  def tokenBudget(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      weightCol: String,
+      budget: Long,
+      seed: String = "graft"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val h = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(h, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("cum_w", sum(col(weightCol).cast("long")).over(w))
+      .where(col("cum_w") <= budget)
+  }
+
   /** Unstratified corpus-wide sample (single stratum). For very large k a
     * single-partition window would bottleneck; this keeps the global sample
     * exact by ranking within hash-prefix buckets first (WindowGroupLimit

@@ -935,6 +935,59 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(one == Seq("all"))
   }
 
+  test("rate sampling is nested, append-stable, and drops unlisted groups") {
+    val rows = (0L until 900L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    def ids(rates: Seq[(String, Double)], df: org.apache.spark.sql.DataFrame = rows) =
+      Sampling.rateSample(df, "g", rates, "id")
+        .select("id").as[Long].collect().toSet
+    val low = ids(Seq("g0" -> 0.05, "g1" -> 1.0))
+    val high = ids(Seq("g0" -> 0.2, "g1" -> 1.0))
+    assert(low.subsetOf(high),
+      "raising a rate must only ADD documents (nested samples)")
+    assert(!rows.as[(Long, String)].collect()
+      .exists(r => r._2 == "g2" && low.contains(r._1)),
+      "unlisted group leaked into the sample")
+    // rate 1.0 keeps the whole listed group
+    assert(ids(Seq("g1" -> 1.0)).size == 300)
+    // observed g0 rate near 5% (256-bucket granularity: floor(.05*256)=12
+    // buckets → 12/256 = 4.7% expected)
+    val g0 = low.count(_ % 3 == 0)
+    assert(g0 >= 3 && g0 <= 35, s"g0 rate implausible: $g0 of 300")
+    assert(ids(Seq("g0" -> 0.05, "g1" -> 1.0), rows.repartition(13)) == low,
+      "not partitioning-invariant")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.rateSample(rows, "g", Seq("g0" -> 0.001), "id")
+    }
+    assert(e.getMessage.contains("granularity"), e.getMessage)
+  }
+
+  test("token budget fills per stratum in hash order, nested across budgets") {
+    val rows = (0L until 200L).map(i => (i, s"s${i % 2}", 10L + i % 7))
+      .toDF("id", "g", "w")
+      .union(Seq((900L, "s0", 0L), (901L, "s1", -5L)).toDF("id", "g", "w"))
+    def sel(budget: Long) = Sampling
+      .tokenBudget(rows, Seq("g"), "id", "w", budget)
+      .select("g", "id", "w", "cum_w")
+      .as[(String, Long, Long, Long)].collect()
+    val got = sel(300)
+    // budget respected per stratum; the NEXT hash-ordered row would exceed
+    got.groupBy(_._1).foreach { case (g, rs) =>
+      val maxCum = rs.map(_._4).max
+      assert(maxCum <= 300, s"$g over budget: $maxCum")
+      assert(rs.map(_._3).sum == maxCum, s"$g cumsum inconsistent")
+    }
+    assert(got.nonEmpty && got.length < 60, s"cutoff not applied: ${got.length}")
+    // nested: a bigger budget only adds rows
+    assert(got.map(_._2).toSet.subsetOf(sel(600).map(_._2).toSet))
+    // non-positive weights excluded
+    assert(!got.exists(r => r._2 == 900L || r._2 == 901L))
+    // deterministic under repartitioning
+    val re = Sampling
+      .tokenBudget(rows.repartition(11), Seq("g"), "id", "w", 300)
+      .select("id").as[Long].collect().toSet
+    assert(re == got.map(_._2).toSet)
+  }
+
   test("global bottom-k equals the single-window ranking") {
     val rows = (0L until 500L).map(i => (i, "x")).toDF("id", "pad")
     val got = Sampling.bottomKGlobal(rows, "id", 20)
