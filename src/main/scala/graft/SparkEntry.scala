@@ -1549,10 +1549,12 @@ object SparkEntry {
          SELECT train_id, heldout_id, true AS detected FROM p
          ORDER BY train_id, heldout_id""",
     // thresholds 'cc'/'e6' = floor(0.8*256)/floor(0.9*256) in hex — the
-    // exact literals Sampling.hashSplit derives for 80/10/10
+    // exact literals Sampling.hashSplit derives for 80/10/10; '#split' is
+    // the operator family's hash-domain tag (decorrelates the split from
+    // the rank/rate samplers — Sampling scaladoc)
     "sample_hash_split" ->
       """WITH h AS (SELECT doc_id,
-           substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) AS hh
+           substr(md5('graft#split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS hh
          FROM documents)
          SELECT doc_id, CASE WHEN hh < 'cc' THEN 'train'
                              WHEN hh < 'e6' THEN 'val'
@@ -1725,16 +1727,16 @@ object SparkEntry {
     "src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25,
     "src3" -> 0.0625, "src4" -> 0.01)
 
-  /** sample_mixture oracle: the same threshold derivation as
-    * Sampling.rateSample (floor(rate·256) rendered as two lowercase hex
-    * chars, lexicographic compare; rate 1.0 keeps all). */
+  /** sample_mixture oracle: thresholds come from the SAME
+    * Sampling.rateThresholds call the engine path uses (single source —
+    * including the sub-granularity reject), rendered over the '#rate'
+    * hash domain. */
   private def sampleMixtureSql: String = {
-    val conds = MixtureRates.map { case (g, r) =>
-      val bucket = math.min(256, math.floor(r * 256).toInt)
-      if (bucket >= 256) s"(source = '$g')"
-      else
-        s"(source = '$g' AND substr(md5('graft:' || " +
-          f"CAST(doc_id AS VARCHAR)), 1, 2) < '$bucket%02x')"
+    val conds = Sampling.rateThresholds(MixtureRates).map {
+      case (g, None) => s"(source = '$g')"
+      case (g, Some(bound)) =>
+        s"(source = '$g' AND substr(md5('graft#rate:' || " +
+          s"CAST(doc_id AS VARCHAR)), 1, 2) < '$bound')"
     }.mkString(" OR ")
     s"""SELECT doc_id, source FROM documents
         WHERE $conds ORDER BY doc_id"""

@@ -173,39 +173,30 @@ object Classify {
     // loud driver budget: the transposed blob is ~sum of member filter
     // sizes and is assembled (and broadcast) from the driver — at 100×
     // group counts this must fail with a named fallback, not an OOM.
-    // The pre-check projects (group, length(bf)) only — no blob ever
-    // reaches the driver before the budget is verified — and the filter
-    // table is persisted for the duration so an unpersisted input does
-    // not pay the dominant build twice (check pass + assembly pass).
-    val wasPersisted =
-      filters.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    if (!wasPersisted)
-      filters.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val sizes = filters
-        .select(sum(length(col("bf")).cast("long"))).first()
-      val totalBytes = if (sizes.isNullAt(0)) 0L else sizes.getLong(0)
+    // ONE pass, streaming: toLocalIterator pulls the filter table a
+    // partition at a time and the budget is enforced INCREMENTALLY, so an
+    // over-budget input aborts after holding at most maxBlobBytes (+ one
+    // partition) on the driver — no second build pass, no caching of
+    // blobs the check exists to refuse.
+    val it = filters.select("group", "bf").toLocalIterator()
+    val groupsBuf = scala.collection.mutable.ArrayBuffer[String]()
+    val blobsBuf = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val r = it.next()
+      val bf = r.getAs[Array[Byte]](1)
+      totalBytes += bf.length
       require(totalBytes <= maxBlobBytes,
-        s"interleaved blob would be ~$totalBytes bytes " +
-          s"(> budget $maxBlobBytes): too many groups for a single " +
-          "driver-assembled interleaved blob — probe with " +
-          "hierarchicalSketchWithFilters (two-level, broadcast bounded by " +
-          "surviving buckets) or raise maxBlobBytes")
-      interleaveWithFilters(filters, queries, shingleK, minFraction, seed)
-    } finally if (!wasPersisted) filters.unpersist()
-  }
-
-  /** Budget-cleared interleave assembly + probe (see the public variant). */
-  private def interleaveWithFilters(
-      filters: DataFrame,
-      queries: DataFrame,
-      shingleK: Int,
-      minFraction: Double,
-      seed: Long): DataFrame = {
-    val rows = filters.select("group", "bf").collect()
-    val groups = rows.map(_.getString(0)).toSeq
-    val blob = graft.sketch.Interleaved.fromFilters(
-      rows.map(_.getAs[Array[Byte]](1)).toSeq)
+        s"interleaved blob would exceed $maxBlobBytes bytes " +
+          s"(${groupsBuf.size + 1}+ groups, >= $totalBytes bytes): too " +
+          "many groups for a single driver-assembled interleaved blob — " +
+          "probe with hierarchicalSketchWithFilters (two-level, broadcast " +
+          "bounded by surviving buckets) or raise maxBlobBytes")
+      groupsBuf += r.getString(0)
+      blobsBuf += bf
+    }
+    val groups = groupsBuf.toSeq
+    val blob = graft.sketch.Interleaved.fromFilters(blobsBuf.toSeq)
     val token = graft.functions.IxfBlobs.register(filters.sparkSession, blob)
     try {
       val probes = queries.select(col("query_id"),

@@ -443,21 +443,30 @@ object Dedup {
     graft.sources.SketchTable.requireParams(manifest,
       Map("kind" -> "fingerprint"), dir)
     val p = graft.sources.SketchTable.params(manifest)
-    newDocs
-      .select(md5(col(textCol)).as("content_hash"),
-        col(idCol).cast("long").as("id"))
-      .groupBy("content_hash").agg(min(col("id")).as("canonical_id"))
-      .join(spark.read.parquet(s"$dir/exact").select("content_hash"),
-        Seq("content_hash"), "left_anti")
-      .write.mode("append").parquet(s"$dir/exact")
-    scaledFingerprints(newDocs, idCol, textCol, p("k").toInt,
-        p("scale_hex"), p("seed"))
-      .join(spark.read.parquet(s"$dir/hot"), Seq("gh"), "left_anti")
-      .select("id", "gh")
-      .write.mode("append").parquet(s"$dir/shingles")
-    graft.sources.SketchTable.saveManifestOnly(spark, dir,
-      p + ("appends" ->
-        (p.getOrElse("appends", "0").toLong + 1).toString))
+    // persisted for the two consumers (content-hash pass + shingle pass)
+    // — the batch usually arrives with an expensive probe/filter lineage,
+    // and a nondeterministic source would otherwise yield inconsistent
+    // exact-vs-shingle views; same posture as buildFingerprintIndex's
+    // shared-scan cache. Unpersisted before return (append-local state).
+    val docs = newDocs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      docs
+        .select(md5(col(textCol)).as("content_hash"),
+          col(idCol).cast("long").as("id"))
+        .groupBy("content_hash").agg(min(col("id")).as("canonical_id"))
+        .join(spark.read.parquet(s"$dir/exact").select("content_hash"),
+          Seq("content_hash"), "left_anti")
+        .write.mode("append").parquet(s"$dir/exact")
+      scaledFingerprints(docs, idCol, textCol, p("k").toInt,
+          p("scale_hex"), p("seed"))
+        .join(spark.read.parquet(s"$dir/hot"), Seq("gh"), "left_anti")
+        .select("id", "gh")
+        .write.mode("append").parquet(s"$dir/shingles")
+      graft.sources.SketchTable.saveManifestOnly(spark, dir,
+        p + ("appends" ->
+          (p.getOrElse("appends", "0").toLong + 1).toString))
+    } finally docs.unpersist()
   }
 
   /** Dedup a new batch against a persisted fingerprint index. Output:

@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
   * wire regardless of corpus size. The hash is md5 of `seed || ':' || id`
   * rendered in hex — deliberately engine-portable (any SQL engine reproduces
   * the exact sample), which is what makes the DuckDB oracle byte-exact.
+  *
+  * COMPOSITION RULE (domain separation): each operator FAMILY hashes a
+  * distinct key domain, so chaining them cannot correlate —
+  *  - rank selection (`bottomK`/`bottomKGlobal`/`tokenBudget`) hashes
+  *    `"<seed>:<id>"`; nesting WITHIN the family is a feature (bigger k /
+  *    bigger budget only ADD rows);
+  *  - `hashSplit` hashes `"<seed>#split:<id>"`;
+  *  - `rateSample` hashes `"<seed>#rate:<id>"`;
+  *  - `weightedBottomK` uses the independent KMV 60-bit hash.
+  * Without this, rate-sampling at 50% and then hash-splitting 80/10/10
+  * would put EVERY sampled row in 'train' (both would threshold the same
+  * md5 prefix). Same-family chains at the SAME statistic remain
+  * correlated by design; use distinct `seed`s to decorrelate deliberately.
   */
 object Sampling {
   /** Keep the `k` rows with the smallest md5("<seed>:<id>") per stratum
@@ -50,8 +63,10 @@ object Sampling {
     * (new rows land in splits at the right rates; old rows never migrate,
     * which is what keeps eval sets uncontaminated across dataset versions).
     *
-    * Assignment: the first two hex chars of md5("<seed>:<id>") are a
-    * uniform 256-bucket value; cumulative weight boundaries are rendered as
+    * Assignment: the first two hex chars of md5("<seed>#split:<id>") are a
+    * uniform 256-bucket value (the `#split` domain tag decorrelates the
+    * split from the rank/rate samplers — see the object scaladoc);
+    * cumulative weight boundaries are rendered as
     * two-char hex thresholds and compared LEXICOGRAPHICALLY (hex strings
     * order identically to their numeric value), so the whole operator is
     * three string comparisons — row-local, codegen'd, zero shuffle, and
@@ -69,7 +84,7 @@ object Sampling {
       s"weights must be positive: $weights")
     val total = weights.map(_._2).sum
     val h = substring(
-      md5(concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 2)
+      md5(concat(lit(seed + "#split:"), col(idCol).cast("string"))), 1, 2)
     // cumulative upper bounds in buckets-of-256, as two-char hex literals
     val buckets = weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
       .map(c => math.min(255, math.floor(c * 256).toInt))
@@ -112,21 +127,31 @@ object Sampling {
       rates: Seq[(String, Double)],
       idCol: String,
       seed: String = "graft"): DataFrame = {
+    val h = substring(
+      md5(concat(lit(seed + "#rate:"), col(idCol).cast("string"))), 1, 2)
+    val keep = rateThresholds(rates).map { case (g, bound) =>
+      // None = rate 1.0 keeps every hash; thresholds compare as hex
+      (col(groupCol) === g) && bound.fold(lit(true))(b => h < lit(b))
+    }.reduce(_ || _)
+    df.where(keep)
+  }
+
+  /** Single source of rateSample's per-group hex thresholds
+    * (floor(rate·256) rendered as two lowercase hex chars; None = keep
+    * all) — the DuckDB oracle builder consumes the SAME derivation, so
+    * the byte-equality gate cannot de-synchronize. Sub-granularity rates
+    * reject HERE, on both the engine and the oracle path. */
+  def rateThresholds(
+      rates: Seq[(String, Double)]): Seq[(String, Option[String])] = {
     require(rates.nonEmpty && rates.forall(r => r._2 > 0 && r._2 <= 1.0),
       s"rates must be in (0, 1]: $rates")
-    val h = substring(
-      md5(concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 2)
-    val keep = rates.map { case (g, r) =>
+    rates.map { case (g, r) =>
       val bucket = math.min(256, math.floor(r * 256).toInt)
       require(bucket >= 1,
         s"rate $r for group '$g' is below the 1/256 hash granularity — " +
           "the sample would be silently empty")
-      // bucket 256 (rate 1.0) keeps every hash; thresholds compare as hex
-      val cond =
-        if (bucket >= 256) lit(true) else h < lit(f"$bucket%02x")
-      (col(groupCol) === g) && cond
-    }.reduce(_ || _)
-    df.where(keep)
+      g -> (if (bucket >= 256) None else Some(f"$bucket%02x"))
+    }
   }
 
   /** Deterministic token-budget fill — the other half of mixture
@@ -147,15 +172,19 @@ object Sampling {
       idCol: String,
       weightCol: String,
       budget: Long,
-      seed: String = "graft"): DataFrame = {
+      seed: String = "graft",
+      cumCol: String = "cum_w"): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(!df.columns.contains(cumCol),
+      s"input already has a '$cumCol' column — pass a different cumCol " +
+        "instead of silently overwriting it")
     val h = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(h, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.where(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("cum_w", sum(col(weightCol).cast("long")).over(w))
-      .where(col("cum_w") <= budget)
+      .withColumn(cumCol, sum(col(weightCol).cast("long")).over(w))
+      .where(col(cumCol) <= budget)
   }
 
   /** Unstratified corpus-wide sample (single stratum). For very large k a

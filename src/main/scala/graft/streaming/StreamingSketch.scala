@@ -108,7 +108,9 @@ object StreamingSketch {
     * a foreachBatch re-run after a partial write — Spark's at-least-once
     * contract — replaces its own output instead of appending duplicates.
     * Read the result as `spark.read.parquet(outPath)` (batch_id appears
-    * as a partition column).
+    * as a partition column). `outPath` must be fresh or previously
+    * written by THIS sink — mixing flat parquet files into the same
+    * directory breaks Spark's partition discovery.
     *
     * Usage:
     * {{{
