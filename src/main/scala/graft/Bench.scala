@@ -351,7 +351,12 @@ object Bench {
         s""""java_procs_start":${sentStart._2},""" +
         s""""load_avg_scaling":${sentScaling._1},""" +
         s""""java_procs_scaling":${sentScaling._2},""" +
-        s""""clean_java_procs":2},""" +
+        s""""clean_java_procs":2,""" +
+        // a leftover ScalingProbe GC experiment (GRAFT_EXTRA_JVM) would
+        // silently change the JVM under the headline numbers — record it
+        // so a contaminated artifact is self-evident (clean = "")
+        s""""extra_jvm":"${sys.env.getOrElse("GRAFT_EXTRA_JVM", "")
+          .replace("\"", "'")}"},""" +
         s""""vs_builtin":{"hll_builtin_sec":${r3(cmp._1)},""" +
         s""""hll_ours_sec":${r3(cmp._2)},""" +
         s""""pctile_builtin_sec":${r3(cmp._3)},""" +

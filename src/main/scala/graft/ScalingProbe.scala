@@ -27,14 +27,16 @@ object ScalingProbe {
       case m: com.sun.management.OperatingSystemMXBean => m.getProcessCpuTime
       case _ => -1L
     }
-  private def meanMhz(): Double =
+  private def meanMhz(): Double = {
+    var src: scala.io.Source = null
     try {
-      val src = scala.io.Source.fromFile("/proc/cpuinfo")
+      src = scala.io.Source.fromFile("/proc/cpuinfo")
       val mhz = src.getLines().filter(_.startsWith("cpu MHz"))
         .map(_.split(":")(1).trim.toDouble).toSeq
-      src.close()
       if (mhz.isEmpty) -1.0 else mhz.sum / mhz.size
     } catch { case _: Throwable => -1.0 }
+    finally if (src != null) src.close()
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScalingProbe <cores>...")

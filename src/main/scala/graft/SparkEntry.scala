@@ -565,18 +565,8 @@ object SparkEntry {
       val cols = Seq("qid", "rank", "id")
       val fromIndex = Similarity.IvfIndex.topK(s, idx, qs, 5, nProbe = 4)
         .select(cols.map(col): _*).cache()
-      val cents = Similarity.IvfIndex.loadCentroids(s, idx)
-      val centsLit = typedLit(cents)
-      val cells = emb.withColumn("cid",
-        element_at(nearest_centroids(col("vec"), centsLit, 1), 1))
-      val probes = qs.withColumn("cid",
-        explode(nearest_centroids(col("qvec"), centsLit, 4)))
-      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
-      val inline = cells.join(broadcast(probes), "cid")
-        .where(col("id") =!= col("qid"))
-        .withColumn("sim", Similarity.cosine(col("vec"), col("qvec")))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 5)
+      val inline = Similarity.inlineIvfProbe(emb, qs,
+          Similarity.IvfIndex.loadCentroids(s, idx), k = 5, nProbe = 4)
         .select(cols.map(col): _*).cache()
       val nIdx = fromIndex.count()
       val nInline = inline.count()

@@ -430,9 +430,11 @@ object Dedup {
     *    PERSISTED hot list — the capped universe is frozen at build time
     *    (df is not recomputed over the union, the same posture as the
     *    probe); schedule a full rebuild to refresh it;
-    *  - appending the same doc ids twice duplicates their fingerprint
-    *    rows and corrupts later Jaccards — append each batch exactly
-    *    once (the probe→filter→append loop does this naturally);
+    *  - IDEMPOTENT per doc: both tables are guarded with anti-joins
+    *    (exact/ by content hash, shingles/ by doc id), so a retried
+    *    append after a partial failure cannot duplicate fingerprint rows
+    *    (duplicated rows would silently inflate every later Jaccard
+    *    against those docs);
     *  - manifest: `appends` counter bumped, params unchanged, so probes
     *    validate exactly as before. */
   def appendToFingerprintIndex(
@@ -461,6 +463,11 @@ object Dedup {
       scaledFingerprints(docs, idCol, textCol, p("k").toInt,
           p("scale_hex"), p("seed"))
         .join(spark.read.parquet(s"$dir/hot"), Seq("gh"), "left_anti")
+        // idempotence guard (mirrors the exact-path anti-join): a doc id
+        // already in the index — a retry after a partial failure, or a
+        // caller re-sending a batch — must not duplicate its rows
+        .join(spark.read.parquet(s"$dir/shingles").select("id").distinct(),
+          Seq("id"), "left_anti")
         .select("id", "gh")
         .write.mode("append").parquet(s"$dir/shingles")
       graft.sources.SketchTable.saveManifestOnly(spark, dir,

@@ -73,18 +73,24 @@ object Sampling {
     * reproducible verbatim in any SQL engine (the DuckDB oracle gate is
     * byte-exact). Granularity is 1/256 of the corpus per weight step;
     * weights are normalized and each boundary rounds down.
-    */
+    *
+    * MIGRATION (r4): the hash domain gained the `#split` tag, so
+    * assignments differ from pre-r4 artifacts — a split frozen under the
+    * old scheme must be re-derived with `domainTag = ":"` (the legacy
+    * key `"<seed>:<id>"`), not recomputed under the default, or ~255/256
+    * of rows migrate and eval sets silently contaminate. */
   def hashSplit(
       df: DataFrame,
       idCol: String,
       weights: Seq[(String, Double)],
       seed: String = "graft",
-      splitCol: String = "split"): DataFrame = {
+      splitCol: String = "split",
+      domainTag: String = "#split:"): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       s"weights must be positive: $weights")
     val total = weights.map(_._2).sum
     val h = substring(
-      md5(concat(lit(seed + "#split:"), col(idCol).cast("string"))), 1, 2)
+      md5(concat(lit(seed + domainTag), col(idCol).cast("string"))), 1, 2)
     // cumulative upper bounds in buckets-of-256, as two-char hex literals
     val buckets = weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
       .map(c => math.min(255, math.floor(c * 256).toInt))
@@ -145,6 +151,9 @@ object Sampling {
       rates: Seq[(String, Double)]): Seq[(String, Option[String])] = {
     require(rates.nonEmpty && rates.forall(r => r._2 > 0 && r._2 <= 1.0),
       s"rates must be in (0, 1]: $rates")
+    require(rates.map(_._1).distinct.size == rates.size,
+      s"duplicate group in rates (the conditions would OR together and " +
+        s"the highest rate silently wins): ${rates.map(_._1)}")
     rates.map { case (g, r) =>
       val bucket = math.min(256, math.floor(r * 256).toInt)
       require(bucket >= 1,

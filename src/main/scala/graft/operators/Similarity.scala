@@ -143,21 +143,14 @@ object Similarity {
       .select("vec").collect().toSeq
       .map(_.getSeq[Float](0).toSeq)
 
-  def ivfTopK(
-      corpus: DataFrame, // (id, vec)
-      queries: DataFrame, // (qid, qvec)
-      k: Int,
-      nCentroids: Int = 16,
-      nProbe: Int = 4,
-      kmeansIters: Int = 0): DataFrame = {
-    val cents =
-      refineCentroids(corpus, pickCentroids(corpus, nCentroids), kmeansIters)
-    val centsLit = typedLit(cents)
-    val cells = corpus.withColumn("cid",
-      element_at(nearest_centroids(col("vec"), centsLit, 1), 1))
-    val probes = queries.withColumn("cid",
-      explode(nearest_centroids(col("qvec"), centsLit, nProbe)))
-    val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+  /** The one IVF probe kernel — shared by ivfTopK, IvfIndex.topK, the
+    * ann_index_append gate and the specs, so a tie-break or NaN-policy
+    * change can never silently diverge between the inline and persisted
+    * paths. `cells` rows carry (id, vec, cid); `probes` (qid, qvec, cid). */
+  private[graft] def probeCells(
+      cells: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val wRank = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("id").asc)
     cells.join(broadcast(probes), "cid")
       .where(col("id") =!= col("qid"))
       .withColumn("sim", cosine(col("vec"), col("qvec")))
@@ -165,6 +158,34 @@ object Similarity {
       .where(col("rank") <= k)
       .select("qid", "rank", "id", "sim")
   }
+
+  /** Inline IVF probe against a GIVEN centroid matrix (assignment is the
+    * per-row codegen'd sweep; no corpus shuffle). */
+  def inlineIvfProbe(
+      corpus: DataFrame, // (id, vec)
+      queries: DataFrame, // (qid, qvec)
+      cents: Seq[Seq[Float]],
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val centsLit = typedLit(cents)
+    probeCells(
+      corpus.withColumn("cid",
+        element_at(nearest_centroids(col("vec"), centsLit, 1), 1)),
+      queries.withColumn("cid",
+        explode(nearest_centroids(col("qvec"), centsLit, nProbe))),
+      k)
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, // (id, vec)
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      kmeansIters: Int = 0): DataFrame =
+    inlineIvfProbe(corpus, queries,
+      refineCentroids(corpus, pickCentroids(corpus, nCentroids), kmeansIters),
+      k, nProbe)
 
   /** Persisted IVF index — build once, probe many (the posture a 100 TB
     * corpus actually needs: assignment cost is paid at build; a probe
@@ -223,10 +244,15 @@ object Similarity {
       val p = graft.sources.SketchTable.params(manifest)
       val cents = loadCentroids(spark, dir)
       val dims = cents.head.size
-      val badDims = newVecs.where(size(col("vec")) =!= dims).limit(1).count()
+      // null vectors must fail too: size(null) is NULL so a plain =!=
+      // predicate silently drops them from the check, and they would land
+      // in a junk null-cid partition no probe ever reads
+      val badDims = newVecs
+        .where(col("vec").isNull || size(col("vec")) =!= dims)
+        .limit(1).count()
       require(badDims == 0,
-        s"IVF append at $dir: input vectors disagree with the index " +
-          s"dims ($dims) — appending them would corrupt cell assignment")
+        s"IVF append at $dir: null vectors or dims disagreeing with the " +
+          s"index ($dims) — appending them would corrupt cell assignment")
       val centsLit = typedLit(cents)
       // one pass: assignment + best-centroid similarity for the drift stat
       val cells = newVecs
@@ -290,14 +316,7 @@ object Similarity {
       val cids = probes.select("cid").distinct().collect().map(_.getInt(0))
       val cells = spark.read.parquet(s"$dir/data")
         .where(col("cid").isin(cids.toSeq: _*))
-      val wRank = Window.partitionBy("qid")
-        .orderBy(col("sim").desc, col("id").asc)
-      cells.join(broadcast(probes), "cid")
-        .where(col("id") =!= col("qid"))
-        .withColumn("sim", cosine(col("vec"), col("qvec")))
-        .withColumn("rank", row_number().over(wRank))
-        .where(col("rank") <= k)
-        .select("qid", "rank", "id", "sim")
+      probeCells(cells, probes, k)
     }
   }
 

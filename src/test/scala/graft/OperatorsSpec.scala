@@ -200,7 +200,6 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("ivf append: probe over base+appended equals inline on index centroids") {
-    import graft.GraftFunctions.nearest_centroids
     val corpus = vecs.toDF("id", "vec")
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
     // base index over the first 40 vectors; the rest arrive incrementally
@@ -217,19 +216,8 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .select(col("id").as("qid"), col("vec").as("qvec"))
     val fromIndex = Similarity.IvfIndex.topK(spark, dir, qs, 3, nProbe = 3)
       .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
-    val cents = Similarity.IvfIndex.loadCentroids(spark, dir)
-    val centsLit = typedLit(cents)
-    val cells = corpus.withColumn("cid",
-      element_at(nearest_centroids(col("vec"), centsLit, 1), 1))
-    val probes = qs.withColumn("cid",
-      explode(nearest_centroids(col("qvec"), centsLit, 3)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
-    val inline = cells.join(broadcast(probes), "cid")
-      .where(col("id") =!= col("qid"))
-      .withColumn("sim", Similarity.cosine(col("vec"), col("qvec")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 3)
+    val inline = Similarity.inlineIvfProbe(corpus, qs,
+        Similarity.IvfIndex.loadCentroids(spark, dir), k = 3, nProbe = 3)
       .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
     assert(fromIndex == inline,
       "appended index probe diverged from inline assignment on the " +
@@ -388,8 +376,8 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     Dedup.buildFingerprintIndex(oldDocs.unionByName(batch),
       "doc_id", "text", rebuilt)
     val got = probe(appended)
-    assert(got == probe(rebuilt),
-      s"append diverged from rebuild: $got vs ${probe(rebuilt)}")
+    val reb = probe(rebuilt)
+    assert(got == reb, s"append diverged from rebuild: $got vs $reb")
     assert(got.exists(r => r._1 == 21L && r._2 == 5L && r._3 == "exact"), got)
     assert(got.exists(r => r._1 == 22L && r._2 == 6L && r._3 == "near"), got)
     assert(!got.exists(_._1 == 23L), got)
