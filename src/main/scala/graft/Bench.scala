@@ -48,6 +48,18 @@ object Bench {
     (math.rint(load * 100) / 100, javas)
   }
 
+  /** Minimal JSON string escape for values interpolated into the artifact
+    * (env-sourced text): backslash first, then quote, then control chars —
+    * a GRAFT_EXTRA_JVM containing `\` or a newline must not yield an
+    * unparseable bench JSON. */
+  private[graft] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   /** Median (even length: mean of the middle two). */
   private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -355,8 +367,8 @@ object Bench {
         // a leftover ScalingProbe GC experiment (GRAFT_EXTRA_JVM) would
         // silently change the JVM under the headline numbers — record it
         // so a contaminated artifact is self-evident (clean = "")
-        s""""extra_jvm":"${sys.env.getOrElse("GRAFT_EXTRA_JVM", "")
-          .replace("\"", "'")}"},""" +
+        s""""extra_jvm":"${jsonEscape(
+          sys.env.getOrElse("GRAFT_EXTRA_JVM", ""))}"},""" +
         s""""vs_builtin":{"hll_builtin_sec":${r3(cmp._1)},""" +
         s""""hll_ours_sec":${r3(cmp._2)},""" +
         s""""pctile_builtin_sec":${r3(cmp._3)},""" +

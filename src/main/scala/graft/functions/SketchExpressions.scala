@@ -336,39 +336,54 @@ object IxfBlobs {
 
 /** Bloom membership probe against a broadcast filter blob — the large-blob
   * twin of [[BloomContains]] (see IxfBlobs.LiteralMaxBytes for the
-  * measured literal-vs-broadcast routing boundary). */
+  * measured literal-vs-broadcast routing boundary).
+  *
+  * Both eval paths resolve `Broadcast.value()` ONCE per instance, never
+  * per row: `TorrentBroadcast.getValue` is synchronized, so a per-row call
+  * would serialize every task thread on one shared monitor — precisely on
+  * the hot per-row probe the broadcast route exists to make cheap. Codegen
+  * caches the dense byte[] in a generated-class field populated at
+  * instance init; interpreted eval uses a per-task lazy val. */
 case class BloomContainsBcast(
     blob: org.apache.spark.broadcast.Broadcast[Array[Byte]],
     child: Expression) extends UnaryExpression {
+  @transient private lazy val bytes: Array[Byte] = blob.value
   override def dataType: DataType = BooleanType
   override def nullSafeEval(hash: Any): Any =
-    Bloom.contains(blob.value, hash.asInstanceOf[Long])
+    Bloom.contains(bytes, hash.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bloomBlob", blob,
       "org.apache.spark.broadcast.Broadcast")
+    val cached = ctx.addMutableState("byte[]", "bloomBlobBytes",
+      v => s"$v = (byte[]) $ref.value();")
     defineCodeGen(ctx, ev, h =>
-      s"graft.functions.SketchOps.bloomContains((byte[]) $ref.value(), $h)")
+      s"graft.functions.SketchOps.bloomContains($cached, $h)")
   }
   override protected def withNewChildInternal(c: Expression): BloomContainsBcast =
     copy(child = c)
   override def prettyName: String = "graft_bloom_contains_bcast"
 }
 
-/** Bulk count against a broadcast interleaved blob (see IxfBlobs). */
+/** Bulk count against a broadcast interleaved blob (see IxfBlobs; same
+  * once-per-instance Broadcast.value resolution as [[BloomContainsBcast]]
+  * — getValue is synchronized and must stay off the per-row path). */
 case class IxfCountContainedBcast(
     blob: org.apache.spark.broadcast.Broadcast[Array[Byte]],
     child: Expression) extends UnaryExpression {
+  @transient private lazy val bytes: Array[Byte] = blob.value
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(hashes: Any): Any =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      graft.sketch.Interleaved.countContained(blob.value,
+      graft.sketch.Interleaved.countContained(bytes,
         hashes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("ixfBlob", blob,
       "org.apache.spark.broadcast.Broadcast")
+    val cached = ctx.addMutableState("byte[]", "ixfBlobBytes",
+      v => s"$v = (byte[]) $ref.value();")
     defineCodeGen(ctx, ev, h =>
       "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.sketch.Interleaved.countContained((byte[]) $ref.value(), $h))")
+        s"graft.sketch.Interleaved.countContained($cached, $h))")
   }
   override protected def withNewChildInternal(c: Expression): IxfCountContainedBcast =
     copy(child = c)

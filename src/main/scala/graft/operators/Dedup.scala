@@ -416,10 +416,15 @@ object Dedup {
 
   /** Incremental fingerprint-index GROWTH — the dedup twin of
     * [[Similarity.IvfIndex.append]]: fold a new batch INTO the persisted
-    * index without re-reading or re-shingling the old corpus, so the
-    * standard production loop (probe the batch with `dedupAgainstIndex`,
-    * keep the survivors, append them) stays sublinear in corpus size
-    * forever.
+    * index without RE-SHINGLING or re-hashing the old corpus — the
+    * expensive per-byte work stays proportional to the batch. The
+    * idempotence guards do still SCAN the persisted index columns (one
+    * anti-join over `exact/` content hashes, one over distinct `shingles/`
+    * ids — cheap column scans, but linear in index size), so the
+    * standard production loop (probe with `dedupAgainstIndex`, keep
+    * survivors, append them) avoids quadratic re-shingling, not all
+    * index-size-proportional IO; schedule full rebuilds on the same
+    * cadence as the hot-list refresh if that scan ever dominates.
     *
     * Semantics, stated not hidden:
     *  - `exact/`: only content hashes the index has NOT seen are appended
@@ -452,28 +457,38 @@ object Dedup {
     // shared-scan cache. Unpersisted before return (append-local state).
     val docs = newDocs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both append jobs anti-join against the very parquet path they then
+    // append to — materialize the fully-guarded rows FIRST (persist + an
+    // action) so the write job consumes the cached blocks and never
+    // re-lists the directory it is concurrently growing (LocalFS snapshots
+    // the listing at read time; object stores may not)
+    val newExact = docs
+      .select(md5(col(textCol)).as("content_hash"),
+        col(idCol).cast("long").as("id"))
+      .groupBy("content_hash").agg(min(col("id")).as("canonical_id"))
+      .join(spark.read.parquet(s"$dir/exact").select("content_hash"),
+        Seq("content_hash"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newShingles = scaledFingerprints(docs, idCol, textCol, p("k").toInt,
+        p("scale_hex"), p("seed"))
+      .join(spark.read.parquet(s"$dir/hot"), Seq("gh"), "left_anti")
+      // idempotence guard (mirrors the exact-path anti-join): a doc id
+      // already in the index — a retry after a partial failure, or a
+      // caller re-sending a batch — must not duplicate its rows
+      .join(spark.read.parquet(s"$dir/shingles").select("id").distinct(),
+        Seq("id"), "left_anti")
+      .select("id", "gh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      docs
-        .select(md5(col(textCol)).as("content_hash"),
-          col(idCol).cast("long").as("id"))
-        .groupBy("content_hash").agg(min(col("id")).as("canonical_id"))
-        .join(spark.read.parquet(s"$dir/exact").select("content_hash"),
-          Seq("content_hash"), "left_anti")
-        .write.mode("append").parquet(s"$dir/exact")
-      scaledFingerprints(docs, idCol, textCol, p("k").toInt,
-          p("scale_hex"), p("seed"))
-        .join(spark.read.parquet(s"$dir/hot"), Seq("gh"), "left_anti")
-        // idempotence guard (mirrors the exact-path anti-join): a doc id
-        // already in the index — a retry after a partial failure, or a
-        // caller re-sending a batch — must not duplicate its rows
-        .join(spark.read.parquet(s"$dir/shingles").select("id").distinct(),
-          Seq("id"), "left_anti")
-        .select("id", "gh")
-        .write.mode("append").parquet(s"$dir/shingles")
+      newExact.count(); newShingles.count() // snapshot before any write
+      newExact.write.mode("append").parquet(s"$dir/exact")
+      newShingles.write.mode("append").parquet(s"$dir/shingles")
       graft.sources.SketchTable.saveManifestOnly(spark, dir,
         p + ("appends" ->
           (p.getOrElse("appends", "0").toLong + 1).toString))
-    } finally docs.unpersist()
+    } finally {
+      newExact.unpersist(); newShingles.unpersist(); docs.unpersist()
+    }
   }
 
   /** Dedup a new batch against a persisted fingerprint index. Output:
