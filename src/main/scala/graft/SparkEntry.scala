@@ -620,6 +620,45 @@ object SparkEntry {
         "doc_id", "payload")
         .orderBy("id")
     },
+    // REAL image decode/resize via the JDK's own codecs (javax.imageio):
+    // per document, a deterministic fixture raster (seeded by text+id,
+    // size/bands integer functions of doc_id) is encoded as a real PNG;
+    // Multimodal.decodeImages must recover the exact dimensions/bands and
+    // the byte-identical raster (PNG is lossless; samples are read raw via
+    // Raster.getSample, so equality is deterministic, not probabilistic),
+    // and resizeImages' 2x2 nearest-neighbour thumbnail must equal the
+    // codec-free resample of the same fixture pixels. Dimensions gate as
+    // integers the oracle recomputes from doc_id; the two byte-level
+    // round-trip equalities gate as booleans.
+    "multimodal_decode" -> { (s, dir) =>
+      import s.implicits._
+      val gen = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val w = 3 + (id % 5).toInt
+          val h = 2 + (id % 4).toInt
+          val ch = if (id % 2 == 0) 1 else 3
+          val seed = (if (text == null) "" else text) + "#" + id
+          val px = Multimodal.syntheticPixels(seed, w, h, ch)
+          (id, Multimodal.syntheticImagePng(seed, w, h, ch),
+            Multimodal.md5Hex(px),
+            Multimodal.md5Hex(Multimodal.resamplePixels(px, w, h, ch, 2, 2)))
+        })
+        .toDF("id", "payload", "expect_md5", "expect_thumb_md5")
+        .cache()
+      val dec = Multimodal.decodeImages(gen, "id", "payload").toDF()
+      val thumbs = Multimodal.resizeImages(gen, "id", "payload", 2, 2)
+        .select(col("id"), md5(col("thumb")).as("thumb_md5"))
+      val out = dec
+        .join(gen.select("id", "expect_md5", "expect_thumb_md5"), "id")
+        .join(thumbs, "id")
+        .select(col("id"), col("width"), col("height"), col("channels"),
+          (col("pixel_md5") === col("expect_md5")).as("decode_exact"),
+          (col("thumb_md5") === col("expect_thumb_md5")).as("resize_exact"))
+        .orderBy("id")
+      out
+    },
     // north-star "heavy hitters per turn window": CMS over (hour, type)
     // composite keys, eps-bounded against the exact windowed counts.
     "cms_windowed_counts" -> { (s, dir) =>
@@ -1630,6 +1669,12 @@ object SparkEntry {
     "ann_index_append" ->
       """SELECT * FROM (VALUES ('appended_index_equals_inline', true),
          ('drift_is_fraction', true)) AS t("check", ok) ORDER BY "check"""",
+    "multimodal_decode" ->
+      """SELECT doc_id AS id, CAST(3 + doc_id % 5 AS INT) AS width,
+         CAST(2 + doc_id % 4 AS INT) AS height,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+         true AS decode_exact, true AS resize_exact
+         FROM documents ORDER BY id""",
     "multimodal_frame_meta" ->
       """WITH chars AS (SELECT doc_id,
            CAST(count(DISTINCT substr(text, CAST(i AS INT), 1)) AS INT) AS dc

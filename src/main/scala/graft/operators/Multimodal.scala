@@ -1,19 +1,33 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
-  * BINARY columns with typed metadata, and run batched per-partition
-  * decode/feature-extraction.
+/** Multimodal-column operators: image/audio/video payloads travel as opaque
+  * BINARY columns with typed metadata, decoded/featurized in batched
+  * per-partition passes (the `mapPartitions` boundary amortizes codec
+  * initialization exactly like `mapInPandas` batches do).
   *
-  * The decode itself is a clearly-marked deterministic STUB (the container
-  * has no codec libraries): it computes a byte histogram and fakes
-  * "frame sampling" as fixed-stride offsets. Everything around it — schema,
-  * Dataset encoders, partition batching, feature array shape — is the real
-  * Spark plumbing a production decoder would drop into (swap `decodeStub`
-  * for an FFI call; the `mapPartitions` boundary amortizes per-batch model
-  * or codec initialization exactly like `mapInPandas` batches do).
+  * Two tiers, stated honestly:
+  *  - IMAGES are decoded FOR REAL via the JDK's own codecs
+  *    (`javax.imageio` — PNG/JPEG/BMP/GIF/WBMP ship with `java.desktop`,
+  *    zero external dependencies): [[decodeImages]] yields true pixel
+  *    dimensions/bands plus a canonical raster hash, [[resizeImages]]
+  *    produces real nearest-neighbour thumbnails from the decoded raster.
+  *    Determinism: pixels are read with `Raster.getSample` (raw sample
+  *    values — `BufferedImage.getRGB` would push grayscale through a
+  *    colorspace conversion), and PNG is lossless, so
+  *    decode(encodePng(pixels)) == pixels byte-for-byte — the
+  *    `multimodal_decode` gate asserts exactly that round-trip.
+  *  - AUDIO/VIDEO containers have no in-JDK codec; those payloads go
+  *    through the byte-level featurizer path ([[decode]]/[[frameMeta]]) —
+  *    a real deterministic computation (byte histogram features,
+  *    fixed-stride frame offsets), but explicitly NOT a media decode; a
+  *    production pipeline swaps an FFI codec into the same
+  *    `mapPartitions` seam.
   */
 object Multimodal {
   val FrameStride = 64
@@ -25,15 +39,177 @@ object Multimodal {
       n_distinct_bytes: Int,
       n_frames: Int,
       features: Array[Float])
+  case class ImageDecoded(
+      id: Long,
+      width: Option[Int],
+      height: Option[Int],
+      channels: Option[Int],
+      pixel_md5: Option[String])
 
-  /** STUB decoder — deterministic fake standing in for image/audio decode.
-    * Real implementation would parse the container format here. */
-  private def decodeStub(payload: Array[Byte]): (MediaMeta, Array[Float]) = {
+  // ---- real image decode (javax.imageio) ----------------------------------
+
+  /** Hex md5 of raw bytes — matches Spark/DuckDB `md5()` over the same
+    * BINARY, so raster hashes can be cross-checked in-plan. */
+  def md5Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map(x => f"$x%02x").mkString
+
+  /** Decode one image payload → (width, height, bands, canonical pixel
+    * bytes). Canonical order: row-major, band-interleaved (y, then x, then
+    * band), raw raster samples via `Raster.getSample` — no colorspace
+    * conversion ever touches the values, so lossless formats round-trip
+    * byte-exactly. None when the payload is not a decodable image (F4
+    * posture: preserved as a null row, never dropped or thrown). */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    try {
+      ImageIO.setUseCache(false) // in-memory streams; no temp-file cache
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val r = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        val nb = r.getNumBands
+        val out = new Array[Byte](w * h * nb)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < nb) {
+              out(i) = r.getSample(x, y, b).toByte; i += 1; b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, nb, out))
+      }
+    } catch { case _: Exception => None }
+
+  /** Batched REAL image decode over (id BIGINT, payload BINARY) →
+    * (id, width, height, channels, pixel_md5). Partition-parallel, no
+    * shuffle; undecodable payloads yield null metadata columns. The
+    * pixel_md5 is over the canonical raster bytes (see [[decodeImage]]),
+    * giving an exact-dedup key for image content that is independent of
+    * the container encoding (the same pixels as PNG or BMP hash equal). */
+  def decodeImages(df: DataFrame, idCol: String, payloadCol: String): Dataset[ImageDecoded] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        decodeImage(payload) match {
+          case Some((w, h, nb, px)) =>
+            ImageDecoded(id, Some(w), Some(h), Some(nb), Some(md5Hex(px)))
+          case None => ImageDecoded(id, None, None, None, None)
+        }
+      })
+  }
+
+  /** Nearest-neighbour resample of canonical pixel bytes (shared by the
+    * DataFrame path and the gate's codec-free expected value):
+    * out(x, y, b) = in(x·W/w, y·H/h, b), floor division — fully
+    * deterministic across JVMs (no Graphics2D antialiasing/dither). */
+  def resamplePixels(px: Array[Byte], srcW: Int, srcH: Int, bands: Int,
+      w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * bands)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      val sy = y * srcH / h
+      var x = 0
+      while (x < w) {
+        val sx = x * srcW / w
+        val base = (sy * srcW + sx) * bands
+        var b = 0
+        while (b < bands) { out(i) = px(base + b); i += 1; b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Real image resize: decode via [[decodeImage]], nearest-neighbour
+    * resample to w×h. None for undecodable payloads. */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decodeImage(payload).map { case (sw, sh, nb, px) =>
+      resamplePixels(px, sw, sh, nb, w, h)
+    }
+
+  /** Batched real resize over (id, payload) → (id, thumb BINARY of
+    * w·h·bands raw samples, null when undecodable). */
+  def resizeImages(df: DataFrame, idCol: String, payloadCol: String,
+      w: Int = 16, h: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, resizeImage(p, w, h).orNull) })
+      .toDF("id", "thumb")
+  }
+
+  // ---- deterministic image fixtures (gate + spec inputs) -------------------
+
+  /** Deterministic pixel fixture: w·h·channels canonical bytes derived
+    * from a seed string (shared by the PNG generator and the gate's
+    * expected-value computation, which never touches a codec). */
+  def syntheticPixels(seed: String, w: Int, h: Int, channels: Int): Array[Byte] = {
+    val src = seed.getBytes("UTF-8")
+    require(src.nonEmpty, "syntheticPixels needs a non-empty seed")
+    val out = new Array[Byte](w * h * channels)
+    var i = 0
+    while (i < out.length) {
+      out(i) = src(((i * 31) + 7) % src.length); i += 1
+    }
+    out
+  }
+
+  /** Encode the [[syntheticPixels]] fixture as a real PNG via ImageIO
+    * (grayscale for channels = 1, RGB for channels = 3) — raw raster
+    * samples are set with `Raster.setSample`, so the lossless round-trip
+    * through [[decodeImage]] reproduces them byte-for-byte. */
+  def syntheticImagePng(seed: String, w: Int, h: Int, channels: Int): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"channels must be 1 or 3, got $channels")
+    val px = syntheticPixels(seed, w, h, channels)
+    val imgType =
+      if (channels == 1) BufferedImage.TYPE_BYTE_GRAY
+      else BufferedImage.TYPE_3BYTE_BGR
+    val img = new BufferedImage(w, h, imgType)
+    val r = img.getRaster
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < channels) {
+          r.setSample(x, y, b, px(i) & 0xff); i += 1; b += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // ---- opaque-payload featurizer (codec-less fallback) ---------------------
+
+  /** Byte-level featurizer for payloads with no in-JDK codec (audio/video
+    * containers): byte histogram → 16-bucket L1-normalized feature vector,
+    * "frames" as fixed-stride offsets. A real deterministic computation,
+    * explicitly NOT a media decode — swap an FFI codec into the same seam
+    * for production audio/video. */
+  private def byteFeatures(payload: Array[Byte]): (MediaMeta, Array[Float]) = {
     val hist = new Array[Int](256)
     payload.foreach(b => hist(b & 0xff) += 1)
     val distinct = hist.count(_ > 0)
     val nFrames = payload.length / FrameStride + 1
-    // fake "embedding": 16 coarse histogram buckets, L1-normalized
     val feat = new Array[Float](16)
     var i = 0
     while (i < 256) { feat(i / 16) += hist(i); i += 1 }
@@ -42,27 +218,26 @@ object Multimodal {
     (MediaMeta(payload.length, distinct, nFrames), feat)
   }
 
-  /** Batched decode over (id BIGINT, payload BINARY). Partition-parallel;
-    * one task per input split, no shuffle. */
+  /** Batched byte-level featurization over (id BIGINT, payload BINARY).
+    * Partition-parallel; one task per input split, no shuffle. */
   def decode(df: DataFrame, idCol: String, payloadCol: String): Dataset[DecodedDoc] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init hook (a real decoder would set up codecs here)
+        // per-partition init hook (an FFI codec would be set up here)
         it.map { case (id, payload) =>
-          val (meta, feat) = decodeStub(payload)
+          val (meta, feat) = byteFeatures(payload)
           DecodedDoc(id, meta.n_bytes, meta.n_distinct_bytes, meta.n_frames, feat)
         }
       }
   }
 
-  /** STUB resize — deterministic stand-in for image resize: nearest-
-    * neighbour sample of the payload onto a w*h byte grid (a real decoder
-    * would produce pixel data here; the Spark-side shape — fixed-size
-    * BINARY output per row, batched per partition — is the real contract). */
-  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  /** Byte-grid resample for OPAQUE payloads (no codec): nearest-neighbour
+    * sample of the raw bytes onto a w·h grid — keeps a fixed-size BINARY
+    * contract for codec-less media; use [[resizeImages]] for real images. */
+  def resizeOpaque(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val out = new Array[Byte](w * h)
     if (payload.isEmpty) return out
     var i = 0
@@ -73,14 +248,15 @@ object Multimodal {
     out
   }
 
-  /** Batched resize over (id, payload) — (id, thumb BINARY(w*h)). */
+  /** Batched opaque-payload resample over (id, payload) — (id, thumb
+    * BINARY(w·h)). */
   def resize(df: DataFrame, idCol: String, payloadCol: String,
       w: Int = 16, h: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, p) => (id, resizeStub(p, w, h)) })
+      .mapPartitions(_.map { case (id, p) => (id, resizeOpaque(p, w, h)) })
       .toDF("id", "thumb")
   }
 

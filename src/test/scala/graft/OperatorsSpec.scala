@@ -607,6 +607,42 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(cami.collect().head.getString(2) == "100.000000")
   }
 
+  test("image decode: PNG round-trip is byte-exact, non-images yield null rows") {
+    // real javax.imageio decode: gray and RGB fixtures round-trip exactly
+    for (ch <- Seq(1, 3)) {
+      val px = Multimodal.syntheticPixels("fixture-seed", 5, 4, ch)
+      val png = Multimodal.syntheticImagePng("fixture-seed", 5, 4, ch)
+      val Some((w, h, nb, got)) = Multimodal.decodeImage(png)
+      assert(w == 5 && h == 4 && nb == ch)
+      assert(java.util.Arrays.equals(got, px))
+    }
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    val df = Seq(
+      (1L, Multimodal.syntheticImagePng("s1", 3, 2, 3)),
+      (2L, "plain text".getBytes)).toDF("id", "payload")
+    val rows = Multimodal.decodeImages(df, "id", "payload")
+      .collect().map(d => d.id -> d).toMap
+    assert(rows(1L).width.contains(3) && rows(1L).height.contains(2) &&
+      rows(1L).channels.contains(3) && rows(1L).pixel_md5.nonEmpty)
+    assert(rows(2L).width.isEmpty && rows(2L).pixel_md5.isEmpty) // F4: preserved
+  }
+
+  test("image resize: nearest-neighbour thumbnail equals the codec-free resample") {
+    val px = Multimodal.syntheticPixels("rs", 7, 5, 3)
+    val png = Multimodal.syntheticImagePng("rs", 7, 5, 3)
+    val expect = Multimodal.resamplePixels(px, 7, 5, 3, 3, 3)
+    assert(Multimodal.resizeImage(png, 3, 3)
+      .exists(java.util.Arrays.equals(_, expect)))
+    // identity resize reproduces the source raster
+    assert(Multimodal.resizeImage(png, 7, 5)
+      .exists(java.util.Arrays.equals(_, px)))
+    val df = Seq((1L, png), (2L, "noise".getBytes)).toDF("id", "payload")
+    val got = Multimodal.resizeImages(df, "id", "payload", 3, 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(java.util.Arrays.equals(got(1L), expect))
+    assert(got(2L) == null) // undecodable → null, never dropped
+  }
+
   test("multimodal decode stub: real plumbing, deterministic features") {
     val df = Seq((1L, "hello world"), (2L, "a" * 200)).toDF("id", "text")
       .select($"id", encode($"text", "UTF-8").as("payload"))
