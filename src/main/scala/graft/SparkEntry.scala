@@ -1043,6 +1043,47 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", idx)
         .orderBy("doc_id", "match_id", "kind")
     },
+    // STREAMING under the oracle: the same probe-vs-persisted-index dedup
+    // as dedup_incremental, but the probe third arrives as a real
+    // Structured Streaming source (MemoryStream) drained through THREE
+    // genuine micro-batches into the foreachBatch sink
+    // (StreamingSketch.dedupAgainstIndexBatch). Every probe joins the
+    // frozen index only, so micro-batch boundaries cannot change any
+    // result row — the union of the per-batch outputs must equal the
+    // one-shot batch result, and the oracle is the identical SQL as
+    // dedup_incremental (byte-exact, estimator values included).
+    "stream_dedup_index" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-stream-fpidx-gate").toString
+      Dedup.buildFingerprintIndex(
+        docs.where(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text", idx,
+        maxDf = Some(64))
+      val probes = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-stream-dedup-gate").toString + "/matches"
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(graft.streaming.StreamingSketch.dedupAgainstIndexBatch(
+          idx, "doc_id", "text", out))
+        .start()
+      try {
+        // three genuine micro-batches: add → drain, three times
+        probes.grouped(math.max(1, probes.length / 3 + 1)).foreach { b =>
+          mem.addData(b.toSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(out)
+        .select(col("doc_id"), col("match_id"), col("kind"),
+          col("jaccard_x1m"))
+        .orderBy("doc_id", "match_id", "kind")
+    },
     // Eval-set decontamination: every (train, held-out) pair sharing an
     // identical 256-char chunk must be flagged by the winnowed cross-corpus
     // scan — deterministic by the winnowing guarantee (same margin as
@@ -1525,35 +1566,11 @@ object SparkEntry {
     // index-side scaled sets recomputed in full SQL: same md5 scaling rule
     // and the same jaccard_x1m expression tree as the engine (byte-exact,
     // estimator value included); series cap per the 1007-byte invariant
-    "dedup_incremental" ->
-      """WITH ex AS (SELECT md5(text) AS h, min(doc_id) AS canonical_id
-             FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
-         exact AS (SELECT n.doc_id, e.canonical_id AS match_id,
-               'exact' AS kind, CAST(1000000 AS BIGINT) AS jaccard_x1m
-             FROM documents n JOIN ex e ON md5(n.text) = e.h
-             WHERE n.doc_id % 3 = 0),
-         gs AS (SELECT doc_id, substr(text, CAST(i AS INT), 8) AS g
-             FROM documents, generate_series(1, 1000) t(i)
-             WHERE i <= length(text) - 7 GROUP BY 1, 2),
-         sc0 AS (SELECT doc_id, md5('graft:' || g) AS gh FROM gs
-             WHERE substr(md5('graft:' || g), 1, 2) < '40'),
-         hot AS (SELECT gh FROM sc0 WHERE doc_id % 3 <> 0
-             GROUP BY 1 HAVING count(*) > 64),
-         sc AS (SELECT * FROM sc0 WHERE gh NOT IN (SELECT gh FROM hot)),
-         ns AS (SELECT doc_id, count(*) AS n FROM sc GROUP BY 1),
-         pair AS (SELECT b.doc_id AS doc_id, a.doc_id AS match_id,
-               count(*) AS i
-             FROM sc a JOIN sc b USING (gh)
-             WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0 GROUP BY 1, 2),
-         near0 AS (SELECT p.doc_id, p.match_id, 'near' AS kind,
-               CAST(round(p.i * 1000000.0 / (nn.n + nold.n - p.i)) AS BIGINT)
-                 AS jaccard_x1m
-             FROM pair p JOIN ns nn ON nn.doc_id = p.doc_id
-                         JOIN ns nold ON nold.doc_id = p.match_id),
-         near AS (SELECT * FROM near0 WHERE jaccard_x1m >= 500000)
-         SELECT doc_id, match_id, kind, jaccard_x1m
-         FROM (SELECT * FROM exact UNION ALL SELECT * FROM near)
-         ORDER BY doc_id, match_id, kind""",
+    "dedup_incremental" -> dedupAgainstIndexSql,
+    // identical semantics (and therefore identical oracle) to
+    // dedup_incremental: the streaming sink unions per-micro-batch probes
+    // of the same frozen index
+    "stream_dedup_index" -> dedupAgainstIndexSql,
     "dedup_span_exact" ->
       """WITH ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
              substr(text, CAST(i*224+1 AS INT), 256) AS chunk
@@ -1685,6 +1702,42 @@ object SparkEntry {
                 CAST(length(d.text)//64 + 1 AS INT) AS n_frames
          FROM documents d JOIN chars c USING (doc_id) ORDER BY id"""
   )
+
+  /** dedup_incremental AND stream_dedup_index oracle (shared — the
+    * streaming sink is the per-micro-batch union of the same frozen-index
+    * probe, which is exactly equal by construction): index-side scaled
+    * sets recomputed in full SQL with the same md5 scaling rule and the
+    * same jaccard_x1m expression tree as the engine (byte-exact, estimator
+    * value included); series cap per the 1007-byte invariant. */
+  private def dedupAgainstIndexSql: String =
+    """WITH ex AS (SELECT md5(text) AS h, min(doc_id) AS canonical_id
+           FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
+       exact AS (SELECT n.doc_id, e.canonical_id AS match_id,
+             'exact' AS kind, CAST(1000000 AS BIGINT) AS jaccard_x1m
+           FROM documents n JOIN ex e ON md5(n.text) = e.h
+           WHERE n.doc_id % 3 = 0),
+       gs AS (SELECT doc_id, substr(text, CAST(i AS INT), 8) AS g
+           FROM documents, generate_series(1, 1000) t(i)
+           WHERE i <= length(text) - 7 GROUP BY 1, 2),
+       sc0 AS (SELECT doc_id, md5('graft:' || g) AS gh FROM gs
+           WHERE substr(md5('graft:' || g), 1, 2) < '40'),
+       hot AS (SELECT gh FROM sc0 WHERE doc_id % 3 <> 0
+           GROUP BY 1 HAVING count(*) > 64),
+       sc AS (SELECT * FROM sc0 WHERE gh NOT IN (SELECT gh FROM hot)),
+       ns AS (SELECT doc_id, count(*) AS n FROM sc GROUP BY 1),
+       pair AS (SELECT b.doc_id AS doc_id, a.doc_id AS match_id,
+             count(*) AS i
+           FROM sc a JOIN sc b USING (gh)
+           WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0 GROUP BY 1, 2),
+       near0 AS (SELECT p.doc_id, p.match_id, 'near' AS kind,
+             CAST(round(p.i * 1000000.0 / (nn.n + nold.n - p.i)) AS BIGINT)
+               AS jaccard_x1m
+           FROM pair p JOIN ns nn ON nn.doc_id = p.doc_id
+                       JOIN ns nold ON nold.doc_id = p.match_id),
+       near AS (SELECT * FROM near0 WHERE jaccard_x1m >= 500000)
+       SELECT doc_id, match_id, kind, jaccard_x1m
+       FROM (SELECT * FROM exact UNION ALL SELECT * FROM near)
+       ORDER BY doc_id, match_id, kind"""
 
   /** classify_kmer_ci oracle: the k-mer mutation CI threshold is a closed
     * form in query_n for fixed (k, errorRate, confidence) — inline the same
