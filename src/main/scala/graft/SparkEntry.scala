@@ -612,6 +612,27 @@ object SparkEntry {
           size = 256, overlap = 32)
         .orderBy("doc_id", "chunk_idx")
     },
+    // PII / sensitive-pattern scrubbing. The synthetic documents carry no
+    // PII, so (text_repetition discipline) a twin corpus is derived
+    // deterministically IN BOTH ENGINES: each doc gets a deterministic
+    // email, phone, digit run and key-shaped token appended, all integer/
+    // md5 functions of doc_id. Per-class counts and the fully-redacted
+    // text then gate byte-exact; the regex classes are single-sourced from
+    // TextStats.PiiPatterns on both sides.
+    "text_redaction" -> { (s, dir) =>
+      val twin = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com call 555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" acct 9"),
+          lpad(pmod(col("doc_id"), lit(1000000)).cast("string"), 8, "0"),
+          lit(" token sk_"),
+          substring(md5(col("doc_id").cast("string")), 1, 20)).as("text"))
+      TextStats.piiScrub(twin, "doc_id", "text").orderBy("doc_id")
+    },
     // ---- multimodal plumbing ----------------------------------------------
     "multimodal_frame_meta" -> { (s, dir) =>
       Multimodal.frameMeta(
@@ -1683,6 +1704,7 @@ object SparkEntry {
     "text_doc_stats" -> textDocStatsSql,
     "text_quality" -> textQualitySql,
     "text_repetition" -> textRepetitionSql,
+    "text_redaction" -> textRedactionSql,
     "ann_index_append" ->
       """SELECT * FROM (VALUES ('appended_index_equals_inline', true),
          ('drift_is_fraction', true)) AS t("check", ok) ORDER BY "check"""",
@@ -1738,6 +1760,24 @@ object SparkEntry {
        SELECT doc_id, match_id, kind, jaccard_x1m
        FROM (SELECT * FROM exact UNION ALL SELECT * FROM near)
        ORDER BY doc_id, match_id, kind"""
+
+  /** text_redaction oracle: the twin-corpus construction mirrors the Spark
+    * query's concat chain token-for-token; the count/redact SELECT list is
+    * GENERATED from TextStats.PiiPatterns (single source — the SQL cannot
+    * de-synchronize from the Column chain). */
+  private def textRedactionSql: String =
+    s"""WITH twin AS (SELECT doc_id,
+           coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com call 555-'
+           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           || ' acct 9' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 8, '0')
+           || ' token sk_' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 20)
+             AS text
+         FROM documents)
+       SELECT doc_id,
+           ${TextStats.piiScrubOracleSelect("text")}
+       FROM twin ORDER BY doc_id"""
 
   /** classify_kmer_ci oracle: the k-mer mutation CI threshold is a closed
     * form in query_n for fixed (k, errorRate, confidence) — inline the same

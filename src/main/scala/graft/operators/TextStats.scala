@@ -163,6 +163,56 @@ object TextStats {
           lit(0L)).as("top_bigram_ratio_x100"))
   }
 
+  /** PII / sensitive-pattern classes for scrubbing (public regex classes
+    * only — emails, phone shapes, long digit runs, key-shaped tokens), in
+    * REDACTION ORDER: email first (its local part contains digit runs),
+    * then key-shaped secrets (their tails contain digit runs), then phones,
+    * then bare digit runs — so a broader class is never partially eaten by
+    * a narrower one replaced earlier. Engine portability discipline (same
+    * posture as [[PunctClass]]): the patterns contain NO backslash escapes
+    * at all — `[0-9]` not `\d`, `[.]` not `\.` — so Java regex (Spark) and
+    * RE2 (DuckDB) read byte-identical pattern strings through every
+    * string-escaping layer, and both use leftmost greedy matching on this
+    * subset (no backrefs, no lookaround). (class, pattern, replacement). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "[EMAIL]"),
+    ("secret", "(sk|key|tok)_[A-Za-z0-9]{16,}", "[SECRET]"),
+    ("phone", "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "[PHONE]"),
+    ("digit_run", "[0-9]{9,}", "[NUMBER]"))
+
+  /** PII scrub: per-class match COUNTS on the original text (independent
+    * per class — a digit run inside a phone number counts in both) plus
+    * the redacted text (the [[PiiPatterns]] chain applied in order, every
+    * occurrence replaced). Row-local chained regexp_replace — codegen'd,
+    * zero shuffle, and the `text_redaction` oracle reproduces it
+    * byte-exactly in DuckDB from the same pattern constants (single
+    * source: [[piiScrubOracleSelect]]).
+    * Output: (id, n_email, n_secret, n_phone, n_digit_run, redacted). */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val counts = PiiPatterns.map { case (cls, pat, _) =>
+      size(regexp_extract_all(t, lit(pat), lit(0))).cast("long")
+        .as(s"n_$cls")
+    }
+    val redacted = PiiPatterns.foldLeft(t) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, lit(pat), lit(repl))
+    }
+    df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
+  }
+
+  /** The SELECT-list half of the piiScrub oracle, generated from the SAME
+    * [[PiiPatterns]] constants so the SQL can never de-synchronize from
+    * the Column chain (`textExpr` is the oracle-side text expression). */
+  def piiScrubOracleSelect(textExpr: String): String = {
+    val counts = PiiPatterns.map { case (cls, pat, _) =>
+      s"CAST(len(regexp_extract_all($textExpr, '$pat')) AS BIGINT) AS n_$cls"
+    }
+    val redacted = PiiPatterns.foldLeft(textExpr) { case (acc, (_, pat, repl)) =>
+      s"regexp_replace($acc, '$pat', '$repl', 'g')"
+    }
+    (counts :+ s"$redacted AS redacted").mkString(",\n           ")
+  }
+
   /** Heuristic quality gate for training data: bounded length, plausible
     * word shape, limited repetition (distinct-token ratio + Gopher-style
     * duplicate-line/paragraph fractions); plus the stopword ratio as a

@@ -741,6 +741,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       s"clean doc must pass the gate: ${got(2L)}")
   }
 
+  test("piiScrub: class ordering, overlap counts, and no-PII passthrough") {
+    val d = Seq(
+      // email whose local part is a 10-digit run: must redact as ONE email,
+      // never as [NUMBER]@host; counts are per-class on the ORIGINAL text,
+      // so the digit run inside it still counts for n_digit_run
+      (1L, "mail 0123456789@corp.example.org end"),
+      // key-shaped secret whose tail is >=9 digits: [SECRET] wins the
+      // redaction (earlier in the chain), digit_run still counted
+      (2L, "key sk_abcdef123456789012345 end"),
+      // phone: digit groups are 3-3-4 (<9 consecutive), so no digit_run
+      (3L, "call 555-123-4567 now"),
+      (4L, "no sensitive content here at all")
+    ).toDF("doc_id", "text")
+    val got = TextStats.piiScrub(d, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 1L, 0L, 0L, 1L, "mail [EMAIL] end"), s"${got(1L)}")
+    assert(got(2L) == (2L, 0L, 1L, 0L, 1L, "key [SECRET] end"), s"${got(2L)}")
+    assert(got(3L) == (3L, 0L, 0L, 1L, 0L, "call [PHONE] now"), s"${got(3L)}")
+    assert(got(4L) == (4L, 0L, 0L, 0L, 0L, "no sensitive content here at " +
+      "all"), s"${got(4L)}")
+  }
+
   test("token count handles whitespace edge cases") {
     val got = Seq(("", 0L), ("  ", 0L), ("a", 1L), (" a  b\tc\nd ", 4L))
       .toDF("text", "expected")

@@ -115,7 +115,8 @@ class WorkflowSpec extends AnyFunSuite with SparkTestBase {
         "alone apart from every other document in this corpus " * 4 +
         evalLeak),                           // contaminated by the eval set
       (6L, "entirely different prose on sketching engines and data " +
-        "streams merging partial summaries across executors at scale " * 6)
+        "streams merging partial summaries across executors at scale " * 6 +
+        " contact admin@example.com or 555-123-4567 ref 987654321012")
     ).toDF("doc_id", "text")
     val heldout = Seq((900L, "question preamble " + evalLeak))
       .toDF("doc_id", "text")
@@ -147,12 +148,28 @@ class WorkflowSpec extends AnyFunSuite with SparkTestBase {
     val clean = deduped.join(leaked.toSeq.toDF("doc_id"), Seq("doc_id"),
       "left_anti")
 
-    // 4. deterministic split: assignment is append-stable — re-splitting
+    // 4. PII scrub: redact sensitive spans from the surviving docs and
+    //    carry the redacted text (not the original) into the final split
+    val scrubbed = TextStats.piiScrub(clean, "doc_id", "text")
+    val row6 = scrubbed.where(col("doc_id") === 6L)
+      .select("n_email", "n_phone", "n_digit_run", "redacted")
+      .as[(Long, Long, Long, String)].head()
+    assert((row6._1, row6._2, row6._3) == (1L, 1L, 1L), s"$row6")
+    assert(row6._4.contains("[EMAIL]") && row6._4.contains("[PHONE]") &&
+      row6._4.contains("[NUMBER]"))
+    assert(!row6._4.contains("admin@") && !row6._4.contains("555-123"))
+    assert(scrubbed.where(col("doc_id") === 1L)
+      .where(col("n_email") + col("n_secret") + col("n_phone") +
+        col("n_digit_run") === 0).count() == 1, "clean doc got redactions")
+    val cleanRedacted = clean.drop("text").join(
+      scrubbed.select(col("doc_id"), col("redacted").as("text")), "doc_id")
+
+    // 5. deterministic split: assignment is append-stable — re-splitting
     //    the cleaned subset gives the same labels as splitting everything
     val all = Sampling.hashSplit(docs, "doc_id", Seq("train" -> 0.9,
       "holdout" -> 0.1)).select("doc_id", "split")
       .as[(Long, String)].collect().toMap
-    val sub = Sampling.hashSplit(clean, "doc_id", Seq("train" -> 0.9,
+    val sub = Sampling.hashSplit(cleanRedacted, "doc_id", Seq("train" -> 0.9,
       "holdout" -> 0.1)).select("doc_id", "split")
       .as[(Long, String)].collect().toMap
     assert(sub.forall { case (id, sp) => all(id) == sp })
