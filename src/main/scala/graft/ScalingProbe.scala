@@ -17,26 +17,7 @@ import graft.sources.Transcripts
   * SPARK_GRAFT_BENCH_CONVS (default 90000 conversations).
   */
 object ScalingProbe {
-  private def gcMillis(): Long = {
-    import scala.jdk.CollectionConverters._
-    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-      .asScala.map(_.getCollectionTime).sum
-  }
-  private def cpuNanos(): Long =
-    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-      case m: com.sun.management.OperatingSystemMXBean => m.getProcessCpuTime
-      case _ => -1L
-    }
-  private def meanMhz(): Double = {
-    var src: scala.io.Source = null
-    try {
-      src = scala.io.Source.fromFile("/proc/cpuinfo")
-      val mhz = src.getLines().filter(_.startsWith("cpu MHz"))
-        .map(_.split(":")(1).trim.toDouble).toSeq
-      if (mhz.isEmpty) -1.0 else mhz.sum / mhz.size
-    } catch { case _: Throwable => -1.0 }
-    finally if (src != null) src.close()
-  }
+  import ScalingBench.{gcMillis, cpuNanos, meanMhz}
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScalingProbe <cores>...")

@@ -118,6 +118,24 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy("orderkey")
     },
+    // Skew-armored repartition join: the events table under the planted
+    // heavy-hitter key (~15 keys, hottest ~50% of rows — exactly the
+    // one-reducer-per-key killer) joins a per-key dim through
+    // Joins.saltedJoin (salt the big side, explode the small side ×8).
+    // The result is row-identical to the plain join, so the oracle is the
+    // plain SQL join — byte-exact over integer aggregates.
+    "join_skew_salted" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("k", concat(lit("k"),
+          expr("64 div (pmod(user_id, 64) + 1)").cast("string")))
+      val dim = ev.groupBy("k").agg(min(col("user_id")).as("rep_user"))
+      Joins.saltedJoin(ev, dim, "k", buckets = 8)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          sum(pmod(col("event_id"), lit(100)) + 1).as("w"),
+          min(col("rep_user")).as("rep_user"))
+        .orderBy("k")
+    },
     // ---- sketch bound checks (S5/A2, S3/A3, S1/S2/S4, quantiles) ----------
     "hll_distinct_users" -> { (s, dir) =>
       GraftFunctions.register(s)
@@ -543,6 +561,66 @@ object SparkEntry {
         .count()
       import s.implicits._
       Seq(("planted_recall_09", found / nPlanted >= 0.9))
+        .toDF("check", "ok").orderBy("check")
+    },
+    // SemDeDup (embedding-cluster blocking + within-cell cosine + keep-one
+    // canonicalization) vs the exact all-pairs cosine path, on the same
+    // planted near-duplicates as cosine_neardup_lsh (the raw embeddings
+    // have no >=0.9 pairs, so exact components are exactly the planted
+    // (id, id+1e6) pairs). Blocking can only MISS boundary-split pairs
+    // (a pair whose top-2 centroid sims are within the perturbation
+    // lands in two cells), never invent them — so subset-of-exact and
+    // agreement-on-recovered gate as hard booleans, and the miss rate
+    // gates as a recall floor. Settings are the DETERMINISTIC ones
+    // (kmeansIters=0: refined centroids are float-sum order-sensitive):
+    // measured recall at 8 cells = 0.95 (19/20), floor 0.75 per the
+    // measure-first convention. (kmeansIters=2 reads 0.9-1.0 across cell
+    // counts — separated centroids remove the failure mode, as the
+    // operator scaladoc documents for production.)
+    "semdedup_embeddings" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val copies = emb.where(pmod(col("id"), lit(25)) === 3)
+        .select((col("id") + 1000000L).as("id"),
+          transform(col("vec"), (x, i) =>
+            x + lit(0.02f) * (pmod(i, lit(5)) - lit(2)).cast("float"))
+            .as("vec"))
+      val corpus = emb.unionByName(copies).cache()
+      val nPlanted = copies.count().toDouble
+      val sem = Similarity.semDedup(corpus, threshold = 0.9,
+        nCentroids = 8).cache()
+      val exact = {
+        val pairs = corpus.as("a").join(corpus.as("b"),
+            col("a.id") < col("b.id"))
+          .withColumn("sim", Similarity.cosine(col("a.vec"), col("b.vec")))
+          .where(col("sim") >= 0.9)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        val labels = graft.operators.Dedup.connectedMinLabels(pairs)
+        corpus.select(col("id"))
+          .join(labels, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("label"), col("id")).as("canonical_id"),
+            (coalesce(col("label"), col("id")) === col("id"))
+              .as("is_canonical"))
+      }.cache()
+      val falseMerges = sem.where(!col("is_canonical"))
+        .join(exact.where(!col("is_canonical")), Seq("id"), "left_anti")
+        .count()
+      val disagreeOnRecovered = sem.where(!col("is_canonical"))
+        .join(exact.select(col("id"),
+          col("canonical_id").as("exact_canon")), "id")
+        .where(col("canonical_id") =!= col("exact_canon"))
+        .count()
+      val recovered = sem.where(!col("is_canonical")).count().toDouble
+      val exactDups = exact.where(!col("is_canonical")).count()
+      corpus.unpersist(); sem.unpersist(); exact.unpersist()
+      import s.implicits._
+      Seq(
+        ("blocked_subset_of_exact", falseMerges == 0L),
+        ("canonical_agrees_on_recovered", disagreeOnRecovered == 0L),
+        ("exact_dups_are_planted", exactDups == nPlanted.toLong),
+        ("planted_recall_075", recovered / nPlanted >= 0.75))
         .toDF("check", "ok").orderBy("check")
     },
     // Incremental IVF index growth: build over two-thirds of the vectors,
@@ -1510,6 +1588,24 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_totalprice > 450000
          GROUP BY 1 ORDER BY 1""",
+    "join_skew_salted" ->
+      """WITH ev AS (SELECT *,
+           'k' || CAST(64 // (user_id % 64 + 1) AS VARCHAR) AS k
+           FROM events),
+         dim AS (SELECT k, CAST(min(user_id) AS BIGINT) AS rep_user
+                 FROM ev GROUP BY k)
+         SELECT ev.k AS k, count(*) AS n,
+           CAST(sum(event_id % 100 + 1) AS BIGINT) AS w,
+           CAST(min(dim.rep_user) AS BIGINT) AS rep_user
+         FROM ev JOIN dim ON ev.k = dim.k
+         GROUP BY 1 ORDER BY 1""",
+    "semdedup_embeddings" ->
+      """SELECT * FROM (VALUES
+           ('blocked_subset_of_exact', true),
+           ('canonical_agrees_on_recovered', true),
+           ('exact_dups_are_planted', true),
+           ('planted_recall_075', true)) AS t("check", ok)
+         ORDER BY "check"""",
     "heavy_hitters_weighted" ->
       """SELECT 'k' || CAST(64 // (user_id % 64 + 1) AS VARCHAR) AS k,
          CAST(sum(event_id % 100 + 1) AS BIGINT) AS exact_w,

@@ -79,4 +79,83 @@ object Joins {
       fpp: Double = 0.0039,
       seed: Long = DefaultSeed): DataFrame =
     bloomFiltered(probe, build, key, expectedKeys, fpp, seed)
+
+  /** Skew-armored repartition join for a fact-fact key whose histogram is
+    * too skewed for one reducer: salt the BIG side (each hot key's rows fan
+    * out over `buckets` reducers) and explode the SMALL side ×`buckets`,
+    * joining on (key, salt). This is the join twin of [[SaltedAgg]]: the
+    * result is row-identical to the plain join (byte-equality gate
+    * `join_skew_salted`), only the shuffle layout changes.
+    *
+    * When NOT to reach for this: (a) if the small side fits a broadcast,
+    * `broadcast(small)` removes the big-side shuffle entirely — always
+    * better; (b) under AQE, `spark.sql.adaptive.skewJoin` already splits
+    * skewed SORT-MERGE partitions at runtime from shuffle statistics —
+    * prefer it when the skew only shows at runtime. This explicit form is
+    * for when the planner picks a hash join AQE won't re-split, when skew
+    * is KNOWN ahead (planned layouts), or when the small side is
+    * join-key-duplicated so AQE's partition splitting can't help.
+    *
+    * The salt is derived from deterministic row content (xxhash64 of all
+    * big-side columns, never partition id or RNG), so retries and different
+    * parallelism produce identical assignment — same discipline as
+    * [[SaltedAgg]]. Inner joins only: an exploded small side would emit
+    * unmatched outer rows `buckets` times.
+    *
+    * Replication cost is explicit: the small side is scanned into
+    * `buckets`× its rows. Use [[skewSplitJoin]] to pay it for the hot keys
+    * only. */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets=$buckets")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "a __salt column already exists")
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(buckets)))
+    val exploded = small.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** [[saltedJoin]] restricted to the keys that need it: a cheap sampled
+    * histogram finds keys whose estimated row count exceeds
+    * `hotKeyMinRows`, those join salted, the long tail joins plain, and the
+    * two branches union. Driver state is the hot-key list only — by
+    * definition a handful (require-guarded at `maxHotKeys`).
+    *
+    * At 100 TB this is the production shape: the small side is replicated
+    * ×`buckets` ONLY for the few hot keys' rows, and the tail keeps the
+    * plain one-reducer-per-key layout. */
+  def skewSplitJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      buckets: Int,
+      hotKeyMinRows: Long = 10000000L,
+      sampleFraction: Double = 0.02,
+      maxHotKeys: Int = 10000,
+      seed: Long = DefaultSeed): DataFrame = {
+    // the hot-key CHOICE only affects layout, never the result rows (both
+    // branches compute the same join), so the sampled detection does not
+    // need cross-partitioning determinism — the seed just makes a given
+    // layout reproducible
+    val hot = big.sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .where(col("n") >= (hotKeyMinRows * sampleFraction).toLong)
+      .orderBy(col("n").desc)
+      .limit(maxHotKeys + 1)
+      .select(col(key)).collect().map(_.get(0)).toSeq
+    require(hot.size <= maxHotKeys,
+      s"more than $maxHotKeys hot keys at hotKeyMinRows=$hotKeyMinRows — " +
+        "raise the threshold or salt everything with saltedJoin")
+    if (hot.isEmpty) big.join(small, key)
+    else {
+      val isHot = col(key).isin(hot: _*)
+      saltedJoin(big.where(isHot), small.where(isHot), key, buckets)
+        .unionByName(big.where(!isHot).join(small.where(!isHot), key))
+    }
+  }
 }

@@ -250,4 +250,55 @@ object Sampling {
     df.where(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
+
+  /** Freeze a split SCHEME (seed, hash-domain tag, weights) as a versioned
+    * manifest, so a long-lived dataset's split can only ever be re-derived
+    * under the parameters it was frozen with. This is the loud-failure
+    * answer to the r4 domain-tag migration hazard: a split persisted
+    * before the `#split:` tag existed records `domainTag = ":"` here, and
+    * [[hashSplitFromScheme]] replays it verbatim — a caller can no longer
+    * recompute a frozen split under the wrong scheme by forgetting the
+    * migration note, and probing a non-split manifest dir fails loudly
+    * (same kind-check posture as the sketch/IVF index manifests). */
+  def saveSplitScheme(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      weights: Seq[(String, Double)],
+      seed: String = "graft",
+      domainTag: String = "#split:"): Unit = {
+    require(weights.nonEmpty, "empty split scheme")
+    weights.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_.-]+"),
+        s"split name '$n' — names in a frozen scheme must be [A-Za-z0-9_.-]+")
+    }
+    graft.sources.SketchTable.saveManifestOnly(spark, dir, Map(
+      "kind" -> "hash_split",
+      "seed" -> seed,
+      "domain_tag" -> domainTag,
+      "weights" -> weights.map { case (n, w) => s"$n=$w" }.mkString(",")))
+  }
+
+  /** Re-derive a frozen split: applies [[hashSplit]] with EXACTLY the
+    * (seed, domainTag, weights) recorded at `dir` by [[saveSplitScheme]].
+    * Scala's Double.toString round-trips, so the replayed bucket
+    * boundaries are bit-identical to the originals. */
+  def hashSplitFromScheme(
+      df: DataFrame,
+      idCol: String,
+      dir: String,
+      splitCol: String = "split"): DataFrame = {
+    val spark = df.sparkSession
+    val manifest = graft.sources.SketchTable.readManifest(spark, dir)
+    graft.sources.SketchTable.requireParams(
+      manifest, Map("kind" -> "hash_split"), dir)
+    val p = graft.sources.SketchTable.params(manifest)
+    def need(k: String): String = p.getOrElse(k,
+      sys.error(s"split scheme at $dir: manifest missing '$k'"))
+    val weights = need("weights").split(",").toSeq.map { kv =>
+      val i = kv.lastIndexOf('=')
+      require(i > 0, s"split scheme at $dir: malformed weight entry '$kv'")
+      (kv.substring(0, i), kv.substring(i + 1).toDouble)
+    }
+    hashSplit(df, idCol, weights, need("seed"), splitCol, need("domain_tag"))
+  }
 }

@@ -271,9 +271,9 @@ object Similarity {
       cells.write.mode("append").partitionBy("cid").parquet(s"$dir/data")
       cells.unpersist()
       graft.sources.SketchTable.saveManifestOnly(spark, dir,
-        p + ("appends" ->
-              (p.getOrElse("appends", "0").toLong + 1).toString,
-             "last_drift_x1m" -> math.round(drift * 1e6).toString))
+        p ++ Map(
+          "appends" -> (p.getOrElse("appends", "0").toLong + 1).toString,
+          "last_drift_x1m" -> math.round(drift * 1e6).toString))
       drift
     }
 
@@ -318,6 +318,78 @@ object Similarity {
         .where(col("cid").isin(cids.toSeq: _*))
       probeCells(cells, probes, k)
     }
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * embedding-cluster blocking + within-cluster exact cosine + keep-one
+    * canonicalization — a pure composition of the engine's existing
+    * pieces. The IVF cell assignment (codegen'd nearest-centroid sweep —
+    * the corpus never shuffles for it) is the blocking stage; candidate
+    * pairs are generated ONLY within a cell (self-join keyed on the int
+    * cell id, vectors ride as payloads); pairs at/above `threshold` become
+    * edges and every connected component canonicalizes to its minimum id
+    * (Dedup.connectedMinLabels — (long,long) rows only).
+    *
+    * Scale shape: pair generation is quadratic per CELL, not per corpus —
+    * nCentroids bounds the expected cell population to corpus/nCentroids,
+    * the SemDeDup paper's own contract (they run 50k clusters at 5B docs).
+    * A skewed cell degrades gracefully (one reducer's quadratic work) and
+    * is observable in the Spark UI; raise nCentroids (or add k-means
+    * iters) rather than salting — splitting a cell never creates pairs.
+    *
+    * Blocking can only MISS pairs whose members fall in different cells
+    * (near Voronoi boundaries) — it never invents pairs (cosine verifies
+    * exactly), so non-canonical ⇒ a true >= threshold duplicate. The
+    * `semdedup_embeddings` gate checks that subset direction as a hard
+    * boolean and the boundary-miss rate as a measured recall floor against
+    * the exact all-pairs path on planted duplicates.
+    *
+    * Output: (id, canonical_id, is_canonical) — same contract as
+    * Dedup.nearDupCanonical, so curation chains can swap text MinHash for
+    * embedding semantics without touching downstream stages. */
+  def semDedup(
+      corpus: DataFrame, // (id, vec)
+      threshold: Double,
+      nCentroids: Int = 16,
+      kmeansIters: Int = 0,
+      maxIters: Int = 10): DataFrame =
+    semDedupWithCentroids(corpus, threshold,
+      refineCentroids(corpus, pickCentroids(corpus, nCentroids), kmeansIters),
+      maxIters)
+
+  /** [[semDedup]] against a GIVEN centroid matrix — the production shape
+    * when a persisted IVF index already exists for the corpus (reuse its
+    * centroids so dedup cells and search cells agree), and the
+    * deterministic shape for gates. Note a blocking subtlety the auto
+    * variant inherits from hash-picked centroids: in a duplicate-rich
+    * corpus two near-identical rows can BOTH be picked as centroids, and
+    * their duplicate set then splits between two near-identical cells on
+    * float-rounding ties — a boundary miss, not a false merge. Supplying
+    * separated centroids (e.g. k-means-refined or index centroids)
+    * removes that failure mode. */
+  def semDedupWithCentroids(
+      corpus: DataFrame, // (id, vec)
+      threshold: Double,
+      cents: Seq[Seq[Float]],
+      maxIters: Int = 10): DataFrame = {
+    val cells = corpus.withColumn("cid",
+      element_at(nearest_centroids(col("vec"), typedLit(cents), 1), 1))
+    // self-join recomputes both sides' lineage (documented engine-wide
+    // convention — callers cache upstream if it matters)
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .withColumn("sim", cosine(col("a.vec"), col("b.vec")))
+      .where(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // labels stay cached (connectedMinLabels' contract — the result plan
+    // references the propagation fixpoint; same posture as
+    // Dedup.nearDupCanonical: LRU-evictable, lineage-recomputable)
+    val labels = Dedup.connectedMinLabels(pairs, maxIters)
+    corpus.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("label"), col("id")).as("canonical_id"),
+        (coalesce(col("label"), col("id")) === col("id")).as("is_canonical"))
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold, via LSH

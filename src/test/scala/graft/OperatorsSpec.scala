@@ -1045,4 +1045,113 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
     assert(got.size == 20)
   }
+
+  test("frozen split scheme replays byte-identically, legacy tag included") {
+    val rows = (0L until 400L).map(i => (i, s"d$i")).toDF("doc_id", "x")
+    val dir = java.nio.file.Files.createTempDirectory("graft-split").toString
+    val ws = Seq("train" -> 0.8, "val" -> 0.2)
+    // a split frozen under the PRE-r4 hash domain records its legacy tag
+    Sampling.saveSplitScheme(spark, dir, ws, seed = "s9", domainTag = ":")
+    val want = Sampling
+      .hashSplit(rows, "doc_id", ws, seed = "s9", domainTag = ":")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val got = Sampling.hashSplitFromScheme(rows, "doc_id", dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got == want)
+    // ...which is NOT the default-tag assignment — the silent ~255/256
+    // reassignment the frozen scheme exists to prevent
+    val modern = Sampling.hashSplit(rows, "doc_id", ws, seed = "s9")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got != modern)
+    // wrong-kind manifest dirs fail loudly, never silently re-split
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-split2").toString
+    graft.sources.SketchTable.saveManifestOnly(spark, dir2,
+      Map("kind" -> "ivf"))
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplitFromScheme(rows, "doc_id", dir2)
+    }
+  }
+
+  test("salted and skew-split joins equal the plain join on a skewed key") {
+    // planted skew: key "hot" carries 80% of the big side
+    val big = (0L until 1000L)
+      .map(i => (if (i < 800) "hot" else s"c${i % 7}", i))
+      .toDF("k", "v")
+    val small = Seq(("hot", 1L), ("c0", 2L), ("c3", 3L), ("c6", 4L),
+      ("absent", 9L)).toDF("k", "attr")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      df.select("k", "v", "attr").as[(String, Long, Long)]
+        .collect().sorted.toSeq
+    val want = canon(big.join(small, "k"))
+    assert(canon(Joins.saltedJoin(big, small, "k", buckets = 8)) == want)
+    // skew-split: force the hot key over the sampled threshold
+    assert(canon(Joins.skewSplitJoin(big, small, "k", buckets = 8,
+      hotKeyMinRows = 400, sampleFraction = 0.5)) == want)
+    // degenerate paths: one bucket == plain salted layout; no hot keys
+    assert(canon(Joins.saltedJoin(big, small, "k", buckets = 1)) == want)
+    assert(canon(Joins.skewSplitJoin(big, small, "k", buckets = 8,
+      hotKeyMinRows = 100000, sampleFraction = 0.5)) == want)
+  }
+
+  test("semDedup canonicalizes planted embedding clusters like the exact path") {
+    GraftFunctions.register(spark)
+    // 3 well-separated directions, 40 vectors each as pure POSITIVE
+    // SCALAR MULTIPLES of the direction — cosine is scale-invariant, so
+    // every member has identical similarity to every candidate centroid
+    // and a cluster can never split across cells on a near-tie (the test
+    // must be deterministic under any hash-picked centroid set). Lone
+    // vectors are one-hot on 13 distinct non-spike dims: lone-lone sim 0,
+    // lone-cluster ~0.05 — exact components == the 3 planted clusters.
+    def unit(c: Int): Array[Float] = {
+      val b = Array.fill(16)(0.05f); b(c * 5) = 1f; b
+    }
+    val clustered = for (c <- 0 until 3; j <- 0 until 40)
+      yield (c * 100L + j, unit(c).map(_ * (1f + 0.01f * j)).toSeq)
+    val lone = Seq(1, 2, 3, 4, 6, 7, 8, 9, 11, 12, 13, 14, 15)
+      .zipWithIndex.map { case (d, i) =>
+        val v = Array.fill(16)(0f); v(d) = 1f; (1000L + i, v.toSeq)
+      }
+    val corpus = (clustered ++ lone).toDF("id", "vec")
+    // explicit well-separated centroids (the 3 cluster directions + 2
+    // lone one-hots): each cluster has ONE clearly-nearest cell (sim ~1
+    // vs <= 0.14), so blocking provably cannot split a component and the
+    // result must EQUAL the exact path. (With hash-picked centroids two
+    // members of one duplicate set can both become centroids and split
+    // their set between two near-identical cells on float ties — a
+    // boundary miss the operator documents; asserted separately below.)
+    val cents: Seq[Seq[Float]] = Seq(unit(0).toSeq, unit(1).toSeq,
+      unit(2).toSeq,
+      Array.tabulate(16)(d => if (d == 1) 1f else 0f).toSeq,
+      Array.tabulate(16)(d => if (d == 7) 1f else 0f).toSeq)
+    val got = Similarity
+      .semDedupWithCentroids(corpus, threshold = 0.9, cents)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // exact path
+    val pairs = corpus.as("a").join(corpus.as("b"), $"a.id" < $"b.id")
+      .withColumn("sim", Similarity.cosine($"a.vec", $"b.vec"))
+      .where($"sim" >= 0.9)
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+    val labels = Dedup.connectedMinLabels(pairs)
+    val want = corpus.select($"id")
+      .join(labels, Seq("id"), "left")
+      .select($"id", coalesce($"label", $"id").as("canonical_id"),
+        (coalesce($"label", $"id") === $"id").as("is_canonical"))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // separated centroids: blocking cannot split a component — equality
+    assert(got == want, s"got=${got.take(8)} want=${want.take(8)}")
+    // and the exact path itself has the planted shape: 3 canonicals for
+    // 120 clustered rows, all lone rows canonical
+    assert(want.count(!_._3) == 117)
+    assert(want.filter(_._1 >= 1000L).forall(_._3))
+    // auto (hash-picked) centroids: boundary misses may split a set but
+    // can never merge distinct sets — every non-canonical doc must be a
+    // true duplicate of its canonical under the EXACT labels
+    val wantCanon = want.map(r => r._1 -> r._2).toMap
+    val auto = Similarity.semDedup(corpus, threshold = 0.9, nCentroids = 8)
+      .as[(Long, Long, Boolean)].collect()
+    auto.filter(!_._3).foreach { case (id, canon, _) =>
+      assert(wantCanon(id) == wantCanon(canon),
+        s"false merge: $id -> $canon crosses exact components")
+    }
+  }
 }

@@ -13,6 +13,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
+  private def withBroadcastOff[T](body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
 
   test("q01 scan is column-pruned to exactly the used columns") {
     val p = plan("q01_pricing_summary")
@@ -142,5 +148,28 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("Exchange"), p)
     assert(p.contains("[codegen id :"), p) // whole-stage codegen'd project
+  }
+
+  test("salted join shuffles on (key, salt), not on the key alone") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("k", concat(lit("k"),
+        expr("64 div (pmod(user_id, 64) + 1)").cast("string")))
+      .select("k", "event_id")
+    val dim = ev.groupBy("k").agg(min(col("event_id")).as("rep"))
+    // the whole point of the salt is that the join's exchanges hash on
+    // (k, __salt) — a plan partitioning on k alone would put each hot key
+    // back on one reducer. (A dim this small would normally broadcast —
+    // and a broadcast join needs no salt at all — so the test pins the
+    // threshold off to see the shuffled-join layout the operator exists
+    // for.)
+    val p = withBroadcastOff {
+      graft.operators.Joins.saltedJoin(ev, dim, "k", buckets = 8)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    }
+    val parts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    val joinParts = parts.filter(_.contains("__salt"))
+    assert(joinParts.nonEmpty, s"no (key, salt) exchange in:\n$p")
+    assert(joinParts.forall(_.contains("k#")), joinParts.mkString("\n"))
   }
 }
