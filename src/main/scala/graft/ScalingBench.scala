@@ -296,19 +296,44 @@ object ScalingBench {
       if (spreadMet) median else trimmedMedian
     val tps4 = est(v4)
     val tps16 = est(v16)
-    // single 8/32 blocks: same criterion within the block's scored reps
+    // Single 8/32 blocks: a lone block has no same-level history, so its
+    // validity reference is the 4-level CPU floor — the job burns the
+    // same CPU at every level to within ~9% (BASELINE r4 decomposition),
+    // so a single block whose best rep exceeds 1.35× that floor was
+    // measured inside an interference window; retry up to twice (same
+    // 20 s pause), keep the last attempt either way and flag it.
     def bestValid(b: Seq[Rep]): Rep = {
       val sc = b.drop(warmReps)
       val floor = sc.map(_.cpuS).min
       sc.filter(_.cpuS <= floor * cpuFactor).maxBy(_.tps)
     }
-    val (b8, _) = levelBlock(8, input, bloomItems, inProcess = !forked)
-    val (b32, _) = levelBlock(32, input, bloomItems, inProcess = !forked)
-    val (best8, best32) = (bestValid(b8), bestValid(b32))
+    val crossLevelBound = blocks4.map(b => best(b).cpuS).min * 1.35
+    def singleBlock(cores: Int): (Rep, Boolean) = {
+      var last: Rep = null
+      for (_ <- 1 to 3) {
+        val (b, _) = levelBlock(cores, input, bloomItems, inProcess = !forked)
+        last = bestValid(b)
+        if (last.cpuS <= crossLevelBound) return (last, true)
+        Thread.sleep(20000)
+      }
+      (last, false)
+    }
+    val (best8, valid8) = singleBlock(8)
+    val (best32, valid32) = singleBlock(32)
     // >1.0 is physically impossible for real scaling: it means the small-
     // core run was externally throttled, so cap (stays honest downward)
     val eff4to16 = math.min(1.0, (tps16 / tps4) / 4.0)
     val eff8to32 = math.min(1.0, (best32.tps / best8.tps) / 4.0)
+    // CPU-parity decomposition: wall throughput ≈ rows×cores/cpuS × util,
+    // so minCpu4/minCpu16 isolates the per-CPU-second work ratio (1.0 =
+    // the 4× level does NO extra compute per row — no serialization tax;
+    // the wall ratio's remaining loss is utilization + interference).
+    // Far more replay-stable than the wall ratio; reported alongside it.
+    val cpuParity4to16 = {
+      val f4 = blocks4.map(b => best(b).cpuS).min
+      val f16 = blocks16.map(b => best(b).cpuS).min
+      if (f16 <= 0) -1.0 else f4 / f16
+    }
 
     def r3(x: Double) = math.rint(x * 1000) / 1000
     def arrL(xs: Seq[Double]) = xs.map(_.toLong).mkString("[", ",", "]")
@@ -350,8 +375,10 @@ object ScalingBench {
       s""""fresh_jvm_per_block":$forked,""" +
       s""""turns_per_sec_8":${best8.tps.toLong},""" +
       s""""turns_per_sec_32":${best32.tps.toLong},""" +
+      s""""valid8":$valid8,"valid32":$valid32,""" +
       s""""cpu8_sec":${r3(best8.cpuS)},"cpu32_sec":${r3(best32.cpuS)},""" +
       s""""scaling_efficiency":${r3(eff4to16)},""" +
+      s""""cpu_parity_4_to_16":${r3(cpuParity4to16)},""" +
       s""""scaling_efficiency_8_to_32":${r3(eff8to32)}}"""
   }
 

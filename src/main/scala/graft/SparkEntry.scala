@@ -1093,6 +1093,18 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("w"), col("cum_w"))
         .orderBy("source", "doc_id")
     },
+    // Sequence packing (concat-and-chunk into 512-token context windows,
+    // per source, in the deterministic hash order): pack offsets, window
+    // ids and span counts are integer cumsum arithmetic both engines
+    // reproduce verbatim — byte-equality gate. token_count and the
+    // DuckDB regexp-split twin are the same pair text_doc_stats gates.
+    "pack_windows" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        GraftFunctions.token_count(col("text")).as("n_tokens"))
+      Sampling.packWindows(docs, Seq("source"), "doc_id", "n_tokens", 512)
+        .orderBy("doc_id")
+    },
     // Deterministic 80/10/10 train/val/test split by id hash: assignment is
     // a pure function of doc_id (repartition/reorder/append never move a
     // row), expressed as two-hex-char threshold compares both engines
@@ -1759,6 +1771,23 @@ object SparkEntry {
          WHERE text IS NOT NULL AND length(text) > 0)
          SELECT source, doc_id, w, cum_w FROM r WHERE cum_w <= 1500
          ORDER BY source, doc_id""",
+    "pack_windows" ->
+      """WITH d AS (SELECT doc_id, source,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+         FROM documents),
+         p AS (SELECT doc_id, source, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source
+             ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+             AS BIGINT) AS pack_start
+         FROM d WHERE n_tokens > 0)
+         SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           pack_start,
+           pack_start // 512 AS window_id,
+           pack_start % 512 AS window_off,
+           (pack_start + n_tokens - 1) // 512 - pack_start // 512 + 1
+             AS n_windows
+         FROM p ORDER BY doc_id""",
     // same series cap + stride as text_chunks (1007-byte ASCII invariant)
     "dedup_winnowed_spans" ->
       """WITH ch AS (SELECT doc_id, substr(text, CAST(i*224+1 AS INT), 256) AS chunk

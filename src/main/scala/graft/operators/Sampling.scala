@@ -196,6 +196,52 @@ object Sampling {
       .where(col(cumCol) <= budget)
   }
 
+  /** Sequence PACKING — the corpus-assembly step a pretraining pipeline
+    * runs last: concatenate documents in a deterministic order and chunk
+    * the stream into fixed `ctxTokens`-token windows ("concat-and-chunk",
+    * the standard GPT-style packing; a document crossing a boundary is
+    * split across adjacent windows). Order is the same engine-portable
+    * md5("<seed>:<id>") rank the rank-sampling family uses, so the
+    * packing is byte-exact across engines, stable under repartitioning,
+    * and APPEND-MONOTONE per stratum in the suffix sense: the stream of
+    * already-packed tokens never reorders, appended docs pack after it.
+    *
+    * Output: all input columns plus `pack_start` (0-based token offset of
+    * the doc in its stratum's stream), `window_id` (= pack_start div
+    * ctxTokens), `window_off` (offset within that window) and `n_windows`
+    * (how many windows the doc spans). Rows with null/non-positive token
+    * counts are excluded (same posture as [[tokenBudget]]).
+    *
+    * Scale shape: one shuffle on the stratum key + a window cumsum per
+    * stratum (the same honestly-documented stratum-wide sort as
+    * [[tokenBudget]] — pack per source/shard, not one global stratum, at
+    * 100 TB). */
+  def packWindows(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      tokensCol: String,
+      ctxTokens: Long,
+      seed: String = "graft"): DataFrame = {
+    require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")
+    Seq("pack_start", "window_id", "window_off", "n_windows").foreach { c =>
+      require(!df.columns.contains(c), s"input already has a '$c' column")
+    }
+    val h = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(h, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // integer `div`, not floor(double /): byte-exact at any magnitude
+    df.where(col(tokensCol).isNotNull && col(tokensCol) > 0)
+      .withColumn("pack_start",
+        sum(col(tokensCol).cast("long")).over(w) - col(tokensCol))
+      .withColumn("window_id", expr(s"pack_start div $ctxTokens"))
+      .withColumn("window_off", pmod(col("pack_start"), lit(ctxTokens)))
+      .withColumn("n_windows",
+        expr(s"(pack_start + `$tokensCol` - 1) div $ctxTokens")
+          - col("window_id") + 1)
+  }
+
   /** Unstratified corpus-wide sample (single stratum). For very large k a
     * single-partition window would bottleneck; this keeps the global sample
     * exact by ranking within hash-prefix buckets first (WindowGroupLimit

@@ -1046,6 +1046,43 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == 20)
   }
 
+  test("packWindows: contiguous stream, boundary spans, repartition-stable") {
+    val rows = (0L until 40L).map(i => (i, s"s${i % 2}", 100L + i % 7))
+      .toDF("doc_id", "src", "n_tok")
+    val got = Sampling
+      .packWindows(rows, Seq("src"), "doc_id", "n_tok", ctxTokens = 256)
+      .select("src", "doc_id", "n_tok", "pack_start", "window_id",
+        "window_off", "n_windows")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // per stratum: offsets form one gapless concatenated stream
+    got.groupBy(_._1).foreach { case (src, rs) =>
+      val byStart = rs.sortBy(_._4)
+      assert(byStart.head._4 == 0L, s"$src stream must start at 0")
+      byStart.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 + a._3 == b._4, s"$src gap between $a and $b")
+        case _ => ()
+      }
+      // window arithmetic is consistent per row
+      rs.foreach { r =>
+        assert(r._5 == r._4 / 256 && r._6 == r._4 % 256)
+        assert(r._7 == (r._4 + r._3 - 1) / 256 - r._5 + 1)
+      }
+      // ~103-token docs in 256-token windows: boundary spans must occur
+      assert(rs.exists(_._7 == 2), s"$src no boundary-crossing doc")
+    }
+    // deterministic under repartitioning
+    val re = Sampling
+      .packWindows(rows.repartition(7), Seq("src"), "doc_id", "n_tok", 256)
+      .select("doc_id", "pack_start").as[(Long, Long)].collect().toMap
+    assert(got.map(r => r._2 -> r._4).toMap == re)
+    // zero/null token docs are excluded, not packed at offset 0
+    val withBad = rows.unionByName(
+      Seq((900L, "s0", 0L)).toDF("doc_id", "src", "n_tok"))
+    assert(Sampling.packWindows(withBad, Seq("src"), "doc_id", "n_tok", 256)
+      .where($"doc_id" === 900L).count() == 0)
+  }
+
   test("frozen split scheme replays byte-identically, legacy tag included") {
     val rows = (0L until 400L).map(i => (i, s"d$i")).toDF("doc_id", "x")
     val dir = java.nio.file.Files.createTempDirectory("graft-split").toString
