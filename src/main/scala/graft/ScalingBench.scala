@@ -126,11 +126,16 @@ object ScalingBench {
     reps
   }
 
-  private def repsJson(reps: Seq[Rep]): String =
+  // Locale.ROOT: the f-interpolator uses the default locale, and a comma
+  // decimal separator (de_DE etc.) would break RepPattern on the child →
+  // parent wire, silently disabling the fresh-JVM protocol
+  private def fmt(prec: Int, v: Double): String =
+    String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
+  private[graft] def repsJson(reps: Seq[Rep]): String =
     reps.map(r =>
-      f"""{"rows":${r.rows},"tps":${r.tps}%.1f,"cpu":${r.cpuS}%.2f,""" +
-        f""""gc":${r.gcPct}%.3f,"mhz":${r.mhz}%.0f,""" +
-        f""""steal":${r.stealS}%.2f}""").mkString("[", ",", "]")
+      s"""{"rows":${r.rows},"tps":${fmt(1, r.tps)},"cpu":${fmt(2, r.cpuS)},""" +
+        s""""gc":${fmt(3, r.gcPct)},"mhz":${fmt(0, r.mhz)},""" +
+        s""""steal":${fmt(2, r.stealS)}}""").mkString("[", ",", "]")
 
   private val RepPattern =
     ("""\{"rows":([0-9]+),"tps":([-0-9.]+),"cpu":([-0-9.]+),""" +
@@ -218,11 +223,13 @@ object ScalingBench {
   }
   /** Second-half/first-half median ratio — <1 means the later rounds ran
     * slower than the earlier ones (throttle window or residual accrual). */
-  private def drift(xs: Seq[Double]): Double = {
-    val (a, b) = xs.splitAt(xs.length / 2)
-    val ma = median(a)
-    if (ma <= 0) 1.0 else median(b) / ma
-  }
+  private def drift(xs: Seq[Double]): Double =
+    if (xs.length < 2) 1.0 // one valid round has no halves to compare
+    else {
+      val (a, b) = xs.splitAt(xs.length / 2)
+      val ma = median(a)
+      if (ma <= 0) 1.0 else median(b) / ma
+    }
   private def trimmedMedian(xs: Seq[Double]): Double =
     if (xs.length <= 2) median(xs)
     else median(xs.sorted.slice(1, xs.length - 1))
@@ -342,8 +349,8 @@ object ScalingBench {
     def diag(bs: Seq[Seq[Rep]], f: Rep => Double) = bs.map(b => f(best(b)))
     // the warm reps are REPORTED (JIT ramp + window visibility), never
     // scored: per round, the best warm tps of the block
-    def warmBest(bs: Seq[Seq[Rep]]) =
-      bs.map(b => b.take(warmReps).map(_.tps).max)
+    def warmBest(bs: Seq[Seq[Rep]]) = // -1 sentinel when WARM=0 skips warm-up
+      bs.map(b => b.take(warmReps).map(_.tps).maxOption.getOrElse(-1.0))
     val all4 = blocks4.toSeq
     val all16 = blocks16.toSeq
     s"""{"turns":${best(blocks4.head).rows},"bloom_items":$bloomItems,""" +

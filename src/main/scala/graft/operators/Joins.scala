@@ -99,8 +99,15 @@ object Joins {
     * The salt is derived from deterministic row content (xxhash64 of all
     * big-side columns, never partition id or RNG), so retries and different
     * parallelism produce identical assignment — same discipline as
-    * [[SaltedAgg]]. Inner joins only: an exploded small side would emit
-    * unmatched outer rows `buckets` times.
+    * [[SaltedAgg]], and immune to the lost/duplicated-row hazard
+    * non-deterministic partitioning has under partial stage retry (the
+    * reason Spark's round-robin repartition inserts a local sort).
+    * PRECONDITION of the relief: a hot key's rows must vary in SOME
+    * selected column — full-row duplicates hash to one salt and stay on
+    * one reducer. Exact duplicates are the degenerate case: collapse them
+    * first (`groupBy(all cols).count`) and join the counts, which shrinks
+    * the shuffle instead of spreading it. Inner joins only: an exploded
+    * small side would emit unmatched outer rows `buckets` times.
     *
     * Replication cost is explicit: the small side is scanned into
     * `buckets`× its rows. Use [[skewSplitJoin]] to pay it for the hot keys
@@ -138,6 +145,16 @@ object Joins {
       sampleFraction: Double = 0.02,
       maxHotKeys: Int = 10000,
       seed: Long = DefaultSeed): DataFrame = {
+    // the sampled histogram can only DISCRIMINATE hot from cold if a hot
+    // key is expected to appear more than once in the sample — below that,
+    // the threshold truncates toward 0..1 and every sampled key counts as
+    // hot (a floor of 1 is no better: absent keys never reach the groupBy,
+    // so `n >= 1` passes everything sampled). Fail loudly instead of
+    // silently salting the whole join.
+    require(hotKeyMinRows * sampleFraction >= 2.0,
+      s"hotKeyMinRows=$hotKeyMinRows x sampleFraction=$sampleFraction < 2 " +
+        "expected sample rows per hot key - the sampled histogram cannot " +
+        "discriminate; raise sampleFraction or hotKeyMinRows")
     // the hot-key CHOICE only affects layout, never the result rows (both
     // branches compute the same join), so the sampled detection does not
     // need cross-partitioning determinism — the seed just makes a given

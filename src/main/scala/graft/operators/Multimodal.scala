@@ -58,8 +58,14 @@ object Multimodal {
     * bytes). Canonical order: row-major, band-interleaved (y, then x, then
     * band), raw raster samples via `Raster.getSample` — no colorspace
     * conversion ever touches the values, so lossless formats round-trip
-    * byte-exactly. None when the payload is not a decodable image (F4
-    * posture: preserved as a null row, never dropped or thrown). */
+    * byte-exactly. Samples wider than 8 bits (e.g. 16-bit grayscale PNG)
+    * are written big-endian over ceil(maxSampleBits/8) bytes — a uniform
+    * width across bands so the layout stays positional; truncating to the
+    * low byte would collide distinct 16-bit images under pixel_md5 (the
+    * exact-dedup key) and break the round-trip claim. 8-bit images keep
+    * the 1-byte-per-sample canonical form. None when the payload is not a
+    * decodable image (F4 posture: preserved as a null row, never dropped
+    * or thrown). */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
     try {
       ImageIO.setUseCache(false) // in-memory streams; no temp-file cache
@@ -70,7 +76,10 @@ object Multimodal {
         val w = img.getWidth
         val h = img.getHeight
         val nb = r.getNumBands
-        val out = new Array[Byte](w * h * nb)
+        val bytesPer =
+          math.max(1,
+            ((0 until nb).map(r.getSampleModel.getSampleSize).max + 7) / 8)
+        val out = new Array[Byte](w * h * nb * bytesPer)
         var i = 0
         var y = 0
         while (y < h) {
@@ -78,7 +87,10 @@ object Multimodal {
           while (x < w) {
             var b = 0
             while (b < nb) {
-              out(i) = r.getSample(x, y, b).toByte; i += 1; b += 1
+              val s = r.getSample(x, y, b)
+              var k = (bytesPer - 1) * 8
+              while (k >= 0) { out(i) = (s >>> k).toByte; i += 1; k -= 8 }
+              b += 1
             }
             x += 1
           }
@@ -133,10 +145,13 @@ object Multimodal {
   }
 
   /** Real image resize: decode via [[decodeImage]], nearest-neighbour
-    * resample to w×h. None for undecodable payloads. */
+    * resample to w×h. None for undecodable payloads. The resample's unit
+    * is the PIXEL: its "bands" argument is the canonical bytes-per-pixel
+    * (bands × bytes-per-sample), so >8-bit rasters keep their multi-byte
+    * samples intact through the copy. */
   def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
-    decodeImage(payload).map { case (sw, sh, nb, px) =>
-      resamplePixels(px, sw, sh, nb, w, h)
+    decodeImage(payload).map { case (sw, sh, _, px) =>
+      resamplePixels(px, sw, sh, px.length / (sw * sh), w, h)
     }
 
   /** Batched real resize over (id, payload) → (id, thumb BINARY of

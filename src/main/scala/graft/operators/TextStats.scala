@@ -173,12 +173,22 @@ object TextStats {
     * at all — `[0-9]` not `\d`, `[.]` not `\.` — so Java regex (Spark) and
     * RE2 (DuckDB) read byte-identical pattern strings through every
     * string-escaping layer, and both use leftmost greedy matching on this
-    * subset (no backrefs, no lookaround). (class, pattern, replacement). */
-  val PiiPatterns: Seq[(String, String, String)] = Seq(
-    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "[EMAIL]"),
-    ("secret", "(sk|key|tok)_[A-Za-z0-9]{16,}", "[SECRET]"),
-    ("phone", "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "[PHONE]"),
-    ("digit_run", "[0-9]{9,}", "[NUMBER]"))
+    * subset (no backrefs, no lookaround).
+    *
+    * The secret pattern must NOT fire inside longer identifiers ("task_…"
+    * contains "sk_", "monkey_…" contains "key_"); RE2 has no lookbehind, so
+    * the guard is a consumed group-1 prefix (start-of-string or one
+    * non-identifier char) restored by the replacement — the ONE place the
+    * engines' replacement syntax differs (Java `$1` vs RE2 `\1`), hence
+    * per-engine replacement strings; the pattern strings themselves stay
+    * byte-identical. (class, pattern, sparkRepl, duckRepl). */
+  val PiiPatterns: Seq[(String, String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+      "[EMAIL]", "[EMAIL]"),
+    ("secret", "(^|[^A-Za-z0-9_])(sk|key|tok)_[A-Za-z0-9]{16,}",
+      "$1[SECRET]", "\\1[SECRET]"),
+    ("phone", "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "[PHONE]", "[PHONE]"),
+    ("digit_run", "[0-9]{9,}", "[NUMBER]", "[NUMBER]"))
 
   /** PII scrub: per-class match COUNTS on the original text (independent
     * per class — a digit run inside a phone number counts in both) plus
@@ -190,11 +200,11 @@ object TextStats {
     * Output: (id, n_email, n_secret, n_phone, n_digit_run, redacted). */
   def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val counts = PiiPatterns.map { case (cls, pat, _) =>
+    val counts = PiiPatterns.map { case (cls, pat, _, _) =>
       size(regexp_extract_all(t, lit(pat), lit(0))).cast("long")
         .as(s"n_$cls")
     }
-    val redacted = PiiPatterns.foldLeft(t) { case (acc, (_, pat, repl)) =>
+    val redacted = PiiPatterns.foldLeft(t) { case (acc, (_, pat, repl, _)) =>
       regexp_replace(acc, lit(pat), lit(repl))
     }
     df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
@@ -204,11 +214,12 @@ object TextStats {
     * [[PiiPatterns]] constants so the SQL can never de-synchronize from
     * the Column chain (`textExpr` is the oracle-side text expression). */
   def piiScrubOracleSelect(textExpr: String): String = {
-    val counts = PiiPatterns.map { case (cls, pat, _) =>
+    val counts = PiiPatterns.map { case (cls, pat, _, _) =>
       s"CAST(len(regexp_extract_all($textExpr, '$pat')) AS BIGINT) AS n_$cls"
     }
-    val redacted = PiiPatterns.foldLeft(textExpr) { case (acc, (_, pat, repl)) =>
-      s"regexp_replace($acc, '$pat', '$repl', 'g')"
+    val redacted = PiiPatterns.foldLeft(textExpr) {
+      case (acc, (_, pat, _, repl)) =>
+        s"regexp_replace($acc, '$pat', '$repl', 'g')"
     }
     (counts :+ s"$redacted AS redacted").mkString(",\n           ")
   }

@@ -627,6 +627,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(2L).width.isEmpty && rows(2L).pixel_md5.isEmpty) // F4: preserved
   }
 
+  test("image decode: 16-bit samples keep both bytes (no low-byte collision)") {
+    // two USHORT_GRAY PNGs whose samples share low bytes and differ only in
+    // the high byte — truncation to 1 byte/sample would hash them equal
+    def png16(hi: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        3, 2, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+      val r = img.getRaster
+      for (y <- 0 until 2; x <- 0 until 3)
+        r.setSample(x, y, 0, (hi << 8) | (x + y * 3 + 1))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val Some((w, h, nb, a)) = Multimodal.decodeImage(png16(0x01))
+    val Some((_, _, _, b)) = Multimodal.decodeImage(png16(0x56))
+    assert(w == 3 && h == 2 && nb == 1)
+    assert(a.length == 3 * 2 * 2, s"expected 2 bytes/sample, got ${a.length}")
+    // big-endian round-trip of the first sample: 0x0101
+    assert(((a(0) & 0xff) << 8 | (a(1) & 0xff)) == 0x0101)
+    assert(Multimodal.md5Hex(a) != Multimodal.md5Hex(b),
+      "distinct 16-bit images must not collide under pixel_md5")
+    // resize keeps multi-byte samples intact: identity resample == decode
+    assert(Multimodal.resizeImage(png16(0x01), 3, 2)
+      .exists(java.util.Arrays.equals(_, a)))
+  }
+
   test("image resize: nearest-neighbour thumbnail equals the codec-free resample") {
     val px = Multimodal.syntheticPixels("rs", 7, 5, 3)
     val png = Multimodal.syntheticImagePng("rs", 7, 5, 3)
@@ -752,7 +778,12 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       (2L, "key sk_abcdef123456789012345 end"),
       // phone: digit groups are 3-3-4 (<9 consecutive), so no digit_run
       (3L, "call 555-123-4567 now"),
-      (4L, "no sensitive content here at all")
+      (4L, "no sensitive content here at all"),
+      // identifier-boundary guard: "task_" contains "sk_" and "monkey_"
+      // contains "key_" — neither is a secret; a true secret at string
+      // START (no preceding char) must still fire
+      (5L, "ids task_abcdefghijklmnop monkey_abcdefghijklmnop stay"),
+      (6L, "sk_abcdefghijklmnop leads")
     ).toDF("doc_id", "text")
     val got = TextStats.piiScrub(d, "doc_id", "text")
       .as[(Long, Long, Long, Long, Long, String)].collect()
@@ -762,6 +793,9 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == (3L, 0L, 0L, 1L, 0L, "call [PHONE] now"), s"${got(3L)}")
     assert(got(4L) == (4L, 0L, 0L, 0L, 0L, "no sensitive content here at " +
       "all"), s"${got(4L)}")
+    assert(got(5L) == (5L, 0L, 0L, 0L, 0L,
+      "ids task_abcdefghijklmnop monkey_abcdefghijklmnop stay"), s"${got(5L)}")
+    assert(got(6L) == (6L, 0L, 1L, 0L, 0L, "[SECRET] leads"), s"${got(6L)}")
   }
 
   test("token count handles whitespace edge cases") {
@@ -1128,6 +1162,13 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(canon(Joins.saltedJoin(big, small, "k", buckets = 1)) == want)
     assert(canon(Joins.skewSplitJoin(big, small, "k", buckets = 8,
       hotKeyMinRows = 100000, sampleFraction = 0.5)) == want)
+    // hotKeyMinRows < 2/sampleFraction used to truncate the sampled
+    // threshold to 0, silently classifying EVERY sampled key hot — now a
+    // loud precondition failure
+    intercept[IllegalArgumentException] {
+      Joins.skewSplitJoin(big, small, "k", buckets = 8,
+        hotKeyMinRows = 30, sampleFraction = 0.02)
+    }
   }
 
   test("semDedup canonicalizes planted embedding clusters like the exact path") {

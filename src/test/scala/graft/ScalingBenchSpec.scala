@@ -22,6 +22,19 @@ class ScalingBenchSpec extends AnyFunSuite {
     assert(ScalingBench.parseReps("[]").isEmpty)
   }
 
+  test("rep wire format is locale-independent (comma-decimal JVMs)") {
+    // a de_DE default locale would make an f-interpolator print "91222,4"
+    // and silently disable the fresh-JVM protocol; repsJson pins ROOT
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val reps = Seq(
+        ScalingBench.Rep(1518480L, 91222.4, 68.55, 0.569, 2100.0, 0.08))
+      val parsed = ScalingBench.parseReps(ScalingBench.repsJson(reps))
+      assert(parsed == reps, s"wire round-trip broke under de_DE: $parsed")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("median is the midpoint convention the artifact documents") {
     assert(Bench.median(Seq(3.0)) == 3.0)
     assert(Bench.median(Seq(1.0, 9.0)) == 5.0)
