@@ -1137,6 +1137,30 @@ object SparkEntry {
           coalesce(col("__hit"), lit(false)).as("detected"))
         .orderBy("id_a", "id_b")
     },
+    // Cross-document boilerplate line removal, byte-exact. The synthetic
+    // documents are single-line, so (text_redaction discipline) a
+    // line-structured twin corpus is derived deterministically IN BOTH
+    // ENGINES: 4 lines + a trailing empty line per doc — a per-source
+    // copyright header (always boilerplate), a unique doc line, a
+    // SUBSCRIBE banner on even doc_ids (sits AT the 50% threshold, so the
+    // per-source exact count decides), the first 40 text chars, and the
+    // empty trailing line (always boilerplate). Static 5-line twin → the
+    // oracle's generate_series line cap of 8 can never truncate.
+    "dedup_boilerplate_lines" -> { (s, dir) =>
+      val h = md5(col("doc_id").cast("string"))
+      val twin = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat(
+          lit("(c) "), col("source"), lit(" all rights reserved\n"),
+          lit("doc "), h, lit("\n"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("SUBSCRIBE TO OUR NEWSLETTER"))
+            .otherwise(concat(lit("body "), substring(h, 1, 8))), lit("\n"),
+          substring(coalesce(col("text"), lit("")), 1, 40), lit("\n")
+        ).as("text"))
+      Dedup.stripBoilerplateLines(twin, "doc_id", "text", "source",
+          minFrac = 0.5, minDocs = 2)
+        .orderBy("doc_id")
+    },
     // Incremental dedup: build a persisted fingerprint index over the
     // 'old' two-thirds once, dedup the 'new' third against it — old text
     // is never re-read. Exact hits join content hashes; near hits use
@@ -1796,6 +1820,7 @@ object SparkEntry {
          p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
          SELECT id_a, id_b, true AS detected FROM p ORDER BY id_a, id_b""",
+    "dedup_boilerplate_lines" -> boilerplateLinesSql,
     "fracminhash_distinct" ->
       """WITH sh AS (SELECT DISTINCT source, substr(text, CAST(i AS INT), 8) AS s
                      FROM documents, generate_series(1, 1000) t(i)
@@ -1885,6 +1910,43 @@ object SparkEntry {
        SELECT doc_id, match_id, kind, jaccard_x1m
        FROM (SELECT * FROM exact UNION ALL SELECT * FROM near)
        ORDER BY doc_id, match_id, kind"""
+
+  /** dedup_boilerplate_lines oracle: the 5-line twin mirrors the Spark
+    * concat chain token-for-token; the per-source occurrence threshold
+    * GREATEST(minDocs, ceil(nd·minFrac)) uses the identical expression
+    * association (nd * 0.5 is IEEE-exact for integral nd), and string_agg
+    * skipping NULLs reproduces collect_list skipping nulls, so the cleaned
+    * text gates byte-exact. Series cap 8 > the twin's fixed 5 lines. */
+  private def boilerplateLinesSql: String =
+    """WITH twin AS (SELECT doc_id, source,
+           '(c) ' || source || ' all rights reserved' || chr(10)
+           || 'doc ' || md5(CAST(doc_id AS VARCHAR)) || chr(10)
+           || CASE WHEN doc_id % 2 = 0 THEN 'SUBSCRIBE TO OUR NEWSLETTER'
+                   ELSE 'body ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              END || chr(10)
+           || substr(coalesce(text, ''), 1, 40) || chr(10) AS text
+         FROM documents),
+       ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS l
+              FROM twin),
+       lines AS (SELECT doc_id, source, i AS pos, l[CAST(i AS INT)] AS line
+                 FROM ls, generate_series(1, 8) t(i) WHERE i <= len(l)),
+       nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n
+              FROM twin GROUP BY 1),
+       bp AS (SELECT lc.source, lc.line
+              FROM (SELECT source, line, COUNT(DISTINCT doc_id) AS c
+                    FROM lines GROUP BY 1, 2) lc
+              JOIN nd ON nd.source = lc.source
+              WHERE lc.c >= GREATEST(2, CAST(ceil(nd.n * 0.5) AS BIGINT))),
+       mark AS (SELECT l.doc_id, l.source, l.pos, l.line,
+                       bp.line IS NOT NULL AS is_bp
+                FROM lines l LEFT JOIN bp
+                  ON bp.source = l.source AND bp.line = l.line)
+       SELECT doc_id, source,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         coalesce(string_agg(CASE WHEN is_bp THEN NULL ELSE line END,
+           chr(10) ORDER BY pos), '') AS cleaned
+       FROM mark GROUP BY doc_id, source ORDER BY doc_id"""
 
   /** text_redaction oracle: the twin-corpus construction mirrors the Spark
     * query's concat chain token-for-token; the count/redact SELECT list is

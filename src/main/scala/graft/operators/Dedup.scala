@@ -542,4 +542,54 @@ object Dedup {
         lit("near").as("kind"), col("jaccard_x1m"))
     exact.unionByName(near)
   }
+
+  /** Cross-document boilerplate line removal (the CCNet/RefinedWeb curation
+    * stage): a LINE is boilerplate WITHIN a source when it occurs in at
+    * least `minFrac` of that source's documents (and in at least `minDocs`
+    * of them — the fraction alone is vacuous for tiny sources). Such lines
+    * — nav menus, cookie banners, license headers, signature footers — are
+    * stripped from every document of the source; within-document repetition
+    * is the OTHER signal ([[TextStats]] Gopher ratios) and deliberately
+    * does not count here (occurrence is per distinct document).
+    *
+    * Scale posture: the count shuffle is on (source, line) after a
+    * per-document distinct — O(total lines), never all-pairs; the
+    * boilerplate table is small BY CONSTRUCTION (only lines above the
+    * occurrence threshold survive) and joins back broadcast; document
+    * reconstruction is one groupBy(id) carrying (pos, line). Lines order-
+    * preserving: output text is the kept lines joined by newline in
+    * original position order.
+    *
+    * Output: (id, source, n_lines, n_removed, cleaned) — one row per input
+    * document (F4 posture: a fully-boilerplate document survives with
+    * cleaned = "" and n_removed = n_lines, never dropped). */
+  def stripBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      minFrac: Double = 0.5,
+      minDocs: Int = 2): DataFrame = {
+    require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac=$minFrac")
+    require(minDocs >= 1, s"minDocs=$minDocs")
+    val lines = df.select(col(idCol), col(sourceCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val docsPerSource = df.groupBy(col(sourceCol))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    val bp = lines.select(col(sourceCol), col("line"), col(idCol)).distinct()
+      .groupBy(col(sourceCol), col("line")).agg(count(lit(1)).as("__c"))
+      .join(docsPerSource, sourceCol)
+      .where(col("__c") >= greatest(lit(minDocs.toLong),
+        ceil(col("__nd") * minFrac).cast("long")))
+      .select(col(sourceCol), col("line"), lit(true).as("__bp"))
+    lines.join(broadcast(bp), Seq(sourceCol, "line"), "left")
+      .groupBy(col(idCol), col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__bp"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__bp").isNull, struct(col("pos"), col("line"))))),
+          _.getField("line")), "\n").as("cleaned"))
+  }
 }

@@ -1171,6 +1171,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("boilerplate lines strip per source, order-preserving, F4 posture") {
+    val d = Seq(
+      (1L, "web", "HEADER\nalpha\nFOOTER"),
+      (2L, "web", "HEADER\nbeta\nFOOTER"),
+      (3L, "web", "HEADER\ngamma unique\nonly here"),
+      (6L, "web", "HEADER\nFOOTER"), // fully boilerplate — must survive
+      // same literal line in ANOTHER source stays: thresholds are
+      // per-source (1 of 2 forum docs < minDocs = 2)
+      (4L, "forum", "HEADER\ndelta"),
+      (5L, "forum", "sig\nepsilon")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.stripBoilerplateLines(d, "doc_id", "text", "source",
+        minFrac = 0.5, minDocs = 2)
+      .select("doc_id", "n_lines", "n_removed", "cleaned")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // web: 4 docs, threshold max(2, ceil(2)) = 2 — HEADER (4) and
+    // FOOTER (3) are boilerplate, every body line is unique
+    assert(got(1L) == (1L, 3L, 2L, "alpha"), s"${got(1L)}")
+    assert(got(2L) == (2L, 3L, 2L, "beta"), s"${got(2L)}")
+    assert(got(3L) == (3L, 3L, 1L, "gamma unique\nonly here"), s"${got(3L)}")
+    assert(got(6L) == (6L, 2L, 2L, ""), s"${got(6L)}")
+    assert(got(4L) == (4L, 2L, 0L, "HEADER\ndelta"), s"${got(4L)}")
+    assert(got(5L) == (5L, 2L, 0L, "sig\nepsilon"), s"${got(5L)}")
+  }
+
   test("semDedup canonicalizes planted embedding clusters like the exact path") {
     GraftFunctions.register(spark)
     // 3 well-separated directions, 40 vectors each as pure POSITIVE
