@@ -711,6 +711,37 @@ object SparkEntry {
           substring(md5(col("doc_id").cast("string")), 1, 20)).as("text"))
       TextStats.piiScrub(twin, "doc_id", "text").orderBy("doc_id")
     },
+    // Character-trigram LM quality scoring (the CCNet perplexity filter):
+    // train on doc_id%10!=0, score the held-out tenth AND its char-reversed
+    // twin against the same model. sum_p_x1e9 gates BYTE-EXACT (one IEEE
+    // division per position, integer sum — KMV/cents precedent); the NLL is
+    // a float sum, so it gates as a margin BOOLEAN: real text beats its
+    // reversed twin by >= 1900 milli-nats/char (observed min gap 3893-4479
+    // across sf0.001/0.01/0.1; floor at ~half, LSH-floor discipline —
+    // cross-engine log/sum jitter is ~1e-9, six orders below the margin).
+    "text_lm_perplexity" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val model = TextStats.charNgramCounts(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "text", 3)
+      // the model feeds FOUR join lineages (grams+ctx × real/reversed):
+      // persist + materialize in the caller and leave it cached —
+      // LRU-evictable, lineage-recomputable (the hierarchicalSketch
+      // posture; library operators never cache)
+      model.persist()
+      model.count()
+      val held = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val real = TextStats.lmScore(held, "doc_id", "text", model, 3)
+      val rev = TextStats.lmScore(
+        held.select(col("doc_id"), reverse(col("text")).as("text")),
+        "doc_id", "text", model, 3)
+        .select(col("doc_id"), col("nll").as("nll_rev"))
+      real.join(rev, "doc_id")
+        .select(col("doc_id"), col("n_pos"), col("sum_p_x1e9"),
+          (round((col("nll_rev") - col("nll")) * 1000 /
+            greatest(col("n_pos"), lit(1L))) >= 1900).as("real_better"))
+        .orderBy("doc_id")
+    },
     // ---- multimodal plumbing ----------------------------------------------
     "multimodal_frame_meta" -> { (s, dir) =>
       Multimodal.frameMeta(
@@ -1855,6 +1886,7 @@ object SparkEntry {
     "text_quality" -> textQualitySql,
     "text_repetition" -> textRepetitionSql,
     "text_redaction" -> textRedactionSql,
+    "text_lm_perplexity" -> textLmPerplexitySql,
     "ann_index_append" ->
       """SELECT * FROM (VALUES ('appended_index_equals_inline', true),
          ('drift_is_fraction', true)) AS t("check", ok) ORDER BY "check"""",
@@ -1947,6 +1979,47 @@ object SparkEntry {
          coalesce(string_agg(CASE WHEN is_bp THEN NULL ELSE line END,
            chr(10) ORDER BY pos), '') AS cleaned
        FROM mark GROUP BY doc_id, source ORDER BY doc_id"""
+
+  /** text_lm_perplexity oracle: add-one-smoothed char-trigram model over
+    * the training 90%, scored on the held-out tenth and its reversed twin.
+    * sum_p_x1e9 mirrors the Spark expression term-for-term (one IEEE
+    * division of integer-derived operands per position, HALF_UP == half-
+    * away for positives, integer sum); the NLL margin boolean uses the
+    * same 1900 milli-nat floor. Series cap 1000 covers len-2 positions
+    * under the 1007-byte ASCII invariant Verify asserts. */
+  private def textLmPerplexitySql: String =
+    """WITH train AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
+       grams AS (SELECT substr(text, CAST(i AS INT), 3) AS gram,
+                   CAST(count(*) AS BIGINT) AS cnt
+                 FROM train, generate_series(1, 1000) t(i)
+                 WHERE i <= length(text) - 2 GROUP BY 1),
+       ctx AS (SELECT substr(gram, 1, 2) AS ctx,
+                 CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+               FROM grams GROUP BY 1),
+       held AS (SELECT doc_id, coalesce(text, '') AS text FROM documents
+                WHERE doc_id % 10 = 0),
+       var AS (SELECT doc_id, 'real' AS variant, text FROM held
+               UNION ALL SELECT doc_id, 'rev', reverse(text) FROM held),
+       pos AS (SELECT doc_id, variant, substr(text, CAST(i AS INT), 3) AS gram
+               FROM var, generate_series(1, 1000) t(i)
+               WHERE i <= length(text) - 2),
+       p AS (SELECT doc_id, variant,
+               coalesce(g.cnt, 0) + 1 AS g1,
+               coalesce(c.ctx_cnt, 0) + 96 AS c1
+             FROM pos LEFT JOIN grams g USING (gram)
+                      LEFT JOIN ctx c ON c.ctx = substr(pos.gram, 1, 2)),
+       sc AS (SELECT doc_id, variant,
+                CAST(count(*) AS BIGINT) AS n_pos,
+                CAST(sum(CAST(round(g1 * 1000000000.0 / c1) AS BIGINT))
+                  AS BIGINT) AS sum_p_x1e9,
+                sum(ln(CAST(c1 AS DOUBLE) / g1)) AS nll
+              FROM p GROUP BY 1, 2)
+       SELECT r.doc_id, r.n_pos, r.sum_p_x1e9,
+         round((v.nll - r.nll) * 1000 / greatest(r.n_pos, 1)) >= 1900
+           AS real_better
+       FROM sc r JOIN sc v ON v.doc_id = r.doc_id AND v.variant = 'rev'
+       WHERE r.variant = 'real'
+       ORDER BY r.doc_id"""
 
   /** text_redaction oracle: the twin-corpus construction mirrors the Spark
     * query's concat chain token-for-token; the count/redact SELECT list is

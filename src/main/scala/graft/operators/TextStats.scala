@@ -250,4 +250,87 @@ object TextStats {
         distinctRatioX100 >= 5 &&
         dupLine <= 30 && dupPara <= 30).as("is_quality"))
   }
+
+  // ---- character n-gram LM quality scoring (CCNet-style) -------------------
+
+  /** Train a character n-gram language model: counts of every n-byte gram
+    * in the training corpus. The table is VOCABULARY-bounded — at most
+    * |alphabet|^n rows regardless of corpus size (96^3 ≈ 885k for
+    * printable-ASCII trigrams) — so it broadcasts at any corpus scale; the
+    * one shuffle here is the (gram) count aggregation with map-side
+    * partials. Context counts derive from this table by prefix (sum over
+    * the last char), guaranteeing Σ_c cnt(ctx·c) = cnt(ctx) exactly. */
+  /** All n-grams of `t` as an array — empty for texts shorter than n
+    * (Spark's `sequence(1, 0)` counts DOWN, so the start index must be
+    * guarded, not just the stop). */
+  private def gramArray(t: Column, n: Int): Column =
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  def charNgramCounts(
+      train: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"n=$n: need at least bigram for a conditional model")
+    val t = coalesce(col(textCol), lit(""))
+    train
+      .select(explode(gramArray(t, n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Score documents against a trained [[charNgramCounts]] model with
+    * add-one (Laplace) smoothing over a fixed `vocab`-sized alphabet:
+    * P(c | ctx) = (cnt(ctx·c) + 1) / (cnt(ctx) + vocab).
+    *
+    * Two scores per document, following the repo's determinism split:
+    *  - `sum_p_x1e9` (BIGINT, ORACLE-SAFE): Σ_positions
+    *    round((cnt+1)·1e9 / (ctx+vocab)) — the numerator product is exact
+    *    in a double below 2^53, so each term is ONE correctly-rounded IEEE
+    *    division of integer-derived operands, then an integer sum
+    *    (order-independent). Gates byte-exact, same precedent as the KMV
+    *    estimate and the cents discipline.
+    *  - `nll` (DOUBLE): Σ ln((ctx+vocab)/(cnt+1)), the standard negative
+    *    log-likelihood. A float SUM (IEEE order) — NEVER gate its bytes;
+    *    gate margin booleans on per-char differences (the
+    *    `text_lm_perplexity` gate uses milli-nat margins far above
+    *    cross-engine log jitter).
+    *
+    * The model joins in BROADCAST (vocabulary-bounded, see
+    * [[charNgramCounts]]); the per-position explode never shuffles — the
+    * only exchange is the final groupBy(id). Documents shorter than n
+    * keep a row with n_pos = 0 (F4 posture). */
+  def lmScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      grams: DataFrame,
+      n: Int,
+      vocab: Int = 96): DataFrame = {
+    require(n >= 2, s"n=$n")
+    require(vocab >= 2, s"vocab=$vocab")
+    val t = coalesce(col(textCol), lit(""))
+    val ctx = grams
+      .groupBy(expr("substring(gram, 1, " + (n - 1) + ")").as("ctx"))
+      .agg(sum(col("cnt")).as("ctx_cnt"))
+    val pos = docs.select(col(idCol),
+      explode(gramArray(t, n)).as("gram"))
+    val p = pos
+      .join(broadcast(grams), Seq("gram"), "left")
+      .join(broadcast(ctx),
+        expr("substring(gram, 1, " + (n - 1) + ")") === col("ctx"), "left")
+      .select(col(idCol),
+        (coalesce(col("cnt"), lit(0L)) + 1L).as("g1"),
+        (coalesce(col("ctx_cnt"), lit(0L)) + vocab.toLong).as("c1"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_pos"),
+        sum(round(col("g1") * 1000000000.0 / col("c1")).cast("long"))
+          .as("sum_p_x1e9"),
+        sum(log(col("c1").cast("double") / col("g1"))).as("nll"))
+    docs.select(col(idCol)).join(p, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("sum_p_x1e9"), lit(0L)).as("sum_p_x1e9"),
+        coalesce(col("nll"), lit(0.0)).as("nll"))
+  }
 }

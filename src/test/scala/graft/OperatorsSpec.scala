@@ -1171,6 +1171,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("char-trigram LM: Laplace-smoothed scores match hand computation") {
+    val model = TextStats.charNgramCounts(Seq("ababa").toDF("text"), "text", 3)
+    assert(model.as[(String, Long)].collect().toMap ==
+      Map("aba" -> 2L, "bab" -> 1L))
+    val docs = Seq((1L, "abab"), (2L, "zzz"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val got = TextStats.lmScore(docs, "doc_id", "text", model, 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // "abab": P(aba)=(2+1)/(2+96), P(bab)=(1+1)/(1+96);
+    // round(3e9/98)=30612245, round(2e9/97)=20618557
+    assert(got(1L)._2 == 2L && got(1L)._3 == 51230802L, s"${got(1L)}")
+    assert(math.abs(got(1L)._4 -
+      (math.log(98.0 / 3) + math.log(97.0 / 2))) < 1e-9)
+    // unseen gram AND unseen context: P = 1/96
+    assert(got(2L)._2 == 1L && got(2L)._3 == 10416667L, s"${got(2L)}")
+    assert(math.abs(got(2L)._4 - math.log(96.0)) < 1e-9)
+    // shorter than n: zero positions, row preserved (F4)
+    assert(got(3L) == (3L, 0L, 0L, 0.0), s"${got(3L)}")
+  }
+
   test("boilerplate lines strip per source, order-preserving, F4 posture") {
     val d = Seq(
       (1L, "web", "HEADER\nalpha\nFOOTER"),
