@@ -172,4 +172,26 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(joinParts.nonEmpty, s"no (key, salt) exchange in:\n$p")
     assert(joinParts.forall(_.contains("k#")), joinParts.mkString("\n"))
   }
+
+  test("boilerplate strip applies the threshold table as a broadcast join") {
+    val p = plan("dedup_boilerplate_lines")
+    // the (source, line) COUNT legitimately shuffles; the strip-back join
+    // of the threshold-small boilerplate table must broadcast, never
+    // sort-merge the full line stream against it
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("lm scoring joins the vocabulary-bounded model broadcast") {
+    val p = plan("text_lm_perplexity")
+    // gram + context model joins: at least two broadcast exchanges; the
+    // per-position stream must never hash-shuffle on the gram strings
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    // gram-keyed exchanges may only be the model build's two count
+    // shuffles (gram, then the derived ctx prefix); a third would mean
+    // the PER-POSITION stream hash-shuffles on gram strings — the layout
+    // the broadcast exists to avoid
+    val gramParts = "hashpartitioning\\([^)]*gram[^)]*\\)".r.findAllIn(p).toSeq
+    assert(gramParts.size <= 2,
+      s"per-position gram stream shuffles on gram strings:\n$gramParts")
+  }
 }

@@ -116,7 +116,10 @@ class WorkflowSpec extends AnyFunSuite with SparkTestBase {
         evalLeak),                           // contaminated by the eval set
       (6L, "entirely different prose on sketching engines and data " +
         "streams merging partial summaries across executors at scale " * 6 +
-        " contact admin@example.com or 555-123-4567 ref 987654321012")
+        " contact admin@example.com or 555-123-4567 ref 987654321012"),
+      (7L, ("qzxv wkjq mzzw pqvt zkkw xqwj vbnm grtx plmk juhy bgtr " +
+        "cdwq xswz mkop vfrt byhn qazx wsed rfgb tyhj ikol zaqw xcde " +
+        "vbgt nhyu mjik pluo qwas erdf tgyh ") * 6) // shape-plausible gibberish
     ).toDF("doc_id", "text")
     val heldout = Seq((900L, "question preamble " + evalLeak))
       .toDF("doc_id", "text")
@@ -127,10 +130,34 @@ class WorkflowSpec extends AnyFunSuite with SparkTestBase {
       quality.where(col("is_quality")).select("doc_id"), "doc_id")
     val goodIds = good.select("doc_id").as[Long].collect().toSet
     assert(!goodIds.contains(4L), "degenerate doc survived the quality gate")
-    assert(Set(1L, 2L, 3L, 5L, 6L).subsetOf(goodIds))
+    assert(Set(1L, 2L, 3L, 5L, 6L, 7L).subsetOf(goodIds),
+      "the gibberish doc has plausible token shape — only the LM drops it")
+
+    // 1b. LM perplexity filter (CCNet): train a char-trigram model on a
+    //     TRUSTED reference corpus covering the domain language, drop docs
+    //     whose per-char NLL exceeds the cutoff — catches shape-plausible
+    //     gibberish the token-shape gate cannot see. The reference must be
+    //     big enough that Laplace smoothing stops dominating seen trigrams
+    //     (a 3x-prose reference scored EVERYTHING at ~3000+ milli-nats).
+    //     Measured: survivors 1642-2938, rejects 4131/4588 — cutoff 3500.
+    val reference = Seq(prose * 20,
+      ("training article with an original body of words standing " +
+        "alone apart from every other document in this corpus ") * 8,
+      ("entirely different prose on sketching engines and data " +
+        "streams merging partial summaries across executors at scale ") * 8
+    ).toDF("text")
+    val model = TextStats.charNgramCounts(reference, "text", 3)
+    val lmScored = TextStats.lmScore(good, "doc_id", "text", model, 3)
+      .withColumn("nll_milli_per_char",
+        round(col("nll") * 1000 / greatest(col("n_pos"), lit(1L))))
+    val lmGood = good.join(lmScored.where(col("nll_milli_per_char") < 3500)
+      .select("doc_id"), "doc_id")
+    val lmIds = lmGood.select("doc_id").as[Long].collect().toSet
+    assert(!lmIds.contains(7L), "gibberish survived the LM filter")
+    assert(Set(1L, 2L, 3L, 5L, 6L) == lmIds, s"LM mis-filtered: $lmIds")
 
     // 2. exact + near dedup: keep canonical copies only
-    val canon = Dedup.nearDupCanonical(good, "doc_id", "text",
+    val canon = Dedup.nearDupCanonical(lmGood, "doc_id", "text",
       numBands = 32, rowsPerBand = 4, threshold = 0.6)
     val keep = canon.where(col("is_canonical"))
       .select("doc_id").as[Long].collect().toSet
@@ -139,7 +166,7 @@ class WorkflowSpec extends AnyFunSuite with SparkTestBase {
     assert(keep.contains(1L))
 
     // 3. decontamination: drop training docs sharing a span with the eval set
-    val deduped = good.join(canon.where(col("is_canonical"))
+    val deduped = lmGood.join(canon.where(col("is_canonical"))
       .select("doc_id"), "doc_id")
     val leaked = Dedup.crossSpanContamination(deduped, "doc_id",
       heldout, "doc_id", "text")
