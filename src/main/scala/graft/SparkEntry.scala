@@ -1174,8 +1174,10 @@ object SparkEntry {
     // ENGINES: 4 lines + a trailing empty line per doc — a per-source
     // copyright header (always boilerplate), a unique doc line, a
     // SUBSCRIBE banner on even doc_ids (sits AT the 50% threshold, so the
-    // per-source exact count decides), the first 40 text chars, and the
-    // empty trailing line (always boilerplate). Static 5-line twin → the
+    // per-source exact count decides), the first 40 text chars
+    // (newline-sanitized, so a future dataset with embedded newlines
+    // cannot push the twin past the oracle's line cap), and the empty
+    // trailing line (always boilerplate). Provably-5-line twin → the
     // oracle's generate_series line cap of 8 can never truncate.
     "dedup_boilerplate_lines" -> { (s, dir) =>
       val h = md5(col("doc_id").cast("string"))
@@ -1186,7 +1188,8 @@ object SparkEntry {
           when(pmod(col("doc_id"), lit(2)) === 0,
             lit("SUBSCRIBE TO OUR NEWSLETTER"))
             .otherwise(concat(lit("body "), substring(h, 1, 8))), lit("\n"),
-          substring(coalesce(col("text"), lit("")), 1, 40), lit("\n")
+          replace(substring(coalesce(col("text"), lit("")), 1, 40),
+            lit("\n"), lit(" ")), lit("\n")
         ).as("text"))
       Dedup.stripBoilerplateLines(twin, "doc_id", "text", "source",
           minFrac = 0.5, minDocs = 2)
@@ -1956,7 +1959,8 @@ object SparkEntry {
            || CASE WHEN doc_id % 2 = 0 THEN 'SUBSCRIBE TO OUR NEWSLETTER'
                    ELSE 'body ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
               END || chr(10)
-           || substr(coalesce(text, ''), 1, 40) || chr(10) AS text
+           || replace(substr(coalesce(text, ''), 1, 40), chr(10), ' ')
+           || chr(10) AS text
          FROM documents),
        ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS l
               FROM twin),
@@ -1985,13 +1989,17 @@ object SparkEntry {
     * sum_p_x1e9 mirrors the Spark expression term-for-term (one IEEE
     * division of integer-derived operands per position, HALF_UP == half-
     * away for positives, integer sum); the NLL margin boolean uses the
-    * same 1900 milli-nat floor. Series cap 1000 covers len-2 positions
-    * under the 1007-byte ASCII invariant Verify asserts. */
+    * same 1900 milli-nat floor. Series cap 1005 = 1007 - 2 covers every
+    * len-2 trigram position under the 1007-byte ASCII invariant Verify
+    * asserts (a 1000 cap would drop the tail positions of 1003-1007-byte
+    * docs). The final LEFT JOIN from `held` mirrors lmScore's F4 posture:
+    * a doc shorter than 3 chars keeps a (0, 0, false) row instead of
+    * vanishing from the oracle while Spark preserves it. */
   private def textLmPerplexitySql: String =
     """WITH train AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
        grams AS (SELECT substr(text, CAST(i AS INT), 3) AS gram,
                    CAST(count(*) AS BIGINT) AS cnt
-                 FROM train, generate_series(1, 1000) t(i)
+                 FROM train, generate_series(1, 1005) t(i)
                  WHERE i <= length(text) - 2 GROUP BY 1),
        ctx AS (SELECT substr(gram, 1, 2) AS ctx,
                  CAST(sum(cnt) AS BIGINT) AS ctx_cnt
@@ -2001,7 +2009,7 @@ object SparkEntry {
        var AS (SELECT doc_id, 'real' AS variant, text FROM held
                UNION ALL SELECT doc_id, 'rev', reverse(text) FROM held),
        pos AS (SELECT doc_id, variant, substr(text, CAST(i AS INT), 3) AS gram
-               FROM var, generate_series(1, 1000) t(i)
+               FROM var, generate_series(1, 1005) t(i)
                WHERE i <= length(text) - 2),
        p AS (SELECT doc_id, variant,
                coalesce(g.cnt, 0) + 1 AS g1,
@@ -2014,12 +2022,15 @@ object SparkEntry {
                   AS BIGINT) AS sum_p_x1e9,
                 sum(ln(CAST(c1 AS DOUBLE) / g1)) AS nll
               FROM p GROUP BY 1, 2)
-       SELECT r.doc_id, r.n_pos, r.sum_p_x1e9,
-         round((v.nll - r.nll) * 1000 / greatest(r.n_pos, 1)) >= 1900
-           AS real_better
-       FROM sc r JOIN sc v ON v.doc_id = r.doc_id AND v.variant = 'rev'
-       WHERE r.variant = 'real'
-       ORDER BY r.doc_id"""
+       SELECT h.doc_id,
+         CAST(coalesce(r.n_pos, 0) AS BIGINT) AS n_pos,
+         CAST(coalesce(r.sum_p_x1e9, 0) AS BIGINT) AS sum_p_x1e9,
+         round((coalesce(v.nll, 0) - coalesce(r.nll, 0)) * 1000 /
+           greatest(coalesce(r.n_pos, 0), 1)) >= 1900 AS real_better
+       FROM held h
+         LEFT JOIN sc r ON r.doc_id = h.doc_id AND r.variant = 'real'
+         LEFT JOIN sc v ON v.doc_id = h.doc_id AND v.variant = 'rev'
+       ORDER BY h.doc_id"""
 
   /** text_redaction oracle: the twin-corpus construction mirrors the Spark
     * query's concat chain token-for-token; the count/redact SELECT list is

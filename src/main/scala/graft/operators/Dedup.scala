@@ -572,8 +572,12 @@ object Dedup {
       minDocs: Int = 2): DataFrame = {
     require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac=$minFrac")
     require(minDocs >= 1, s"minDocs=$minDocs")
+    // coalesce: posexplode of split(NULL) emits ZERO rows — a NULL-text doc
+    // would silently vanish (while still counting in docsPerSource),
+    // violating the F4 contract below
     val lines = df.select(col(idCol), col(sourceCol),
-      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+        .as(Seq("pos", "line")))
     val docsPerSource = df.groupBy(col(sourceCol))
       .agg(countDistinct(col(idCol)).as("__nd"))
     val bp = lines.select(col(sourceCol), col("line"), col(idCol)).distinct()

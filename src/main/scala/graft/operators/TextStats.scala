@@ -253,13 +253,6 @@ object TextStats {
 
   // ---- character n-gram LM quality scoring (CCNet-style) -------------------
 
-  /** Train a character n-gram language model: counts of every n-byte gram
-    * in the training corpus. The table is VOCABULARY-bounded — at most
-    * |alphabet|^n rows regardless of corpus size (96^3 ≈ 885k for
-    * printable-ASCII trigrams) — so it broadcasts at any corpus scale; the
-    * one shuffle here is the (gram) count aggregation with map-side
-    * partials. Context counts derive from this table by prefix (sum over
-    * the last char), guaranteeing Σ_c cnt(ctx·c) = cnt(ctx) exactly. */
   /** All n-grams of `t` as an array — empty for texts shorter than n
     * (Spark's `sequence(1, 0)` counts DOWN, so the start index must be
     * guarded, not just the stop). */
@@ -269,6 +262,13 @@ object TextStats {
         i => t.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
 
+  /** Train a character n-gram language model: counts of every n-byte gram
+    * in the training corpus. The table is VOCABULARY-bounded — at most
+    * |alphabet|^n rows regardless of corpus size (96^3 ≈ 885k for
+    * printable-ASCII trigrams) — so it broadcasts at any corpus scale; the
+    * one shuffle here is the (gram) count aggregation with map-side
+    * partials. Context counts derive from this table by prefix (sum over
+    * the last char), guaranteeing Σ_c cnt(ctx·c) = cnt(ctx) exactly. */
   def charNgramCounts(
       train: DataFrame, textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"n=$n: need at least bigram for a conditional model")

@@ -1197,6 +1197,7 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       (2L, "web", "HEADER\nbeta\nFOOTER"),
       (3L, "web", "HEADER\ngamma unique\nonly here"),
       (6L, "web", "HEADER\nFOOTER"), // fully boilerplate — must survive
+      (8L, "web", null), // NULL text — F4: must survive as one empty line
       // same literal line in ANOTHER source stays: thresholds are
       // per-source (1 of 2 forum docs < minDocs = 2)
       (4L, "forum", "HEADER\ndelta"),
@@ -1206,12 +1207,14 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         minFrac = 0.5, minDocs = 2)
       .select("doc_id", "n_lines", "n_removed", "cleaned")
       .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
-    // web: 4 docs, threshold max(2, ceil(2)) = 2 — HEADER (4) and
-    // FOOTER (3) are boilerplate, every body line is unique
+    // web: 5 docs, threshold max(2, ceil(2.5)) = 3 — HEADER (4) and
+    // FOOTER (3) are boilerplate, every body line is unique; the NULL
+    // doc's lone empty line (1 < 3) is not
     assert(got(1L) == (1L, 3L, 2L, "alpha"), s"${got(1L)}")
     assert(got(2L) == (2L, 3L, 2L, "beta"), s"${got(2L)}")
     assert(got(3L) == (3L, 3L, 1L, "gamma unique\nonly here"), s"${got(3L)}")
     assert(got(6L) == (6L, 2L, 2L, ""), s"${got(6L)}")
+    assert(got(8L) == (8L, 1L, 0L, ""), s"${got(8L)}")
     assert(got(4L) == (4L, 2L, 0L, "HEADER\ndelta"), s"${got(4L)}")
     assert(got(5L) == (5L, 2L, 0L, "sig\nepsilon"), s"${got(5L)}")
   }
