@@ -711,6 +711,17 @@ object SparkEntry {
           substring(md5(col("doc_id").cast("string")), 1, 20)).as("text"))
       TextStats.piiScrub(twin, "doc_id", "text").orderBy("doc_id")
     },
+    // BPE tokenizer training (Sennrich et al. 2016): six merge steps over
+    // the documents word vocabulary, each a frequency-weighted adjacent-
+    // pair count with a lexicographic tie-break — every learned (pair,
+    // merged) row depends on the exact counts of the whole corpus AND on
+    // all previous merges, so six byte-exact rows gate the entire
+    // iterative pipeline. The oracle replays the identical six rounds as
+    // chained CTEs (generated, single-source constants).
+    "text_bpe_merges" -> { (s, dir) =>
+      TextStats.bpeTrain(t(s, dir, "documents"), "text", steps = BpeSteps,
+        maxWordLen = BpeMaxWordLen).orderBy("step")
+    },
     // Character-trigram LM quality scoring (the CCNet perplexity filter):
     // train on doc_id%10!=0, score the held-out tenth AND its char-reversed
     // twin against the same model. sum_p_x1e9 gates BYTE-EXACT (one IEEE
@@ -1890,6 +1901,7 @@ object SparkEntry {
     "text_repetition" -> textRepetitionSql,
     "text_redaction" -> textRedactionSql,
     "text_lm_perplexity" -> textLmPerplexitySql,
+    "text_bpe_merges" -> bpeMergesSql,
     "ann_index_append" ->
       """SELECT * FROM (VALUES ('appended_index_equals_inline', true),
          ('drift_is_fraction', true)) AS t("check", ok) ORDER BY "check"""",
@@ -1983,6 +1995,59 @@ object SparkEntry {
          coalesce(string_agg(CASE WHEN is_bp THEN NULL ELSE line END,
            chr(10) ORDER BY pos), '') AS cleaned
        FROM mark GROUP BY doc_id, source ORDER BY doc_id"""
+
+  /** text_bpe_merges constants — shared by the gate query and the
+    * generated oracle so they cannot de-synchronize. */
+  private val BpeSteps = 6
+  private val BpeMaxWordLen = 30
+
+  /** text_bpe_merges oracle: the same `BpeSteps` merge rounds as
+    * TextStats.bpeTrain, generated as chained CTEs. Each round counts
+    * frequency-weighted adjacent symbol pairs (series cap = BpeMaxWordLen
+    * symbols per word), takes the (cnt DESC, pair ASC) top-1, and applies
+    * the merge with the SAME two replace passes as the engine (a leftmost
+    * match consumes a back-to-back occurrence's shared boundary space;
+    * missed occurrences are never adjacent, so two passes are exhaustive).
+    * string_split_regex('\s+') mirrors Spark's split("\\s+"); words longer
+    * than BpeMaxWordLen are excluded on both sides. Every CTE is
+    * MATERIALIZED: each round references its predecessor from both the
+    * pair count and the rewrite (plus four scalar m-subqueries), so
+    * DuckDB's default inlining re-evaluates the whole prefix chain
+    * exponentially many times — materialization makes the oracle linear
+    * in rounds, like the engine. */
+  private def bpeMergesSql: String = {
+    def rep(inner: String, r: Int): String =
+      s"""replace($inner, ' ' || (SELECT pair FROM m$r) || ' ',
+                  ' ' || (SELECT merged FROM m$r) || ' ')"""
+    val rounds = (1 to BpeSteps).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i+1 AS INT)]
+                 AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+               FROM (SELECT string_split(trim(sym), ' ') AS l, freq
+                     FROM w${r - 1}),
+                    generate_series(1, $BpeMaxWordLen) t(i)
+               WHERE i < len(l) GROUP BY 1),
+         m$r AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged FROM p$r
+               ORDER BY cnt DESC, pair LIMIT 1),
+         w$r AS MATERIALIZED (SELECT ${rep(rep("sym", r), r)} AS sym, freq
+               FROM w${r - 1})"""
+    }.mkString(",\n       ")
+    val sel = (1 to BpeSteps)
+      .map(r => s"SELECT $r AS step, pair, merged FROM m$r")
+      .mkString("\n         UNION ALL ")
+    val ws = "\\s+" // rendered \s+ — dodge triple-quote escape ambiguity
+    s"""WITH words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(string_split_regex(trim(coalesce(text, '')),
+                 '$ws')) AS w
+               FROM documents)
+         WHERE length(w) BETWEEN 1 AND $BpeMaxWordLen GROUP BY w),
+       w0 AS MATERIALIZED (SELECT ' ' || string_agg(substr(w, CAST(i AS INT), 1), ' '
+                ORDER BY i) || ' ' AS sym, freq
+              FROM words, generate_series(1, $BpeMaxWordLen) t(i)
+              WHERE i <= length(w)
+              GROUP BY w, freq),
+       $rounds
+       SELECT step, pair, merged FROM ($sel) ORDER BY step"""
+  }
 
   /** text_lm_perplexity oracle: add-one-smoothed char-trigram model over
     * the training 90%, scored on the held-out tenth and its reversed twin.

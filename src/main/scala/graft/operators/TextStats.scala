@@ -333,4 +333,86 @@ object TextStats {
         coalesce(col("sum_p_x1e9"), lit(0L)).as("sum_p_x1e9"),
         coalesce(col("nll"), lit(0.0)).as("nll"))
   }
+
+  // ---- BPE tokenizer training ----------------------------------------------
+
+  /** Train `steps` BPE merges over a corpus (Sennrich et al. 2016 —
+    * byte-pair encoding): start from characters, repeatedly merge the
+    * most-frequent adjacent symbol pair (frequency-weighted over the
+    * word-vocabulary, lexicographically-smallest pair on ties, so the
+    * result is byte-deterministic under any partitioning).
+    *
+    * Scale posture: the corpus is read ONCE for the word-frequency table;
+    * every merge iteration then shuffles only the VOCABULARY's pair counts
+    * (distinct words × symbols-per-word, corpus-size-independent), and the
+    * driver holds one row per step. Iterative caching follows the repo
+    * convention: each iteration's table is persisted and its predecessor
+    * unpersisted only after the successor materializes.
+    *
+    * Merge application is two chained `replace` passes per step: a
+    * leftmost match consumes the shared boundary space of a back-to-back
+    * occurrence (" a b a b " matches once), and since missed occurrences
+    * are never adjacent — a missed occurrence keeps its trailing space, so
+    * the next occurrence would have matched — the second pass is
+    * exhaustive. The oracle mirrors both passes.
+    *
+    * @return (step INT, pair STRING, merged STRING), one row per merge, in
+    *         step order; fewer than `steps` rows when the vocabulary runs
+    *         out of adjacent pairs. */
+  def bpeTrain(
+      df: DataFrame,
+      textCol: String,
+      steps: Int,
+      maxWordLen: Int = 30): DataFrame = {
+    require(steps >= 1 && steps <= 64, s"steps=$steps")
+    require(maxWordLen >= 2, s"maxWordLen=$maxWordLen")
+    val spark = df.sparkSession
+    val t = coalesce(col(textCol), lit(""))
+    val words = df
+      .select(explode(split(trim(t), "\\s+")).as("w"))
+      .where(length(col("w")).between(1, maxWordLen))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var syms = words.select(
+      concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" "))
+        .as("sym"),
+      col("freq")).persist()
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val arr = split(trim(col("sym")), " ")
+      val top = syms.select(
+        explode(when(size(arr) >= 2,
+          transform(sequence(lit(1), size(arr) - 1),
+            i => concat(element_at(arr, i), lit(" "),
+              element_at(arr, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"),
+        col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect() // also materializes this iteration's cache
+      if (prev != null) { prev.unpersist(); prev = null }
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val merged = pair.replace(" ", "")
+        merges += ((step, pair, merged))
+        if (step < steps) {
+          def pass(c: Column) =
+            replace(c, lit(s" $pair "), lit(s" $merged "))
+          val next = syms
+            .select(pass(pass(col("sym"))).as("sym"), col("freq"))
+            .persist()
+          prev = syms
+          syms = next
+        }
+      }
+      step += 1
+    }
+    if (prev != null) prev.unpersist()
+    syms.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("step", "pair", "merged")
+  }
 }

@@ -1191,6 +1191,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == (3L, 0L, 0L, 0.0), s"${got(3L)}")
   }
 
+  test("bpeTrain: hand-traced merges, tie-break, boundary adjacency") {
+    // classic corpus: low:3, lower:1, lowest:1 — step 1 ties (l,o) with
+    // (o,w) at 5 and the lexicographic tie-break picks "l o"
+    val d = Seq("low lower lowest", "low low").toDF("text")
+    val got = TextStats.bpeTrain(d, "text", steps = 4)
+      .as[(Int, String, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1, "l o", "lo"), (2, "lo w", "low"),
+      (3, "low e", "lowe"), (4, "lowe r", "lower")), s"$got")
+    // back-to-back occurrences share a boundary space: one replace pass
+    // would leave " aa a a " after step 1 and re-learn ("a a") at step 2;
+    // the two-pass application yields [aa][aa] and step 2 = ("aa aa")
+    val aaaa = Seq("aaaa").toDF("text")
+    val got2 = TextStats.bpeTrain(aaaa, "text", steps = 2)
+      .as[(Int, String, String)].collect().sortBy(_._1).toSeq
+    assert(got2 == Seq((1, "a a", "aa"), (2, "aa aa", "aaaa")), s"$got2")
+    // vocabulary exhaustion: single-char words have no pairs — fewer rows
+    val tiny = Seq("a b a").toDF("text")
+    assert(TextStats.bpeTrain(tiny, "text", steps = 3).count() == 0)
+  }
+
   test("boilerplate lines strip per source, order-preserving, F4 posture") {
     val d = Seq(
       (1L, "web", "HEADER\nalpha\nFOOTER"),
