@@ -722,6 +722,20 @@ object SparkEntry {
       TextStats.bpeTrain(t(s, dir, "documents"), "text", steps = BpeSteps,
         maxWordLen = BpeMaxWordLen).orderBy("step")
     },
+    // The encode half: train the six merges, then tokenize EVERY document
+    // with them row-locally (zero shuffle — the merges ride along as
+    // string literals) and gate the per-doc word/BPE-token counts
+    // byte-exact. The oracle re-derives the identical merges from its own
+    // CTE chain, so this gate cross-checks train AND encode end-to-end.
+    "text_bpe_tokens" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val merges = TextStats.bpeTrain(docs, "text", steps = BpeSteps,
+        maxWordLen = BpeMaxWordLen)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextStats.bpeTokenCount(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    },
     // Character-trigram LM quality scoring (the CCNet perplexity filter):
     // train on doc_id%10!=0, score the held-out tenth AND its char-reversed
     // twin against the same model. sum_p_x1e9 gates BYTE-EXACT (one IEEE
@@ -1902,6 +1916,7 @@ object SparkEntry {
     "text_redaction" -> textRedactionSql,
     "text_lm_perplexity" -> textLmPerplexitySql,
     "text_bpe_merges" -> bpeMergesSql,
+    "text_bpe_tokens" -> bpeTokensSql,
     "ann_index_append" ->
       """SELECT * FROM (VALUES ('appended_index_equals_inline', true),
          ('drift_is_fraction', true)) AS t("check", ok) ORDER BY "check"""",
@@ -2015,10 +2030,18 @@ object SparkEntry {
     * DuckDB's default inlining re-evaluates the whole prefix chain
     * exponentially many times — materialization makes the oracle linear
     * in rounds, like the engine. */
-  private def bpeMergesSql: String = {
-    def rep(inner: String, r: Int): String =
-      s"""replace($inner, ' ' || (SELECT pair FROM m$r) || ' ',
+  /** The two-pass merge application for round r, as SQL (same shape the
+    * engine uses — see TextStats.bpeTrain scaladoc). */
+  private def bpeRep(inner: String, r: Int): String = {
+    def once(i: String) =
+      s"""replace($i, ' ' || (SELECT pair FROM m$r) || ' ',
                   ' ' || (SELECT merged FROM m$r) || ' ')"""
+    once(once(inner))
+  }
+
+  /** The shared CTE chain (word table → char symbols → BpeSteps rounds of
+    * count/top-1/rewrite) used by both BPE oracles. */
+  private def bpeCtes: String = {
     val rounds = (1 to BpeSteps).map { r =>
       s"""p$r AS MATERIALIZED (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i+1 AS INT)]
                  AS pair, CAST(sum(freq) AS BIGINT) AS cnt
@@ -2028,14 +2051,11 @@ object SparkEntry {
                WHERE i < len(l) GROUP BY 1),
          m$r AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged FROM p$r
                ORDER BY cnt DESC, pair LIMIT 1),
-         w$r AS MATERIALIZED (SELECT ${rep(rep("sym", r), r)} AS sym, freq
+         w$r AS MATERIALIZED (SELECT ${bpeRep("sym", r)} AS sym, freq
                FROM w${r - 1})"""
     }.mkString(",\n       ")
-    val sel = (1 to BpeSteps)
-      .map(r => s"SELECT $r AS step, pair, merged FROM m$r")
-      .mkString("\n         UNION ALL ")
     val ws = "\\s+" // rendered \s+ — dodge triple-quote escape ambiguity
-    s"""WITH words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq
+    s"""words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq
          FROM (SELECT unnest(string_split_regex(trim(coalesce(text, '')),
                  '$ws')) AS w
                FROM documents)
@@ -2045,8 +2065,42 @@ object SparkEntry {
               FROM words, generate_series(1, $BpeMaxWordLen) t(i)
               WHERE i <= length(w)
               GROUP BY w, freq),
-       $rounds
+       $rounds"""
+  }
+
+  private def bpeMergesSql: String = {
+    val sel = (1 to BpeSteps)
+      .map(r => s"SELECT $r AS step, pair, merged FROM m$r")
+      .mkString("\n         UNION ALL ")
+    s"""WITH $bpeCtes
        SELECT step, pair, merged FROM ($sel) ORDER BY step"""
+  }
+
+  /** text_bpe_tokens oracle: re-derives the same six merges via [[bpeCtes]]
+    * and applies them to every document row-locally — per-word char
+    * symbols joined by DOUBLE spaces (no merge can span a word boundary),
+    * the identical two-pass rewrite per round, token count = remaining
+    * space-separated symbols. Empty docs guard to (0, 0). */
+  private def bpeTokensSql: String = {
+    val ws = "\\s+"
+    val enc = (1 to BpeSteps).foldLeft("sym")(bpeRep)
+    s"""WITH $bpeCtes,
+       ds AS MATERIALIZED (SELECT doc_id,
+              trim(coalesce(text, '')) AS t,
+              ' ' || array_to_string(list_transform(
+                  string_split_regex(trim(coalesce(text, '')), '$ws'),
+                  w -> array_to_string(string_split(w, ''), ' ')), '  ')
+                || ' ' AS sym
+            FROM documents),
+       enc AS (SELECT doc_id, t, $enc AS sym FROM ds)
+       SELECT doc_id,
+         CASE WHEN length(t) = 0 THEN 0
+              ELSE CAST(len(string_split_regex(trim(t), '$ws')) AS BIGINT)
+         END AS n_words,
+         CASE WHEN length(t) = 0 THEN 0
+              ELSE CAST(len(string_split_regex(trim(sym), ' +')) AS BIGINT)
+         END AS n_tokens
+       FROM enc ORDER BY doc_id"""
   }
 
   /** text_lm_perplexity oracle: add-one-smoothed char-trigram model over

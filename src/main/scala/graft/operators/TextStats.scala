@@ -415,4 +415,35 @@ object TextStats {
     import spark.implicits._
     merges.toSeq.toDF("step", "pair", "merged")
   }
+
+  /** Apply learned [[bpeTrain]] merges and count BPE tokens per document —
+    * the encode half of the tokenizer. Entirely ROW-LOCAL codegen'd string
+    * ops (zero shuffle, zero joins): the document expands to per-word
+    * char-symbol strings (words separated by TWO spaces so no merge pair
+    * can span a word boundary), then each merge applies in learned order
+    * as the same two replace passes as training. `merges` is the tiny
+    * learned table (driver-side, O(steps)); at 100 TB the encode cost is
+    * one scan. Output: (id, n_words, n_tokens). */
+  def bpeTokenCount(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val words = split(trim(t), "\\s+")
+    val sym0 = concat(lit(" "),
+      array_join(transform(words, w => array_join(split(w, ""), " ")),
+        "  "),
+      lit(" "))
+    val symN = merges.foldLeft(sym0) { case (acc, (pair, merged)) =>
+      replace(replace(acc, lit(s" $pair "), lit(s" $merged ")),
+        lit(s" $pair "), lit(s" $merged "))
+    }
+    val empty = length(trim(t)) === 0
+    df.select(col(idCol),
+      when(empty, 0L).otherwise(size(words)).cast("long").as("n_words"),
+      when(empty, 0L)
+        .otherwise(size(split(trim(symN), " +"))).cast("long")
+        .as("n_tokens"))
+  }
 }

@@ -1212,6 +1212,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(TextStats.bpeTrain(tiny, "text", steps = 3).count() == 0)
   }
 
+  test("bpeTokenCount: learned merges tokenize docs row-locally") {
+    // merges from the hand-traced corpus: low→1 token, lower→1 (fully
+    // merged at step 4), lowest→3 (lowe+s+t), unseen word → chars
+    val merges = Seq("l o" -> "lo", "lo w" -> "low",
+      "low e" -> "lowe", "lowe r" -> "lower")
+    val d = Seq(
+      (1L, "low lower lowest"),
+      (2L, "lowlow"), // within-word back-to-back: [low][low] via two-pass
+      (3L, "zzz"),    // no merge applies: 3 char tokens
+      (4L, ""), (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextStats.bpeTokenCount(d, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 3L, 1L + 1L + 3L), s"${got(1L)}")
+    assert(got(2L) == (2L, 1L, 2L), s"${got(2L)}")
+    assert(got(3L) == (3L, 1L, 3L), s"${got(3L)}")
+    assert(got(4L) == (4L, 0L, 0L), s"${got(4L)}")
+    assert(got(5L) == (5L, 0L, 0L), s"${got(5L)}")
+  }
+
   test("boilerplate lines strip per source, order-preserving, F4 posture") {
     val d = Seq(
       (1L, "web", "HEADER\nalpha\nFOOTER"),
