@@ -26,6 +26,13 @@ object SparkEntry {
     * the driver gate, as in tools/check_oracle.py). */
   val TranscriptDumpPath = "/tmp/graft_verify_transcripts"
 
+  /** Fixed dump path for the cluster-balanced sample's cell assignment:
+    * the assignment layer is float math (covered by the ANN/semdedup
+    * gates); the oracle re-derives the md5 per-cell CAP from the dumped
+    * (id, cell) byte-exactly — same absolute-path convention as
+    * [[TranscriptDumpPath]]. */
+  val CellsDumpPath = "/tmp/graft_verify_cells"
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -1170,6 +1177,34 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy("doc_id")
     },
+    // Deterministic corpus export (global shuffle + dataloader shards):
+    // shard = 60-bit md5 decode mod 8, within-shard order = the same hash
+    // — one engine-portable permutation both engines replay verbatim.
+    // Byte-equality gate via Kmv.decodeHexSql's portable hex decode.
+    "export_shards" -> { (s, dir) =>
+      Sampling.exportShards(t(s, dir, "documents").select("doc_id"),
+          "doc_id", nShards = 8)
+        .orderBy("shard", "ord")
+    },
+    // Cluster-balanced (diversity) sampling: nearest-centroid cells over
+    // FROZEN hash-picked centroids (deterministic — exact corpus rows in
+    // xxhash64 order), then the md5 bottom-k cap per cell. The assignment
+    // is dumped for the oracle, which re-derives the cap byte-exactly;
+    // assignment-kernel correctness is the ANN/semdedup gates' job.
+    "sample_cluster_balanced" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = Similarity.pickCentroids(emb, 8)
+      emb.select(col("id"),
+          element_at(nearest_centroids(col("vec"), typedLit(cents), 1), 1)
+            .cast("int").as("cell"))
+        .write.mode("overwrite").parquet(CellsDumpPath)
+      Similarity.clusterBalancedSample(emb, cents, k = 10)
+        .select(col("id"), col("cell").cast("int").as("cell"),
+          col("rk").cast("int").as("rk"))
+        .orderBy("cell", "rk")
+    },
     // Winnowed-fingerprint shared-span detection at arbitrary offsets.
     // Ground truth = pairs sharing an identical aligned 256-char chunk
     // (computable exactly by the oracle via the chunk pattern); the
@@ -1818,6 +1853,30 @@ object SparkEntry {
                              WHEN hh < 'e6' THEN 'val'
                              ELSE 'test' END AS split
          FROM h ORDER BY doc_id""",
+    // shard = the Kmv 60-bit decode of the '#shard'-tagged md5, mod 8;
+    // within-shard order = the full hex string (hex orders numerically)
+    "export_shards" -> {
+      val dec = Kmv.decodeHexSql("substr(hx, 1, 15)")
+      s"""WITH h AS (SELECT doc_id,
+           md5('graft#shard:' || CAST(doc_id AS VARCHAR)) AS hx
+         FROM documents),
+         sh AS (SELECT doc_id, hx, CAST(($dec) % 8 AS INT) AS shard FROM h)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+             AS BIGINT) AS ord
+         FROM sh ORDER BY shard, ord"""
+    },
+    // the float assignment layer comes from the engine's dump (absolute
+    // path, TranscriptDumpPath convention); the oracle re-derives the
+    // md5 per-cell cap from it byte-exactly
+    "sample_cluster_balanced" ->
+      s"""WITH c AS (SELECT id, cell FROM '$CellsDumpPath/*.parquet'),
+         r AS (SELECT id, cell,
+           row_number() OVER (PARTITION BY cell
+             ORDER BY md5('graft:' || CAST(id AS VARCHAR)), id) AS rk
+         FROM c)
+         SELECT id, CAST(cell AS INT) AS cell, CAST(rk AS INT) AS rk
+         FROM r WHERE rk <= 10 ORDER BY cell, rk""",
     // the null/non-positive-weight exclusion MUST mirror
     // Sampling.weightedBottomK's guard — an empty/null-text doc in a
     // small stratum would otherwise rank in the oracle but not in Spark

@@ -33,6 +33,8 @@ import org.apache.spark.sql.functions._
   *    bigger budget only ADD rows);
   *  - `hashSplit` hashes `"<seed>#split:<id>"`;
   *  - `rateSample` hashes `"<seed>#rate:<id>"`;
+  *  - `exportShards` hashes `"<seed>#shard:<id>"` (export order must not
+  *    correlate with any upstream keep/drop decision);
   *  - `weightedBottomK` uses the independent KMV 60-bit hash.
   * Without this, rate-sampling at 50% and then hash-splitting 80/10/10
   * would put EVERY sampled row in 'train' (both would threshold the same
@@ -295,6 +297,85 @@ object Sampling {
     val w = Window.partitionBy(strataCols.map(col): _*).orderBy(q, col(idCol))
     df.where(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Deterministic corpus EXPORT: the global-shuffle + sharding step that
+    * turns a curated corpus into dataloader-ready shards. Training wants
+    * (a) a reproducible random permutation of the corpus — examples must
+    * not arrive in crawl/source order — and (b) a fixed number of shard
+    * files so N data-parallel readers each stream their own subset. Both
+    * fall out of one engine-portable hash: rows are ordered by
+    * md5("<seed>#shard:<id>") (the `#shard` family tag keeps the export
+    * order decorrelated from every sampling decision upstream — see the
+    * object scaladoc), the shard is the [[Kmv]] 60-bit decode of that same
+    * hash mod `nShards`, and the within-shard ordinal is a row_number in
+    * hash order. Concatenating shards 0..N-1 in ordinal order replays one
+    * deterministic global permutation; each shard alone is an unbiased
+    * 1/N sample of the corpus (hash-uniform), so per-reader streams are
+    * exchangeable — the property data-parallel training assumes.
+    *
+    * Byte-exact across engines and partitionings (the `export_shards`
+    * gate is byte-equality vs DuckDB via [[Kmv.decodeHexSql]]'s portable
+    * hex decode). Scale shape: ONE shuffle on the shard key, then a
+    * per-shard sort — size `nShards` so a shard is one output file
+    * (corpus_bytes / target_file_bytes), exactly how dataloader shards
+    * are sized in practice; the sort is per-shard, never global.
+    *
+    * Output: all input columns plus `shard` (0-based INT) and `ord`
+    * (1-based BIGINT position within the shard). */
+  def exportShards(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      seed: String = "graft"): DataFrame = {
+    require(nShards >= 1 && nShards <= (1 << 20),
+      s"nShards must be in [1, 2^20], got $nShards")
+    Seq("shard", "ord").foreach { c =>
+      require(!df.columns.contains(c), s"input already has a '$c' column")
+    }
+    // both columns derive from ONE md5 of the domain-tagged key: the 60-bit
+    // prefix decode picks the shard, the full hex string orders within it
+    val h = md5(concat(lit(seed + "#shard:"), col(idCol).cast("string")))
+    val sharded = df
+      .withColumn("shard",
+        pmod(Kmv.hash(col(idCol), seed + "#shard"), lit(nShards.toLong))
+          .cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(h, col(idCol))
+    sharded.withColumn("ord", row_number().over(w).cast("long"))
+  }
+
+  /** Freeze an export SCHEME (seed, nShards) as a versioned manifest —
+    * same posture as [[saveSplitScheme]]: a training run's shard layout is
+    * a long-lived artifact (checkpoints record "reader r owns shard s"),
+    * so re-deriving it under a different seed or shard count must be
+    * impossible by construction, not by convention. */
+  def saveExportScheme(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      nShards: Int,
+      seed: String = "graft"): Unit = {
+    require(nShards >= 1 && nShards <= (1 << 20), s"nShards=$nShards")
+    graft.sources.SketchTable.saveManifestOnly(spark, dir, Map(
+      "kind" -> "export_shards",
+      "seed" -> seed,
+      "n_shards" -> nShards.toString))
+  }
+
+  /** Re-derive a frozen export: applies [[exportShards]] with EXACTLY the
+    * (seed, nShards) recorded at `dir` by [[saveExportScheme]]; probing a
+    * non-export manifest dir fails loudly. */
+  def exportShardsFromScheme(
+      df: DataFrame,
+      idCol: String,
+      dir: String): DataFrame = {
+    val spark = df.sparkSession
+    val manifest = graft.sources.SketchTable.readManifest(spark, dir)
+    graft.sources.SketchTable.requireParams(
+      manifest, Map("kind" -> "export_shards"), dir)
+    val p = graft.sources.SketchTable.params(manifest)
+    def need(k: String): String = p.getOrElse(k,
+      sys.error(s"export scheme at $dir: manifest missing '$k'"))
+    exportShards(df, idCol, need("n_shards").toInt, need("seed"))
   }
 
   /** Freeze a split SCHEME (seed, hash-domain tag, weights) as a versioned

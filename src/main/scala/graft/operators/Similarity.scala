@@ -135,7 +135,7 @@ object Similarity {
     * shuffle, no count() pre-pass). Single definition shared by ivfTopK and
     * IvfIndex.build so the persisted index stays bit-equal to the inline
     * plan (OperatorsSpec asserts the equivalence). */
-  private[operators] def pickCentroids(
+  private[graft] def pickCentroids(
       corpus: DataFrame, nCentroids: Int): Seq[Seq[Float]] =
     corpus.select(col("vec"), xxhash64(col("id")).as("__h"), col("id"))
       .orderBy(col("__h"), col("id"))
@@ -390,6 +390,52 @@ object Similarity {
       .select(col("id"),
         coalesce(col("label"), col("id")).as("canonical_id"),
         (coalesce(col("label"), col("id")) === col("id")).as("is_canonical"))
+  }
+
+  /** Cluster-balanced (diversity) sampling: assign every vector to its
+    * nearest centroid cell, then keep a deterministic [[Sampling.bottomK]]
+    * of `k` rows per cell. A uniform sample of a web-scale corpus
+    * reproduces its cluster imbalance — the dominant modes (boilerplate
+    * news, SEO spam) swamp the tails; capping per semantic cell is the
+    * standard rebalancing step (the sampling cousin of SemDeDup's
+    * cluster-then-prune, Abbas et al. 2023). Pass the SAME centroid matrix
+    * the corpus's IVF index froze ([[IvfIndex.loadCentroids]]) so sampling
+    * cells and search cells agree.
+    *
+    * Determinism splits by layer, and the gate mirrors that: the cell
+    * assignment is float math (deterministic for a FROZEN centroid matrix
+    * — same kernel the ANN gates cover), while the per-cell cap is the
+    * engine-portable md5 bottom-k, byte-exact vs the oracle GIVEN the
+    * assignment (the `sample_cluster_balanced` gate dumps the assignment
+    * and the oracle re-derives the cap from it byte-identically).
+    *
+    * Scale shape: one scan for the codegen'd centroid sweep (centroids
+    * broadcast as a literal/typedLit matrix, embeddings never shuffle as
+    * keys) + bottomK's single stratum-key shuffle with WindowGroupLimit
+    * pruning — at most k·partitions rows per cell cross the wire.
+    *
+    * Output: (id, cell, rk) with rk in [1, k] — vectors are dropped so the
+    * sample result is safe to `.distinct()`/persist; re-join on id when
+    * the vectors are needed downstream. */
+  def clusterBalancedSample(
+      corpus: DataFrame, // (id, vec)
+      nCentroids: Int,
+      k: Int): DataFrame =
+    clusterBalancedSample(corpus, pickCentroids(corpus, nCentroids), k)
+
+  /** [[clusterBalancedSample]] against a GIVEN (frozen) centroid matrix —
+    * the production shape when the corpus's IVF index already exists, and
+    * the deterministic shape for gates. */
+  def clusterBalancedSample(
+      corpus: DataFrame, // (id, vec)
+      cents: Seq[Seq[Float]],
+      k: Int,
+      seed: String = "graft"): DataFrame = {
+    require(cents.nonEmpty, "empty centroid matrix")
+    val cells = corpus.withColumn("cell",
+      element_at(nearest_centroids(col("vec"), typedLit(cents), 1), 1))
+    Sampling.bottomK(cells, Seq("cell"), "id", k, seed)
+      .select(col("id"), col("cell"), col("rk"))
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold, via LSH

@@ -1143,6 +1143,86 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("exportShards: a permutation into shards, repartition-stable, frozen") {
+    val rows = (0L until 400L).map(i => (i, s"d$i")).toDF("doc_id", "x")
+    val got = Sampling.exportShards(rows, "doc_id", nShards = 8)
+      .select("doc_id", "shard", "ord")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    // every row lands in exactly one shard; ordinals are contiguous 1..n
+    assert(got.size == 400 && got.map(_._1).distinct.size == 400)
+    assert(got.forall { case (_, s, _) => s >= 0 && s < 8 })
+    got.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted == (1L to rs.size).toSeq)
+    }
+    // shards are hash-uniform enough to be per-reader streams (loose
+    // bound: 400/8 = 50 expected; none empty, none > 2x expected)
+    val sizes = got.groupBy(_._2).values.map(_.size)
+    assert(sizes.size == 8 && sizes.forall(s => s > 0 && s <= 100))
+    // byte-stable under repartitioning — the property rand() lacks
+    val re = Sampling.exportShards(rows.repartition(7), "doc_id", 8)
+      .select("doc_id", "shard", "ord")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(re == got)
+    // frozen scheme replays verbatim; wrong-kind dirs fail loudly
+    val dir = java.nio.file.Files.createTempDirectory("graft-exp").toString
+    Sampling.saveExportScheme(spark, dir, nShards = 8)
+    val replay = Sampling.exportShardsFromScheme(rows, "doc_id", dir)
+      .select("doc_id", "shard", "ord")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(replay == got)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-exp2").toString
+    graft.sources.SketchTable.saveManifestOnly(spark, dir2,
+      Map("kind" -> "hash_split"))
+    intercept[IllegalArgumentException] {
+      Sampling.exportShardsFromScheme(rows, "doc_id", dir2)
+    }
+    // reserved output columns collide loudly, never silently overwrite
+    intercept[IllegalArgumentException] {
+      Sampling.exportShards(rows.withColumn("shard", lit(1)), "doc_id", 8)
+    }
+  }
+
+  test("clusterBalancedSample caps each cell at k, deterministically") {
+    GraftFunctions.register(spark)
+    // 3 well-separated one-hot directions with very unequal cluster
+    // sizes (60/25/5) — the imbalance the operator exists to flatten
+    def unit(c: Int): Array[Float] = {
+      val b = Array.fill(12)(0.02f); b(c * 4) = 1f; b
+    }
+    val sizes = Seq(60, 25, 5)
+    val corpus = (for (c <- 0 until 3; j <- 0 until sizes(c))
+      yield (c * 1000L + j, unit(c).map(_ * (1f + 0.01f * j)).toSeq))
+      .toDF("id", "vec")
+    val cents: Seq[Seq[Float]] =
+      Seq(unit(0).toSeq, unit(1).toSeq, unit(2).toSeq)
+    val got = Similarity.clusterBalancedSample(corpus, cents, k = 10)
+      .as[(Long, Int, Int)].collect().sortBy(r => (r._2, r._3)).toSeq
+    // dominant cells cap at k; the small cell keeps all 5 members —
+    // 25 rows total where a uniform 25-row sample would draw ~17/7/1
+    assert(got.size == 25)
+    val perCell = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perCell.values.toSeq.sorted == Seq(5, 10, 10))
+    // members sample from their OWN cluster (scale-invariant cosine:
+    // cluster c is exactly the ids in [c*1000, c*1000+size))
+    assert(got.forall { case (id, cell, _) =>
+      (id / 1000L) == sizes.indices.find(c =>
+        cents(cell)(c * 4) == 1f).get })
+    // the cap layer IS bottomK: byte-identity vs the explicit composition
+    val cells = corpus.withColumn("cell",
+      element_at(graft.GraftFunctions.nearest_centroids(col("vec"),
+        typedLit(cents), 1), 1))
+    val want = Sampling.bottomK(cells, Seq("cell"), "id", 10)
+      .select(col("id"), col("cell"), col("rk"))
+      .as[(Long, Int, Int)].collect().sortBy(r => (r._2, r._3)).toSeq
+    assert(got == want)
+    // the hash-picked convenience variant returns a valid capped sample
+    val auto = Similarity.clusterBalancedSample(corpus, nCentroids = 4,
+      k = 10).as[(Long, Int, Int)].collect()
+    assert(auto.groupBy(_._2).values.forall(_.size <= 10))
+    assert(auto.map(_._1).toSet.subsetOf(
+      corpus.select("id").as[Long].collect().toSet))
+  }
+
   test("salted and skew-split joins equal the plain join on a skewed key") {
     // planted skew: key "hot" carries 80% of the big side
     val big = (0L until 1000L)

@@ -150,6 +150,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("[codegen id :"), p) // whole-stage codegen'd project
   }
 
+  test("export shards: one shard-key exchange, per-shard sort, never global") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = graft.operators.Sampling
+      .exportShards(docs.select("doc_id"), "doc_id", nShards = 8)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // exactly one exchange, hash-partitioned on the derived shard — a
+    // global (range-partitioned) sort would serialize the whole corpus
+    // through one ordering at 100 TB
+    assert("hashpartitioning\\(shard".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("salted join shuffles on (key, salt), not on the key alone") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
