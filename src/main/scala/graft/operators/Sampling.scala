@@ -344,6 +344,29 @@ object Sampling {
     sharded.withColumn("ord", row_number().over(w).cast("long"))
   }
 
+  /** Materialize a corpus export as a frozen artifact: [[exportShards]]
+    * rows land at `dir/data/shard=<s>/` (one parquet directory per shard,
+    * rows in ordinal order) with the (seed, nShards) scheme manifest at
+    * `dir` — the IvfIndex dir layout. A data-parallel reader fleet
+    * consumes it directly: reader r lists its own `shard=r` directory
+    * (partition pruning makes "read shard 17" a one-directory scan) and
+    * streams rows in `ord` order. The explicit repartition ON the shard
+    * column routes each shard's rows to one task before the
+    * dynamic-partition write, so a shard is one sorted file, not
+    * `inputPartitions` fragments of one. */
+  def writeShards(
+      df: DataFrame,
+      idCol: String,
+      dir: String,
+      nShards: Int,
+      seed: String = "graft"): Unit = {
+    exportShards(df, idCol, nShards, seed)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
+    saveExportScheme(df.sparkSession, dir, nShards, seed)
+  }
+
   /** Freeze an export SCHEME (seed, nShards) as a versioned manifest —
     * same posture as [[saveSplitScheme]]: a training run's shard layout is
     * a long-lived artifact (checkpoints record "reader r owns shard s"),

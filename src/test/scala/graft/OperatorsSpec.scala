@@ -1180,6 +1180,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       Sampling.exportShards(rows.withColumn("shard", lit(1)), "doc_id", 8)
     }
+    // the frozen artifact writer: one shard=<s>/ dir per shard (reader r
+    // prunes to its own directory), rows in ord order, scheme at the root
+    val art = java.nio.file.Files.createTempDirectory("graft-exp3").toString
+    Sampling.writeShards(rows, "doc_id", art, nShards = 8)
+    val shardDirs = new java.io.File(s"$art/data").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.toSeq == (0 until 8).map(s => s"shard=$s"))
+    val s3 = spark.read.parquet(s"$art/data/shard=3")
+      .select("doc_id", "ord").as[(Long, Long)].collect().toSeq
+    assert(s3 == got.filter(_._2 == 3).sortBy(_._3).map(r => (r._1, r._3)))
+    val fromArt = Sampling.exportShardsFromScheme(rows, "doc_id", art)
+      .select("doc_id", "shard", "ord")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(fromArt == got)
   }
 
   test("clusterBalancedSample caps each cell at k, deterministically") {

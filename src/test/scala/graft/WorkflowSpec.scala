@@ -101,7 +101,7 @@ class WorkflowSpec extends AnyFunSuite with SparkTestBase {
     assert(saLines.size == 5 + 3, s"$saLines")
   }
 
-  test("curation pipeline: quality -> dedup -> decontaminate -> split") {
+  test("curation pipeline: quality -> dedup -> decontaminate -> split -> export") {
     import graft.operators.{Dedup, Sampling, TextStats}
     val prose = "the quick brown fox jumps over the lazy dog and it runs " +
       "to the hills for a while and then it rests in the shade "
@@ -201,5 +201,22 @@ class WorkflowSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(sub.forall { case (id, sp) => all(id) == sp })
     assert(sub.keySet == Set(1L, 6L), s"pipeline survivors: ${sub.keySet}")
+
+    // 6. corpus export: the train split leaves the pipeline as
+    //    deterministic dataloader shards — a permutation of exactly the
+    //    surviving train docs, reproducible on a re-run of the whole chain
+    val trainDocs = cleanRedacted.join(
+      sub.filter(_._2 == "train").keys.toSeq.toDF("doc_id"), "doc_id")
+    val shards = Sampling.exportShards(trainDocs, "doc_id", nShards = 2)
+      .select("doc_id", "shard", "ord")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(shards.map(_._1) == sub.filter(_._2 == "train").keys.toSeq.sorted,
+      "export is not a permutation of the train survivors")
+    shards.groupBy(_._2).values.foreach(rs =>
+      assert(rs.map(_._3).sorted == (1L to rs.size).toSeq))
+    val replayed = Sampling.exportShards(trainDocs, "doc_id", nShards = 2)
+      .select("doc_id", "shard", "ord")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(replayed == shards, "export changed across pipeline re-runs")
   }
 }
