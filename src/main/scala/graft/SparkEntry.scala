@@ -1145,6 +1145,20 @@ object SparkEntry {
           "source", MixtureRates, "doc_id")
         .orderBy("doc_id")
     },
+    // Temperature-flattened mixture (rates ∝ n^(alpha-1), computed
+    // IN-PLAN from the observed group sizes): grouped on the derived
+    // skew key pattern from heavy_hitters_topk so the buckets are
+    // non-trivial (~8x size spread). alpha = 0.5 keeps every derived
+    // double one correctly-rounded IEEE op (divide, sqrt, x·256, floor)
+    // from integer inputs — byte-equality gate incl. the bucket column.
+    "sample_temperature" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("grp", expr("CAST(16 div (pmod(doc_id, 16) + 1) AS INT)"))
+        .select("doc_id", "grp")
+      Sampling.temperatureSample(docs, "grp", "doc_id", alpha = 0.5)
+        .select(col("doc_id"), col("grp"), col("temp_bucket"))
+        .orderBy("doc_id")
+    },
     // Token-budget fill per source: hash-ordered cumulative-sum cutoff —
     // "fill N tokens per source, reproducibly". Integer weights in a
     // deterministic order ⇒ byte-equality gate.
@@ -1899,6 +1913,29 @@ object SparkEntry {
          SELECT source, doc_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
          ORDER BY source, doc_id""",
     "sample_mixture" -> sampleMixtureSql,
+    // temperature mixture: the bucket chain (count -> min -> divide ->
+    // sqrt -> *256 -> floor -> clamp) mirrors Sampling.temperatureSample
+    // op for op — every step correctly rounded from integer inputs, so
+    // the kept set AND the bucket column gate byte-exact; the md5-prefix
+    // decode is the 2-digit cousin of Kmv.decodeHexSql
+    "sample_temperature" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(16 // (doc_id % 16 + 1) AS INT) AS grp FROM documents),
+         c AS (SELECT grp, count(*) AS n_g FROM d GROUP BY grp),
+         m AS (SELECT min(n_g) AS n_min FROM c),
+         r AS (SELECT grp, CAST(least(greatest(CAST(floor(
+                 sqrt(CAST(n_min AS DOUBLE) / CAST(n_g AS DOUBLE)) * 256)
+                 AS BIGINT), 1), 256) AS INT) AS temp_bucket
+               FROM c, m),
+         h AS (SELECT doc_id, grp,
+             (instr('0123456789abcdef', substr(
+                md5('graft#temp:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substr(
+                md5('graft#temp:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+             AS hv
+           FROM d)
+         SELECT h.doc_id, h.grp, r.temp_bucket FROM h JOIN r USING (grp)
+         WHERE h.hv < r.temp_bucket ORDER BY doc_id""",
     // explicit ROWS frame (DuckDB's default with ORDER BY is RANGE, which
     // differs on peer rows); CAST around the window sum: DuckDB sum(BIGINT)
     // is HUGEINT and the driver hash is type-sensitive

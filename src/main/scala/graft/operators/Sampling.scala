@@ -33,6 +33,8 @@ import org.apache.spark.sql.functions._
   *    bigger budget only ADD rows);
   *  - `hashSplit` hashes `"<seed>#split:<id>"`;
   *  - `rateSample` hashes `"<seed>#rate:<id>"`;
+  *  - `temperatureSample` hashes `"<seed>#temp:<id>"` (its keep decision
+  *    must not correlate with a fixed-rate stage in the same chain);
   *  - `exportShards` hashes `"<seed>#shard:<id>"` (export order must not
   *    correlate with any upstream keep/drop decision);
   *  - `weightedBottomK` uses the independent KMV 60-bit hash.
@@ -163,6 +165,63 @@ object Sampling {
           "the sample would be silently empty")
       g -> (if (bucket >= 256) None else Some(f"$bucket%02x"))
     }
+  }
+
+  /** Temperature-flattened mixture sampling — the standard multi-source /
+    * multilingual balancing recipe (sample source s with probability
+    * proportional to n_s^alpha, alpha in (0, 1]; Lample & Conneau 2019
+    * §3.1, XLM-R, mT5 all train on such mixtures): a keep-RATE of
+    * r_s ∝ n_s^(alpha-1), normalized so the SMALLEST source keeps
+    * everything (downsample-only — an engine samples down, a dataloader
+    * repeats up). Unlike [[rateSample]], the rates are computed IN-PLAN
+    * from the observed group sizes: one map-side-combined count
+    * aggregation, the tiny per-group rate table broadcast back onto the
+    * corpus, a row-local integer hash threshold — no driver round-trip;
+    * the only cost beyond a plain filter scan is the one
+    * map-side-combined count pass any sizing implementation needs. alpha = 1 keeps everything; alpha → 0 flattens
+    * toward equal-size sources.
+    *
+    * Determinism: the threshold is the integral 1/256-granularity bucket
+    * floor((n_min/n_s)^(1-alpha) · 256) clamped to [1, 256] (a group
+    * needing < 1/256 saturates at ~1/256 of its rows rather than going
+    * silently empty — groups > 256^(1/(1-alpha)) times the smallest hit
+    * that floor). At the default alpha = 0.5 the exponent is one IEEE
+    * sqrt of one IEEE division of integer-derived operands — both
+    * correctly rounded, so the kept set is BYTE-EXACT across engines
+    * (the `sample_temperature` gate); other alphas go through pow, which
+    * libms round differently — deterministic per engine, not gated
+    * cross-engine. Hash family: `"<seed>#temp:"` (see the object
+    * scaladoc's domain-separation rule). Raising alpha only raises
+    * buckets, so samples are NESTED across alpha like rate increases in
+    * [[rateSample]]. Rows with a null group are dropped (no size to
+    * derive a rate from). Output: all input columns plus `temp_bucket`
+    * (INT in [1, 256] — the group's threshold, for mixture audits). */
+  def temperatureSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      alpha: Double = 0.5,
+      seed: String = "graft"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(!df.columns.contains("temp_bucket"),
+      "input already has a 'temp_bucket' column")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    val minN = counts.agg(min(col("n_g")).as("n_min"))
+    val ratio = col("n_min").cast("double") / col("n_g").cast("double")
+    // alpha = 0.5 pins the portable path: sqrt is IEEE-correctly-rounded,
+    // pow is not — keep the expression shape in sync with the oracle SQL
+    val scaled = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val buckets = counts.crossJoin(broadcast(minN))
+      .select(col(groupCol),
+        least(greatest(floor(scaled * lit(256)), lit(1L)), lit(256L))
+          .cast("int").as("temp_bucket"))
+    // integer decode of the first two md5 hex chars (0..255): bucket 256
+    // keeps every row, bucket b keeps hashes 0..b-1 — numeric compare so
+    // the threshold can be a data-derived column, not a literal
+    val hv = conv(substring(
+        md5(concat(lit(seed + "#temp:"), col(idCol).cast("string"))), 1, 2),
+      16, 10).cast("int")
+    df.join(broadcast(buckets), Seq(groupCol)).where(hv < col("temp_bucket"))
   }
 
   /** Deterministic token-budget fill — the other half of mixture

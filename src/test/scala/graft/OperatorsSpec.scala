@@ -1196,6 +1196,50 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(fromArt == got)
   }
 
+  test("temperatureSample flattens skewed sources with in-plan exact buckets") {
+    // 400/100/25 rows: alpha = 0.5 buckets are floor(sqrt(25/n)*256) =
+    // 64/128/256 — the smallest source keeps everything (downsample-only)
+    val rows = ((0L until 400L).map(i => (i, "web")) ++
+      (400L until 500L).map(i => (i, "code")) ++
+      (500L until 525L).map(i => (i, "math"))).toDF("doc_id", "source")
+    val expect = Map("web" -> 64, "code" -> 128, "math" -> 256)
+    val got = Sampling.temperatureSample(rows, "source", "doc_id")
+      .select("doc_id", "source", "temp_bucket")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => r._2 -> r._3).toMap == expect)
+    // kept set = exactly the rows whose first md5 byte clears the bucket
+    def hv(id: Long): Int = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft#temp:$id".getBytes("UTF-8"))(0) & 0xff
+    def src(id: Long): String =
+      if (id < 400) "web" else if (id < 500) "code" else "math"
+    val want = (0L until 525L).filter(id => hv(id) < expect(src(id)))
+      .map(id => (id, src(id)))
+    assert(got.map(r => (r._1, r._2)) == want)
+    assert(got.count(_._2 == "math") == 25)
+    // byte-stable under repartitioning, like every sampler in the family
+    val re = Sampling.temperatureSample(rows.repartition(7), "source", "doc_id")
+      .select("doc_id", "source", "temp_bucket")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(re == got)
+    // nested across alpha: a hotter (more size-proportional) mixture only
+    // ADDS rows on top of a flatter one
+    val hotter = Sampling
+      .temperatureSample(rows, "source", "doc_id", alpha = 0.75)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet.subsetOf(hotter))
+    // alpha = 1 is the size-proportional mixture: keep everything
+    assert(Sampling.temperatureSample(rows, "source", "doc_id", alpha = 1.0)
+      .count() == 525)
+    // null groups have no size to derive a rate from — dropped
+    val withNull = rows.union(
+      Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "source"))
+    assert(!Sampling.temperatureSample(withNull, "source", "doc_id")
+      .select("doc_id").as[Long].collect().contains(999L))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(rows, "source", "doc_id", alpha = 0.0)
+    }
+  }
+
   test("clusterBalancedSample caps each cell at k, deterministically") {
     GraftFunctions.register(spark)
     // 3 well-separated one-hot directions with very unequal cluster
