@@ -193,8 +193,9 @@ object Sampling {
     * cross-engine. Hash family: `"<seed>#temp:"` (see the object
     * scaladoc's domain-separation rule). Raising alpha only raises
     * buckets, so samples are NESTED across alpha like rate increases in
-    * [[rateSample]]. Rows with a null group are dropped (no size to
-    * derive a rate from). Output: all input columns plus `temp_bucket`
+    * [[rateSample]]. Rows with a null group or null id are dropped (no
+    * size to derive a rate from / no hash). Output: all input columns
+    * (the group key surfaces first, as join keys do) plus `temp_bucket`
     * (INT in [1, 256] — the group's threshold, for mixture audits). */
   def temperatureSample(
       df: DataFrame,
