@@ -821,6 +821,38 @@ object SparkEntry {
         .orderBy("id")
       out
     },
+    // Image near-dup dedup over REAL decoded pixels: per doc a
+    // deterministic md5-noise PNG (12+id%5 x 10+id%4, gray/RGB
+    // alternating); every doc_id % 7 == 0 additionally plants a 2x
+    // nearest-neighbour-upscaled TWIN under id + 1000000 — a different PNG
+    // bitstream whose dHash provably equals the base's (floor-nesting
+    // identity, see noiseTwinPng). imageNearDupPairs (banded 16-bit
+    // Hamming join, radius 3, pigeonhole recall) must return EXACTLY the
+    // planted pairs at Hamming 0: the md5-keystream fixture makes every
+    // non-twin gradient sign an independent coin flip (~32 bits apart),
+    // so the nearest non-planted pair sits far outside radius 3 (verified
+    // at sf0.001/0.01/0.1) — the pair list gates byte-exact against the
+    // planting rule the oracle re-derives from doc_id arithmetic.
+    "multimodal_image_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val imgs = t(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val w = 12 + (id % 5).toInt
+          val h = 10 + (id % 4).toInt
+          val ch = if (id % 2 == 0) 1 else 3
+          val seed = "neardup#" + id
+          val base = (id, Multimodal.noisePng(seed, w, h, ch))
+          if (id % 7 == 0)
+            Seq(base,
+              (id + 1000000L, Multimodal.noiseTwinPng(seed, w, h, ch)))
+          else Seq(base)
+        })
+        .toDF("id", "payload")
+      Multimodal.imageNearDupPairs(imgs, "id", "payload")
+        .orderBy("id_a", "id_b")
+    },
     // north-star "heavy hitters per turn window": CMS over (hour, type)
     // composite keys, eps-bounded against the exact windowed counts.
     "cms_windowed_counts" -> { (s, dir) =>
@@ -1104,6 +1136,43 @@ object SparkEntry {
             .as("within_bound"))
         .orderBy("et_a", "et_b")
     },
+    // KMV set operations beyond union (theta-sketch-style): Jaccard from
+    // the shared fraction within the union's bottom-k sample (Mash / Ondov
+    // et al. 2016) and intersection by j * est(U). Integer set algebra over
+    // the hash arrays plus one division and one product of integer-derived
+    // doubles — BOTH estimates gate byte-exact, alongside a 4-sigma
+    // hypergeometric bound vs the exact Jaccard.
+    "kmv_jaccard_estimate" -> { (s, dir) =>
+      val k = 128
+      val ev = t(s, dir, "events")
+      val sk = Kmv.sketch(ev, Seq("event_type"), "user_id", k)
+      val ests = sk.as("a")
+        .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("et_a"), col("b.event_type").as("et_b"),
+          Kmv.jaccardEstimate(col("a.ks"), col("b.ks"), k).as("jaccard_est"),
+          Kmv.intersectionEstimate(col("a.ks"), col("b.ks"), k).as("inter_est"))
+      val du = ev.select("event_type", "user_id").distinct()
+      val inter = du.as("x").join(du.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("et_a"), col("y.event_type").as("et_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      val sizes = du.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val xi = coalesce(col("exact_inter"), lit(0L))
+      val xu = col("n_a") + col("n_b") - xi
+      ests
+        .join(inter, Seq("et_a", "et_b"), "left")
+        .join(broadcast(sizes.select(col("event_type").as("et_a"),
+          col("n").as("n_a"))), Seq("et_a"))
+        .join(broadcast(sizes.select(col("event_type").as("et_b"),
+          col("n").as("n_b"))), Seq("et_b"))
+        .select(col("et_a"), col("et_b"),
+          xi.as("exact_inter"), xu.as("exact_union"),
+          col("jaccard_est"), col("inter_est"),
+          (abs(col("jaccard_est") - xi.cast("double") / xu.cast("double")) <=
+            lit(KmvJaccardBound)).as("within_bound"))
+        .orderBy("et_a", "et_b")
+    },
     // Substring-level dedup: identical 256-char spans (stride 224)
     // canonicalized corpus-wide; byte-exact oracle via the chunk pattern
     // (same generate_series cap + ASCII/length invariant as text_chunks).
@@ -1169,6 +1238,34 @@ object SparkEntry {
           Seq("source"), "doc_id", "w", budget = 1500)
         .select(col("source"), col("doc_id"), col("w"), col("cum_w"))
         .orderBy("source", "doc_id")
+    },
+    // DSIR-style importance resampling (Xie et al. 2023): char-trigram
+    // target model (lang = 'en' docs) vs raw model (whole corpus), per-doc
+    // fixed-point mean likelihood ratio, deterministic top-50 selection
+    // via the two-level topKByScore. sum_lr_x1e9 / mean_lr_x1e9 and the
+    // selected SET gate byte-exact (each term is a fixed composition of
+    // correctly-rounded IEEE divisions over integer-derived operands);
+    // the operator's float log_weight column (DSIR's actual statistic) is
+    // deliberately left out of the gate (float sum — never hash-gated).
+    "sample_importance" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      // each model feeds two join lineages plus a totals lineage: persist
+      // in the CALLER and leave cached (hierarchicalSketch posture)
+      val target = TextStats.charNgramCounts(
+        docs.where(col("lang") === "en"), "text", 3).persist()
+      target.count()
+      val raw = TextStats.charNgramCounts(docs, "text", 3).persist()
+      raw.count()
+      val wts = TextStats
+        .importanceWeights(docs, "doc_id", "text", target, raw, 3)
+        .select(col("doc_id"), col("n_pos"), col("sum_lr_x1e9"),
+          when(col("n_pos") === 0, lit(0.0))
+            .otherwise(col("sum_lr_x1e9").cast("double") /
+              col("n_pos").cast("double")).as("mean_lr_x1e9"))
+      Sampling.topKByScore(wts, "mean_lr_x1e9", "doc_id", k = 50)
+        .select(col("doc_id"), col("n_pos"), col("sum_lr_x1e9"),
+          col("mean_lr_x1e9"), col("rk"))
+        .orderBy("rk")
     },
     // Sequence packing (concat-and-chunk into 512-token context windows,
     // per source, in the deterministic hash order): pack offsets, window
@@ -1821,6 +1918,62 @@ object SparkEntry {
            ${Kmv.estimateSql("a.cnt", "a.hk", 128)} AS kmv_est,
            true AS within_bound
          FROM ex x JOIN agg a USING (et_a, et_b) ORDER BY et_a, et_b""",
+    // Jaccard/intersection from KMV sketches: the union bottom-k sample,
+    // the shared count within it, and the two estimates all recomputed in
+    // full SQL from the same single-source expressions (Kmv.hashSql /
+    // jaccardEstimateSql / intersectionEstimateSql) — byte-exact including
+    // the estimator values; the bound constant is the interpolated Scala
+    // double.
+    "kmv_jaccard_estimate" ->
+      s"""WITH ty AS (SELECT DISTINCT event_type FROM events),
+         p AS (SELECT a.event_type AS et_a, b.event_type AS et_b
+               FROM ty a, ty b WHERE a.event_type < b.event_type),
+         h AS (SELECT DISTINCT event_type,
+             ${Kmv.hashSql("CAST(user_id AS VARCHAR)", "graft")} AS hv
+           FROM events),
+         rk AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+           FROM h),
+         bk AS (SELECT event_type, hv FROM rk WHERE r <= 128),
+         uh AS (SELECT DISTINCT p.et_a, p.et_b, bk.hv FROM p JOIN bk
+             ON bk.event_type = p.et_a OR bk.event_type = p.et_b),
+         ur AS (SELECT et_a, et_b, hv,
+             row_number() OVER (PARTITION BY et_a, et_b ORDER BY hv) AS r
+           FROM uh),
+         m AS (SELECT et_a, et_b, hv, r FROM ur WHERE r <= 128),
+         agg AS (SELECT et_a, et_b, count(*) AS cnt,
+             max(CASE WHEN r = 128 THEN hv END) AS hk
+           FROM m GROUP BY 1,2),
+         sh AS (SELECT m.et_a, m.et_b, count(*) AS shared
+           FROM m JOIN bk a ON a.event_type = m.et_a AND a.hv = m.hv
+                  JOIN bk b ON b.event_type = m.et_b AND b.hv = m.hv
+           GROUP BY 1,2),
+         du AS (SELECT DISTINCT event_type, user_id FROM events),
+         xi AS (SELECT p.et_a, p.et_b, count(*) AS exact_inter
+           FROM p JOIN du a ON a.event_type = p.et_a
+                  JOIN du b ON b.event_type = p.et_b
+                    AND b.user_id = a.user_id
+           GROUP BY 1,2)
+         SELECT g.et_a, g.et_b,
+           CAST(coalesce(xi.exact_inter, 0) AS BIGINT) AS exact_inter,
+           CAST(sa.n + sb.n - coalesce(xi.exact_inter, 0) AS BIGINT)
+             AS exact_union,
+           ${Kmv.jaccardEstimateSql("coalesce(sh.shared, 0)", "g.cnt")}
+             AS jaccard_est,
+           ${Kmv.intersectionEstimateSql(
+              "coalesce(sh.shared, 0)", "g.cnt", "g.hk", 128)} AS inter_est,
+           abs((${Kmv.jaccardEstimateSql("coalesce(sh.shared, 0)", "g.cnt")})
+             - CAST(coalesce(xi.exact_inter, 0) AS DOUBLE)
+               / CAST(sa.n + sb.n - coalesce(xi.exact_inter, 0) AS DOUBLE))
+             <= $KmvJaccardBound AS within_bound
+         FROM agg g
+         LEFT JOIN sh ON sh.et_a = g.et_a AND sh.et_b = g.et_b
+         LEFT JOIN xi ON xi.et_a = g.et_a AND xi.et_b = g.et_b
+         JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM du
+               GROUP BY 1) sa ON sa.event_type = g.et_a
+         JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM du
+               GROUP BY 1) sb ON sb.event_type = g.et_b
+         ORDER BY g.et_a, g.et_b""",
     // same series cap + stride as text_chunks; canonical = lexicographic
     // min (doc_id, chunk_idx) over identical chunk text, encoded as
     // doc_id*1000000+chunk_idx (chunk_idx <= 4 under the 1007-byte invariant)
@@ -1950,6 +2103,49 @@ object SparkEntry {
          WHERE text IS NOT NULL AND length(text) > 0)
          SELECT source, doc_id, w, cum_w FROM r WHERE cum_w <= 1500
          ORDER BY source, doc_id""",
+    // importance-resampling oracle: both trigram models, totals, the
+    // per-position fixed-point likelihood-ratio term (same expression tree
+    // as TextStats.importanceWeights — integer operands, correctly-rounded
+    // IEEE divisions, round-half-away == HALF_UP for positives), per-doc
+    // integer sum, then the same (mean DESC, doc_id) top-50. Series cap
+    // 1005 per the 1007-byte ASCII invariant Verify asserts.
+    "sample_importance" ->
+      """WITH tgt AS (SELECT substr(text, CAST(i AS INT), 3) AS gram,
+             CAST(count(*) AS BIGINT) AS ct_t
+           FROM documents, generate_series(1, 1005) t(i)
+           WHERE lang = 'en' AND i <= length(text) - 2 GROUP BY 1),
+         rw AS (SELECT substr(text, CAST(i AS INT), 3) AS gram,
+             CAST(count(*) AS BIGINT) AS ct_r
+           FROM documents, generate_series(1, 1005) t(i)
+           WHERE i <= length(text) - 2 GROUP BY 1),
+         tt AS (SELECT CAST(coalesce(sum(ct_t), 0) AS BIGINT) AS tot_t
+           FROM tgt),
+         tr AS (SELECT CAST(coalesce(sum(ct_r), 0) AS BIGINT) AS tot_r
+           FROM rw),
+         pos AS (SELECT d.doc_id, substr(d.text, CAST(i AS INT), 3) AS gram
+           FROM documents d, generate_series(1, 1005) t(i)
+           WHERE i <= length(d.text) - 2),
+         term AS (SELECT p.doc_id,
+             CAST(round(((CAST(coalesce(g.ct_t, 0) + 1 AS DOUBLE)
+                 / CAST(tt.tot_t + 884736 AS DOUBLE))
+               / (CAST(coalesce(r.ct_r, 0) + 1 AS DOUBLE)
+                 / CAST(tr.tot_r + 884736 AS DOUBLE)))
+               * 1000000000.0) AS BIGINT) AS lr
+           FROM pos p LEFT JOIN tgt g USING (gram)
+             LEFT JOIN rw r USING (gram), tt, tr),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+             CAST(sum(lr) AS BIGINT) AS sum_lr_x1e9 FROM term GROUP BY 1),
+         fin AS (SELECT d.doc_id, coalesce(a.n_pos, 0) AS n_pos,
+             coalesce(a.sum_lr_x1e9, 0) AS sum_lr_x1e9,
+             CASE WHEN coalesce(a.n_pos, 0) = 0 THEN 0.0
+                  ELSE CAST(a.sum_lr_x1e9 AS DOUBLE)
+                    / CAST(a.n_pos AS DOUBLE) END AS mean_lr_x1e9
+           FROM documents d LEFT JOIN agg a USING (doc_id)),
+         rk AS (SELECT *, row_number()
+             OVER (ORDER BY mean_lr_x1e9 DESC, doc_id) AS rk FROM fin)
+         SELECT doc_id, n_pos, sum_lr_x1e9, mean_lr_x1e9,
+           CAST(rk AS INT) AS rk
+         FROM rk WHERE rk <= 50 ORDER BY rk""",
     "pack_windows" ->
       """WITH d AS (SELECT doc_id, source,
            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
@@ -2016,6 +2212,10 @@ object SparkEntry {
     "ann_index_append" ->
       """SELECT * FROM (VALUES ('appended_index_equals_inline', true),
          ('drift_is_fraction', true)) AS t("check", ok) ORDER BY "check"""",
+    "multimodal_image_neardup" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+         CAST(0 AS INT) AS hamming
+         FROM documents WHERE doc_id % 7 = 0 ORDER BY id_a, id_b""",
     "multimodal_decode" ->
       """SELECT doc_id AS id, CAST(3 + doc_id % 5 AS INT) AS width,
          CAST(2 + doc_id % 4 AS INT) AS height,
@@ -2111,6 +2311,12 @@ object SparkEntry {
     * generated oracle so they cannot de-synchronize. */
   private val BpeSteps = 6
   private val BpeMaxWordLen = 30
+
+  /** 4σ hypergeometric bound for the KMV Jaccard estimator at k = 128:
+    * sd ≤ sqrt(0.25/k) (worst case j = 0.5), plus 1/k discretization
+    * slack. Interpolated into the oracle SQL verbatim (Double.toString
+    * round-trips through DuckDB's strtod). */
+  private val KmvJaccardBound: Double = 4.0 * math.sqrt(0.25 / 128) + 1.0 / 128
 
   /** text_bpe_merges oracle: the same `BpeSteps` merge rounds as
     * TextStats.bpeTrain, generated as chained CTEs. Each round counts

@@ -99,4 +99,56 @@ object Kmv {
   def estimateSql(cntSql: String, hkSql: String, k: Int): String =
     s"CASE WHEN $cntSql < $k THEN CAST($cntSql AS DOUBLE) " +
       s"ELSE ${numerator(k)} / CAST($hkSql AS DOUBLE) END"
+
+  // ---- set operations beyond union (theta-sketch-style) --------------------
+  //
+  // The union sketch U = bottom-k(A ∪ B) is an unbiased size-|U| sample of
+  // the distinct union (every distinct element's hash is an iid uniform;
+  // the |U| smallest are a uniform without-replacement sample). Jaccard is
+  // estimated by the shared fraction WITHIN that sample (the Mash /
+  // MinHash bottom-k estimator, Ondov et al. 2016; Cohen 2014 reviews the
+  // theta-sketch view): j = |{h ∈ U : h ∈ A ∧ h ∈ B}| / |U|, and the
+  // intersection follows as j · est(U). Everything up to the two final
+  // IEEE operations (one division of integer-derived operands, one
+  // multiplication of the two resulting doubles) is integer set algebra
+  // over the hash arrays, so BOTH estimates gate byte-exact cross-engine —
+  // the auditable counterpart of hll_union_estimate's bound-only posture.
+
+  /** Count of union-sample hashes present in BOTH input sketches: the
+    * Jaccard numerator. Row-local array algebra over ≤k-element arrays.
+    * The intersect with `merged` matters: a hash in A ∩ B but above the
+    * union's k-th order statistic is outside the sample and must not
+    * count. */
+  def sharedInUnion(a: Column, b: Column, k: Int): Column =
+    size(array_intersect(merge(a, b, k), array_intersect(a, b)))
+
+  /** Jaccard estimate from two sketches: shared/|U|, one IEEE division of
+    * integer operands (byte-exact portable). Empty-universe pairs (both
+    * sketches empty) yield 0.0 rather than NaN. */
+  def jaccardEstimate(a: Column, b: Column, k: Int): Column = {
+    val u = merge(a, b, k)
+    when(size(u) === 0, lit(0.0))
+      .otherwise(sharedInUnion(a, b, k).cast("double") /
+        size(u).cast("double"))
+  }
+
+  /** Intersection-cardinality estimate: jaccard · union estimate — the
+    * product of two doubles each derived from integers by one correctly-
+    * rounded IEEE op, so it too gates byte-exact when the SQL twin keeps
+    * the same association (see [[intersectionEstimateSql]]). */
+  def intersectionEstimate(a: Column, b: Column, k: Int): Column =
+    jaccardEstimate(a, b, k) * estimate(merge(a, b, k), k)
+
+  /** [[jaccardEstimate]] as portable SQL over `sharedSql` (BIGINT count of
+    * union-sample hashes in both sides) and `cntSql` (|U|, BIGINT). */
+  def jaccardEstimateSql(sharedSql: String, cntSql: String): String =
+    s"CASE WHEN $cntSql = 0 THEN 0.0 " +
+      s"ELSE CAST($sharedSql AS DOUBLE) / CAST($cntSql AS DOUBLE) END"
+
+  /** [[intersectionEstimate]] as portable SQL — jaccard × union estimate,
+    * same left-to-right association as the Column form. */
+  def intersectionEstimateSql(
+      sharedSql: String, cntSql: String, hkSql: String, k: Int): String =
+    s"(${jaccardEstimateSql(sharedSql, cntSql)}) * " +
+      s"(${estimateSql(cntSql, hkSql, k)})"
 }

@@ -186,9 +186,68 @@ object Multimodal {
     * (grayscale for channels = 1, RGB for channels = 3) — raw raster
     * samples are set with `Raster.setSample`, so the lossless round-trip
     * through [[decodeImage]] reproduces them byte-for-byte. */
-  def syntheticImagePng(seed: String, w: Int, h: Int, channels: Int): Array[Byte] = {
+  def syntheticImagePng(seed: String, w: Int, h: Int, channels: Int): Array[Byte] =
+    pngFromPixels(syntheticPixels(seed, w, h, channels), w, h, channels)
+
+  /** A rescaled TWIN of the [[syntheticPixels]] fixture, as a real PNG:
+    * the base pixels nearest-neighbour-upscaled by `factor` and encoded.
+    * Because both the upscale and [[dHash]]'s 9×8 downsample are floor
+    * nearest-neighbour, floor(floor(x·f·W/9)/f) = floor(x·W/9) — the twin
+    * resamples back to the base's exact gray grid, so its dHash EQUALS the
+    * base image's (the planted-duplicate fixture for the image near-dup
+    * gate). */
+  def syntheticTwinPng(
+      seed: String, w: Int, h: Int, channels: Int, factor: Int = 2): Array[Byte] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val base = syntheticPixels(seed, w, h, channels)
+    pngFromPixels(resamplePixels(base, w, h, channels, w * factor, h * factor),
+      w * factor, h * factor, channels)
+  }
+
+  /** High-entropy deterministic pixel fixture for PERCEPTUAL-hash tests:
+    * an md5 keystream (digest of "seed#block" per 16-byte block). The
+    * low-entropy [[syntheticPixels]] is fine for lossless round-trip gates
+    * but useless for dHash fixtures — its bytes cycle through the seed
+    * string, so the gradient-SIGN pattern is set by the cycle layout and
+    * distinct seeds collide to the same dHash. md5 bytes make each
+    * gradient sign an independent coin flip, so distinct fixtures land
+    * ~32 bits apart (far outside the radius-3 near-dup gate). */
+  def noisePixels(seed: String, w: Int, h: Int, channels: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * channels)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    var block = 0
+    while (i < out.length) {
+      val d = md.digest((seed + "#" + block).getBytes("UTF-8"))
+      var k = 0
+      while (k < 16 && i < out.length) { out(i) = d(k); i += 1; k += 1 }
+      block += 1
+    }
+    out
+  }
+
+  /** [[noisePixels]] encoded as a real PNG — the base fixture for the
+    * image near-dup gate. */
+  def noisePng(seed: String, w: Int, h: Int, channels: Int): Array[Byte] =
+    pngFromPixels(noisePixels(seed, w, h, channels), w, h, channels)
+
+  /** Rescaled twin of [[noisePng]] (same floor-nesting identity as
+    * [[syntheticTwinPng]]): a different PNG bitstream whose dHash provably
+    * equals the base's. */
+  def noiseTwinPng(
+      seed: String, w: Int, h: Int, channels: Int, factor: Int = 2): Array[Byte] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val base = noisePixels(seed, w, h, channels)
+    pngFromPixels(resamplePixels(base, w, h, channels, w * factor, h * factor),
+      w * factor, h * factor, channels)
+  }
+
+  /** Encode canonical 8-bit pixels (row-major, band-interleaved) as a real
+    * PNG via ImageIO — the shared encoder behind the synthetic fixtures. */
+  def pngFromPixels(px: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] = {
     require(channels == 1 || channels == 3, s"channels must be 1 or 3, got $channels")
-    val px = syntheticPixels(seed, w, h, channels)
+    require(px.length == w * h * channels,
+      s"pixel buffer ${px.length} != $w*$h*$channels")
     val imgType =
       if (channels == 1) BufferedImage.TYPE_BYTE_GRAY
       else BufferedImage.TYPE_3BYTE_BGR
@@ -211,6 +270,105 @@ object Multimodal {
     ImageIO.setUseCache(false)
     ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  // ---- perceptual hash + image near-dup dedup -------------------------------
+
+  /** 64-bit difference hash (dHash — the standard perceptual image
+    * fingerprint: Krawetz 2013, "Kind of Like That"): decode, resample the
+    * canonical raster to a 9×8 gray grid (nearest-neighbour, floor), set
+    * bit y·8+x iff gray(x+1, y) > gray(x, y). Gray is the integer mean of
+    * the per-band sample values (big-endian multi-byte samples included),
+    * so the whole pipeline — decode, resample, gradient — is pure integer
+    * math: the hash is deterministic across JVMs and invariant to
+    * container format (PNG vs BMP of the same pixels hash equal) and to
+    * nearest-neighbour rescaling that preserves the 9×8 grid (see
+    * [[syntheticTwinPng]]). None for undecodable payloads (F4 posture). */
+  def dHash(payload: Array[Byte]): Option[Long] =
+    decodeImage(payload).map { case (w, h, nb, px) =>
+      val bytesPer = px.length / (w * h * nb)
+      val pixelBytes = nb * bytesPer
+      val thumb = resamplePixels(px, w, h, pixelBytes, 9, 8)
+      def gray(x: Int, y: Int): Long = {
+        val base = (y * 9 + x) * pixelBytes
+        var s = 0L
+        var b = 0
+        while (b < nb) {
+          var v = 0L
+          var k = 0
+          while (k < bytesPer) {
+            v = (v << 8) | (thumb(base + b * bytesPer + k) & 0xffL); k += 1
+          }
+          s += v
+          b += 1
+        }
+        s / nb
+      }
+      var hash = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (gray(x + 1, y) > gray(x, y)) hash |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      hash
+    }
+
+  /** Batched [[dHash]] over (id BIGINT, payload BINARY) → (id, dhash
+    * BIGINT, null when undecodable). Partition-parallel, no shuffle. */
+  def imageDHashes(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, dHash(p).map(java.lang.Long.valueOf).orNull)
+      })
+      .toDF("id", "dhash")
+  }
+
+  /** Image near-duplicate pairs by banded dHash Hamming join — the image
+    * twin of SimHash text near-dup: split each 64-bit hash into four
+    * 16-bit bands, shuffle once on (band, value), verify candidates with
+    * an exact popcount. Pigeonhole recall guarantee: Hamming distance
+    * ≤ 3 leaves at least one of the 4 bands identical, so every pair
+    * within `maxHamming` ≤ 3 is FOUND (maxHamming = 4+ would need 5+
+    * bands for the same guarantee — rejected here rather than silently
+    * losing recall). Undecodable payloads are excluded (no hash to
+    * band). Output: (id_a, id_b, hamming INT), id_a < id_b.
+    *
+    * Scale shape: candidates-only verification — the only shuffle is the
+    * (band, band_value) self-join key; no all-pairs anywhere; the hashes
+    * are 8-byte scalars (never rasters) on the wire. */
+  def imageNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming: the 4-band join only guarantees recall " +
+        "for Hamming <= 3 (pigeonhole); use more bands for a wider radius")
+    val hashes = imageDHashes(df, idCol, payloadCol)
+      .where(col("dhash").isNotNull)
+    val bands = hashes.select(col("id"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("dhash"), 16 * b)
+            .bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("bd"))
+      .select(col("id"), col("dhash"),
+        col("bd.band").as("band"), col("bd.bv").as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct() // a close pair matches in several bands — count it once
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   // ---- opaque-payload featurizer (codec-less fallback) ---------------------

@@ -326,6 +326,46 @@ object Sampling {
       .drop("__h", "__b", "__lrk")
   }
 
+  /** Deterministic global top-k by a SCORE column (descending; ties broken
+    * by id ascending) — the selection half of score-based curation
+    * (importance resampling, quality filtering, centrality ranking): given
+    * any deterministic per-row score, keep the k best rows reproducibly.
+    * Unlike the hash-rank family this orders by DATA, so determinism is
+    * inherited from the score column: feed it a byte-exact score (an
+    * integer statistic, or a fixed-point x1e9 column like
+    * TextStats.importanceWeights' `sum_lr_x1e9`) and the selected set
+    * gates byte-exact; feed it a float-summed score and the selection is
+    * deterministic per engine only.
+    *
+    * Scale shape: same two-level top-k as [[bottomKGlobal]] — rows are
+    * ranked inside hash-of-id buckets first (WindowGroupLimit prunes every
+    * bucket to k before the exchange), then the ≤ buckets·k survivors take
+    * the global rank; no global sort of the corpus ever happens. Output:
+    * all input columns plus `rk` (1-based global rank). */
+  def topKByScore(
+      df: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      k: Int,
+      buckets: Int = 64): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    Seq("__b", "__lrk").foreach { c =>
+      require(!df.columns.contains(c), s"input already has a '$c' column")
+    }
+    val order = Seq(col(scoreCol).desc, col(idCol).asc)
+    val bucketed = df.withColumn("__b",
+      pmod(xxhash64(col(idCol).cast("string")), lit(buckets)))
+    val wLocal = Window.partitionBy("__b").orderBy(order: _*)
+    val pruned = bucketed
+      .withColumn("__lrk", row_number().over(wLocal))
+      .where(col("__lrk") <= k)
+    val wGlobal = Window.orderBy(order: _*)
+    pruned.withColumn("rk", row_number().over(wGlobal))
+      .where(col("rk") <= k)
+      .drop("__b", "__lrk")
+  }
+
   /** Weighted stratified sampling: keep the `k` rows with the smallest
     * hash/weight PRIORITY per stratum — sequential-Poisson / priority
     * sampling (Ohlsson 1998; Duffield et al. 2007): inclusion probability

@@ -334,6 +334,79 @@ object TextStats {
         coalesce(col("nll"), lit(0.0)).as("nll"))
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw document by how much more likely its n-gram features
+    * are under a TARGET distribution than under the RAW distribution, so a
+    * curation pipeline can upsample web data that "looks like" a trusted
+    * high-quality corpus. Models are [[charNgramCounts]] tables (DSIR's
+    * hashed bag-of-ngrams, with the char-n-gram feature map this repo's LM
+    * already uses); both are smoothed unconditionally over the vocab^n
+    * gram space.
+    *
+    * Two scores per document, the repo's determinism split (same posture
+    * as [[lmScore]]):
+    *  - `sum_lr_x1e9` (BIGINT, ORACLE-SAFE): Σ_positions
+    *    round(((ct_t+1)/(tot_t+V)) / ((ct_r+1)/(tot_r+V)) · 1e9) — every
+    *    operand is integer-derived and exact below 2^53, and each term is
+    *    a fixed composition of correctly-rounded IEEE divisions/products,
+    *    so the integer sum gates BYTE-EXACT cross-engine. A linear-domain
+    *    fixed-point importance statistic (mean likelihood ratio per
+    *    position after dividing by n_pos).
+    *  - `log_weight` (DOUBLE): Σ (ln p_target - ln p_raw), DSIR's actual
+    *    log importance weight. A float sum through libm logs — NEVER gate
+    *    its bytes; per engine it is deterministic and is what a production
+    *    selection would feed Gumbel-top-k.
+    *
+    * Exactness ceiling, stated like the BPE/chunk caps: the x1e9 terms
+    * stay exact while (cnt+1) and (tot+V) are below 2^53 — beyond ~10^15
+    * observed grams the byte-exact column degrades to a per-engine
+    * deterministic statistic (the log_weight column is unaffected).
+    *
+    * Scale shape: both model tables are VOCABULARY-bounded (≤ vocab^n rows
+    * at any corpus size) and join in BROADCAST; the per-position explode
+    * is shuffle-free and the only exchange is the final groupBy(id).
+    * Documents shorter than n keep a (0, 0, 0.0) row (F4 posture). */
+  def importanceWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetModel: DataFrame,
+      rawModel: DataFrame,
+      n: Int,
+      vocab: Int = 96): DataFrame = {
+    require(n >= 2, s"n=$n")
+    require(vocab >= 2, s"vocab=$vocab")
+    val v = (0 until n).foldLeft(1L)((a, _) => a * vocab) // |alphabet|^n
+    val t = coalesce(col(textCol), lit(""))
+    def total(m: DataFrame, name: String) =
+      m.agg(coalesce(sum(col("cnt")), lit(0L)).as(name))
+    val pos = docs.select(col(idCol), explode(gramArray(t, n)).as("gram"))
+    val p = pos
+      .join(broadcast(targetModel.select(col("gram"),
+        col("cnt").as("ct_t"))), Seq("gram"), "left")
+      .join(broadcast(rawModel.select(col("gram"),
+        col("cnt").as("ct_r"))), Seq("gram"), "left")
+      .crossJoin(broadcast(total(targetModel, "tot_t")))
+      .crossJoin(broadcast(total(rawModel, "tot_r")))
+      .select(col(idCol),
+        ((coalesce(col("ct_t"), lit(0L)) + 1L).cast("double") /
+          (col("tot_t") + v).cast("double")).as("p_t"),
+        ((coalesce(col("ct_r"), lit(0L)) + 1L).cast("double") /
+          (col("tot_r") + v).cast("double")).as("p_r"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_pos"),
+        sum(round(col("p_t") / col("p_r") * 1000000000.0).cast("long"))
+          .as("sum_lr_x1e9"),
+        sum(log(col("p_t")) - log(col("p_r"))).as("log_weight"))
+    docs.select(col(idCol)).join(p, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("sum_lr_x1e9"), lit(0L)).as("sum_lr_x1e9"),
+        coalesce(col("log_weight"), lit(0.0)).as("log_weight"))
+  }
+
   // ---- BPE tokenizer training ----------------------------------------------
 
   /** Train `steps` BPE merges over a corpus (Sennrich et al. 2016 —

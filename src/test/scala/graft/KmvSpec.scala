@@ -51,6 +51,31 @@ class KmvSpec extends AnyFunSuite with SparkTestBase {
     assert(merged === direct)
   }
 
+  test("jaccard/intersection estimates: identity, disjoint, and 4-sigma") {
+    val k = 128
+    def sk(lo: Long, hi: Long) = Kmv
+      .sketch((lo to hi).toDF("id").withColumn("g", lit("j")), Seq("g"), "id", k)
+      .select("ks").first().getSeq[Long](0)
+    def pair(a: Seq[Long], b: Seq[Long]) = Seq((a, b)).toDF("ka", "kb")
+      .select(Kmv.jaccardEstimate(col("ka"), col("kb"), k).as("j"),
+        Kmv.intersectionEstimate(col("ka"), col("kb"), k).as("i"))
+      .first()
+    val x = sk(1, 6000)
+    val idr = pair(x, x)
+    assert(idr.getDouble(0) === 1.0)
+    // identical sketches: intersection estimate equals the union estimate
+    assert(math.abs(idr.getDouble(1) - 6000.0) <= 5.0 * 6000 / math.sqrt(k - 2))
+    val disj = pair(sk(1, 3000), sk(100000, 103000))
+    // disjoint sets share no hashes, so the numerator is exactly 0
+    assert(disj.getDouble(0) === 0.0 && disj.getDouble(1) === 0.0)
+    // 50% overlap: A=[1,6000], B=[3001,9000] → J = 3000/9000 = 1/3
+    val half = pair(x, sk(3001, 9000))
+    assert(math.abs(half.getDouble(0) - 1.0 / 3) <= 4.0 * math.sqrt(0.25 / k),
+      s"jaccard ${half.getDouble(0)}")
+    assert(math.abs(half.getDouble(1) - 3000.0) <= 5.0 * 9000 / math.sqrt(k - 2),
+      s"intersection ${half.getDouble(1)}")
+  }
+
   test("sketch is invariant to partitioning and row order") {
     val k = 16
     val rows = (1L to 1000L).toDF("id").withColumn("g", lit("p"))

@@ -669,6 +669,86 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == null) // undecodable → null, never dropped
   }
 
+  test("dHash: rescaled twins collide, distinct content does not") {
+    for ((w, h, ch, f) <- Seq((12, 10, 1, 2), (13, 11, 3, 2), (9, 8, 3, 3))) {
+      val base = Multimodal.noisePng(s"dh-$w-$h-$ch", w, h, ch)
+      val twin = Multimodal.noiseTwinPng(s"dh-$w-$h-$ch", w, h, ch, f)
+      assert(!java.util.Arrays.equals(base, twin),
+        "fixture twins must be different bitstreams")
+      assert(Multimodal.dHash(base) === Multimodal.dHash(twin),
+        s"floor-nesting identity broken at ${w}x$h ch=$ch factor=$f")
+    }
+    val a = Multimodal.dHash(Multimodal.noisePng("da", 12, 10, 1)).get
+    val b = Multimodal.dHash(Multimodal.noisePng("db", 12, 10, 1)).get
+    assert(java.lang.Long.bitCount(a ^ b) > 3,
+      f"distinct fixtures too close: ${java.lang.Long.bitCount(a ^ b)} bits")
+    assert(Multimodal.dHash("not an image".getBytes).isEmpty)
+  }
+
+  test("imageNearDupPairs: banded Hamming join finds exactly the planted twins") {
+    val rows = (1L to 40L).flatMap { id =>
+      val seed = s"nd-$id"
+      val base = (id, Multimodal.noisePng(seed, 12, 10, 3))
+      if (id % 5 == 0)
+        Seq(base, (id + 1000L, Multimodal.noiseTwinPng(seed, 12, 10, 3)))
+      else Seq(base)
+    } :+ ((9999L, "undecodable".getBytes)) // excluded, never paired
+    val got = Multimodal
+      .imageNearDupPairs(rows.toDF("id", "payload"), "id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val planted = (1L to 40L).filter(_ % 5 == 0)
+      .map(id => (id, id + 1000L, 0)).toSet
+    assert(got === planted)
+    // recall guarantee only holds to radius 3 with 4 bands — loud reject
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(rows.toDF("id", "payload"), "id",
+        "payload", maxHamming = 4)
+    }
+  }
+
+  test("topKByScore: two-level top-k equals the global sort, ties by id") {
+    import graft.operators.Sampling
+    val df = (1L to 500L).toDF("id")
+      .withColumn("score", pmod($"id" * 37L, lit(91L))) // planted ties
+    val got = Sampling.topKByScore(df, "score", "id", k = 25, buckets = 8)
+      .orderBy("rk").collect().map(r => (r.getLong(0), r.getInt(2)))
+    val expect = df.orderBy($"score".desc, $"id".asc).limit(25)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => (id, i + 1) }
+    assert(got.toSeq === expect.toSeq)
+    // invariant to partitioning
+    val re = Sampling.topKByScore(df.repartition(13), "score", "id", 25, 8)
+      .orderBy("rk").collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(re.toSeq === expect.toSeq)
+  }
+
+  test("importanceWeights: target-like docs outscore off-target, F4 rows kept") {
+    import graft.operators.TextStats
+    val target = Seq.tabulate(30)(i => s"the quick brown fox $i jumps")
+      .toDF("text")
+    val raw = (Seq.tabulate(30)(i => s"the quick brown fox $i jumps") ++
+      Seq.tabulate(30)(i => s"zzz qqq xxx vvv kkk $i www")).toDF("text")
+    val tm = TextStats.charNgramCounts(target, "text", 3)
+    val rm = TextStats.charNgramCounts(raw, "text", 3)
+    val docs = Seq(
+      (1L, "the quick brown fox 7 jumps"),
+      (2L, "zzz qqq xxx vvv kkk 7 www"),
+      (3L, "ab")).toDF("doc_id", "text") // shorter than n: n_pos = 0
+    val w = TextStats.importanceWeights(docs, "doc_id", "text", tm, rm, 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(w(1L)._1 > 0 && w(2L)._1 > 0)
+    assert(w(1L)._2 / w(1L)._1 > w(2L)._2 / w(2L)._1,
+      s"target-like doc must have higher mean LR: $w")
+    assert(w(1L)._3 > w(2L)._3, "log_weight must agree on the ordering")
+    assert(w(3L) === ((0L, 0L, 0.0)))
+    // deterministic under repartitioning (integer sum, broadcast models)
+    val re = TextStats.importanceWeights(
+      docs.repartition(7), "doc_id", "text", tm, rm, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(re === w.map { case (k, v) => k -> v._2 })
+  }
+
   test("multimodal decode stub: real plumbing, deterministic features") {
     val df = Seq((1L, "hello world"), (2L, "a" * 200)).toDF("id", "text")
       .select($"id", encode($"text", "UTF-8").as("payload"))

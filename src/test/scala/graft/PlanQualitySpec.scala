@@ -193,6 +193,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("importance resampling: broadcast models, two-level top-k pruning") {
+    val p = plan("sample_importance")
+    // the two vocabulary-bounded trigram models join broadcast — the
+    // corpus-side explode never shuffles for the lookups
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // topKByScore prunes per-bucket before the global rank
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("image near-dup: banded candidate join, never all-pairs") {
+    val p = plan("multimodal_image_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "banded Hamming join degenerated to all-pairs:\n" + p)
+    // the join key is the (band, band_value) pair of 8-byte scalars
+    assert(p.contains("band"), p)
+  }
+
   test("lm scoring joins the vocabulary-bounded model broadcast") {
     val p = plan("text_lm_perplexity")
     // gram + context model joins: at least two broadcast exchanges; the
