@@ -853,6 +853,41 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(imgs, "id", "payload")
         .orderBy("id_a", "id_b")
     },
+    // REAL audio decode via the JDK's own readers (javax.sound.sampled —
+    // WAV/AIFF/AU PCM, the audio twin of multimodal_decode): per doc a
+    // deterministic md5-keystream PCM16 fixture (120+id%50 frames,
+    // 1+id%2 channels) is encoded as a REAL container — WAV for most ids,
+    // AIFF (big-endian) for id%3==0, so the gate also proves the
+    // canonical pcm_md5 is container-format-invariant. decodeAudios must
+    // recover the exact rate/channels/frames, the byte-identical
+    // canonical PCM (lossless round-trip boolean), and the integer
+    // energy-window vector must equal the codec-free computation over the
+    // same fixture samples. Metadata gates as integers the oracle
+    // re-derives from doc_id; the byte-level equalities gate as booleans.
+    "multimodal_audio_decode" -> { (s, dir) =>
+      import s.implicits._
+      val gen = t(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val ch = 1 + (id % 2).toInt
+          val n = 120 + (id % 50).toInt
+          val canon = Multimodal.syntheticPcm16("audio#" + id, n, ch)
+          (id, Multimodal.pcm16Container(canon, 8000, ch, aiff = id % 3 == 0),
+            Multimodal.md5Hex(canon),
+            Multimodal.pcmEnergyWindows(canon, ch, 2, 64))
+        })
+        .toDF("id", "payload", "expect_md5", "expect_energy")
+        .cache()
+      Multimodal.decodeAudios(gen, "id", "payload", energyWindowFrames = 64)
+        .toDF()
+        .join(gen.select("id", "expect_md5", "expect_energy"), "id")
+        .select(col("id"), col("sample_rate"), col("channels"),
+          col("n_frames"),
+          (col("pcm_md5") === col("expect_md5")).as("decode_exact"),
+          (col("energies") === col("expect_energy")).as("energy_exact"))
+        .orderBy("id")
+    },
     // north-star "heavy hitters per turn window": CMS over (hour, type)
     // composite keys, eps-bounded against the exact windowed counts.
     "cms_windowed_counts" -> { (s, dir) =>
@@ -2216,6 +2251,12 @@ object SparkEntry {
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
          CAST(0 AS INT) AS hamming
          FROM documents WHERE doc_id % 7 = 0 ORDER BY id_a, id_b""",
+    "multimodal_audio_decode" ->
+      """SELECT doc_id AS id, CAST(8000 AS INT) AS sample_rate,
+         CAST(1 + doc_id % 2 AS INT) AS channels,
+         CAST(120 + doc_id % 50 AS BIGINT) AS n_frames,
+         true AS decode_exact, true AS energy_exact
+         FROM documents ORDER BY id""",
     "multimodal_decode" ->
       """SELECT doc_id AS id, CAST(3 + doc_id % 5 AS INT) AS width,
          CAST(2 + doc_id % 4 AS INT) AS height,

@@ -22,12 +22,18 @@ import org.apache.spark.sql.functions._
   *    colorspace conversion), and PNG is lossless, so
   *    decode(encodePng(pixels)) == pixels byte-for-byte — the
   *    `multimodal_decode` gate asserts exactly that round-trip.
-  *  - AUDIO/VIDEO containers have no in-JDK codec; those payloads go
-  *    through the byte-level featurizer path ([[decode]]/[[frameMeta]]) —
-  *    a real deterministic computation (byte histogram features,
-  *    fixed-stride frame offsets), but explicitly NOT a media decode; a
-  *    production pipeline swaps an FFI codec into the same
-  *    `mapPartitions` seam.
+  *  - AUDIO is decoded FOR REAL for the PCM container formats the JDK
+  *    ships readers for (`javax.sound.sampled` — WAV/AIFF/AU):
+  *    [[decodeAudios]] yields true rate/channels/frames, a canonical
+  *    container-format-invariant PCM hash, and integer energy-window
+  *    features. Compressed audio (MP3/AAC/Opus) has no in-JDK codec and
+  *    falls through to None.
+  *  - VIDEO (and compressed-audio) containers have no in-JDK codec; those
+  *    payloads go through the byte-level featurizer path
+  *    ([[decode]]/[[frameMeta]]) — a real deterministic computation (byte
+  *    histogram features, fixed-stride frame offsets), but explicitly NOT
+  *    a media decode; a production pipeline swaps an FFI codec into the
+  *    same `mapPartitions` seam.
   */
 object Multimodal {
   val FrameStride = 64
@@ -369,6 +375,154 @@ object Multimodal {
       .select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  // ---- real audio decode (javax.sound.sampled) -----------------------------
+
+  case class AudioDecoded(
+      id: Long,
+      sample_rate: Option[Int],
+      channels: Option[Int],
+      bits: Option[Int],
+      n_frames: Option[Long],
+      pcm_md5: Option[String],
+      energies: Option[Array[Long]])
+
+  /** Decode one audio payload → (sampleRate, channels, bitsPerSample,
+    * frames, canonical PCM bytes). The JDK's own `javax.sound.sampled`
+    * readers handle WAV/AIFF/AU PCM — the audio analogue of the ImageIO
+    * image path, zero external dependencies. Canonical PCM order:
+    * frame-major, channel-interleaved, each sample SIGNED BIG-ENDIAN over
+    * its container byte width — so the same samples as WAV (little-endian)
+    * or AIFF (big-endian) canonicalize to identical bytes and `pcm_md5`
+    * is container-format-invariant, exactly like the image raster hash.
+    * Only PCM_SIGNED payloads decode (compressed/float encodings would
+    * need a codec the JDK lacks); anything else is None (F4 posture). */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Int, Long, Array[Byte])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = ais.getFormat
+        val bytesPer = (f.getSampleSizeInBits + 7) / 8
+        if (f.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            f.getFrameSize != bytesPer * f.getChannels) None
+        else {
+          val raw = ais.readAllBytes()
+          val canon =
+            if (f.isBigEndian || bytesPer == 1) raw
+            else { // swap each sample's bytes to big-endian in place
+              val out = new Array[Byte](raw.length)
+              var o = 0
+              while (o + bytesPer <= raw.length) {
+                var k = 0
+                while (k < bytesPer) {
+                  out(o + k) = raw(o + bytesPer - 1 - k); k += 1
+                }
+                o += bytesPer
+              }
+              out
+            }
+          Some((f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
+            (canon.length / (bytesPer * f.getChannels)).toLong, canon))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Per-window energy over canonical PCM: for each window of
+    * `windowFrames` frames, Σ |sample| across frames and channels — pure
+    * integer math over the signed big-endian samples, so the vector is
+    * byte-exact deterministic (the audio twin of the image dHash's
+    * integer-only posture). The trailing partial window counts. */
+  def pcmEnergyWindows(
+      canon: Array[Byte], channels: Int, bytesPer: Int,
+      windowFrames: Int): Array[Long] = {
+    require(windowFrames > 0, s"windowFrames must be positive, got $windowFrames")
+    val frameBytes = channels * bytesPer
+    val nFrames = canon.length / frameBytes
+    val out = new Array[Long]((nFrames + windowFrames - 1) / windowFrames)
+    var fr = 0
+    while (fr < nFrames) {
+      var s = 0L
+      var o = fr * frameBytes
+      val end = math.min(fr + windowFrames, nFrames) * frameBytes
+      while (o < end) {
+        var v = canon(o).toLong // sign-carrying high byte
+        var k = 1
+        while (k < bytesPer) { v = (v << 8) | (canon(o + k) & 0xffL); k += 1 }
+        s += math.abs(v)
+        o += bytesPer
+      }
+      out(fr / windowFrames) = s
+      fr += windowFrames
+    }
+    out
+  }
+
+  /** Batched REAL audio decode over (id BIGINT, payload BINARY) →
+    * (id, sample_rate, channels, bits, n_frames, pcm_md5, energies).
+    * Partition-parallel, no shuffle; undecodable payloads yield null
+    * metadata (F4). `energies` is the [[pcmEnergyWindows]] vector at
+    * `energyWindowFrames` — the fixed-size-per-window feature a curation
+    * pipeline clusters or thresholds on (silence/clipping detection). */
+  def decodeAudios(
+      df: DataFrame, idCol: String, payloadCol: String,
+      energyWindowFrames: Int = 1024): Dataset[AudioDecoded] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        decodeAudio(payload) match {
+          case Some((rate, ch, bits, frames, canon)) =>
+            AudioDecoded(id, Some(rate), Some(ch), Some(bits), Some(frames),
+              Some(md5Hex(canon)),
+              Some(pcmEnergyWindows(canon, ch, (bits + 7) / 8,
+                energyWindowFrames)))
+          case None =>
+            AudioDecoded(id, None, None, None, None, None, None)
+        }
+      })
+  }
+
+  // ---- deterministic audio fixtures (gate + spec inputs) -------------------
+
+  /** Deterministic canonical PCM16 fixture: nFrames·channels signed
+    * big-endian samples from the md5 keystream — [[noisePixels]] reused as
+    * a pure keystream (nFrames × channels grid of 2-byte "bands"). */
+  def syntheticPcm16(seed: String, nFrames: Int, channels: Int): Array[Byte] =
+    noisePixels(seed, nFrames, channels, 2)
+
+  /** Encode canonical PCM16 samples as a REAL container via the JDK's own
+    * writers: WAV (little-endian) or AIFF (big-endian). Both are lossless
+    * PCM, so decode(encode(samples)) reproduces the canonical bytes — and
+    * the two containers of the same samples share one pcm_md5. */
+  def pcm16Container(
+      canon: Array[Byte], rate: Int, channels: Int,
+      aiff: Boolean = false): Array[Byte] = {
+    require(canon.length % (2 * channels) == 0,
+      s"canonical PCM16 length ${canon.length} not a multiple of frame size")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, channels, true, aiff) // signed; AIFF is big-endian
+    val data =
+      if (aiff) canon
+      else { // container wants little-endian: swap each sample's two bytes
+        val out = new Array[Byte](canon.length)
+        var o = 0
+        while (o + 1 < canon.length) {
+          out(o) = canon(o + 1); out(o + 1) = canon(o); o += 2
+        }
+        out
+      }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt,
+      canon.length / (2 * channels))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      if (aiff) javax.sound.sampled.AudioFileFormat.Type.AIFF
+      else javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   // ---- opaque-payload featurizer (codec-less fallback) ---------------------

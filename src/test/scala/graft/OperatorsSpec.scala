@@ -706,6 +706,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("audio decode: WAV/AIFF round-trip to one canonical PCM, energies exact") {
+    val canon = Multimodal.syntheticPcm16("au-spec", 200, 2)
+    val wav = Multimodal.pcm16Container(canon, 8000, 2)
+    val aiff = Multimodal.pcm16Container(canon, 8000, 2, aiff = true)
+    assert(!java.util.Arrays.equals(wav, aiff),
+      "containers must be different bitstreams")
+    val Some((rw, cw, bw, fw, pw)) = Multimodal.decodeAudio(wav)
+    val Some((ra, ca, ba, fa, pa)) = Multimodal.decodeAudio(aiff)
+    assert((rw, cw, bw, fw) === ((8000, 2, 16, 200L)))
+    assert((ra, ca, ba, fa) === ((8000, 2, 16, 200L)))
+    // container-format-invariant canonical PCM (the audio pixel_md5 claim)
+    assert(java.util.Arrays.equals(pw, canon) &&
+      java.util.Arrays.equals(pa, canon))
+    // energy windows: integer |sample| sums, hand-checked on a tiny case
+    val tiny = Array[Byte](0, 3, -1, -2, 0, 5, 127, 0) // samples 3,-2,5,32512
+    assert(Multimodal.pcmEnergyWindows(tiny, 1, 2, 2).toSeq ===
+      Seq(5L, 32517L)) // |3|+|-2| ; |5|+|32512|
+    assert(Multimodal.pcmEnergyWindows(tiny, 2, 2, 2).toSeq ===
+      Seq(3L + 2 + 5 + 32512)) // 2ch: 2 frames = one window
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+    // batched path: decoded metadata + null row for the undecodable payload
+    val rows = Seq((1L, wav), (2L, aiff), (3L, "junk".getBytes))
+      .toDF("id", "payload")
+    val got = Multimodal.decodeAudios(rows, "id", "payload", 64)
+      .collect().map(d => d.id -> d).toMap
+    assert(got(1L).pcm_md5 === got(2L).pcm_md5)
+    assert(got(1L).energies.get.toSeq ===
+      Multimodal.pcmEnergyWindows(canon, 2, 2, 64).toSeq)
+    assert(got(3L).pcm_md5.isEmpty && got(3L).n_frames.isEmpty)
+  }
+
   test("topKByScore: two-level top-k equals the global sort, ties by id") {
     import graft.operators.Sampling
     val df = (1L to 500L).toDF("id")
