@@ -263,23 +263,41 @@ object Dedup {
       .where(col("shared_fingerprints") >= minShared)
   }
 
-  /** SimHash near-dup pairs: 64-bit simhash, banded into 4 × 16-bit chunks
-    * (a pair within Hamming distance 3 must agree on at least one chunk),
-    * verified with bit_count(xor) <= maxHamming.
-    */
-  def simhashPairs(
-      df: DataFrame,
+  /** Banded Hamming self-join over any 64-bit signature column — the ONE
+    * candidate-generation kernel behind SimHash text near-dup AND dHash
+    * image near-dup: split each signature into `maxHamming + 1` contiguous
+    * chunks (widths 64/(h+1), off-by-one balanced), shuffle once on
+    * (chunk_idx, chunk_value), verify candidates with an exact popcount.
+    * Pigeonhole recall guarantee: a pair differing in ≤ maxHamming bits
+    * cannot differ in all h+1 chunks, so EVERY pair within the radius is
+    * found — at any radius 0..63, with the band count (and therefore the
+    * shuffle width and candidate volume) growing only linearly in it.
+    *
+    * Scale shape: the only shuffle key is the (chunk_idx, chunk_value)
+    * pair of 8-byte scalars; no all-pairs anywhere; candidate volume is
+    * governed by bucket collision rates, not corpus².
+    *
+    * Input: (idCol, sigCol BIGINT). Output: (id_a, id_b, hamming INT),
+    * id_a < id_b. */
+  def hamming64Pairs(
+      sigs: DataFrame,
       idCol: String,
-      textCol: String,
-      shingleK: Int = 8,
-      maxHamming: Int = 3,
-      seed: Long = DefaultSeed): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      simhash(shingles(col(textCol), shingleK, seed = seed)).as("sig"))
-    val bands = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("band_idx", "band_val")))
+      sigCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val nBands = maxHamming + 1
+    val bounds = (0 to nBands).map(i => i * 64 / nBands)
+    val bandCols = (0 until nBands).map { b =>
+      val lo = bounds(b)
+      val width = bounds(b + 1) - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      shiftrightunsigned(col("sig"), lo).bitwiseAND(lit(mask))
+    }
+    val bands = sigs
+      .select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -287,11 +305,27 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .distinct() // a close pair matches in several bands — count it once
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** SimHash near-dup pairs: 64-bit simhash over the shingle set, then the
+    * shared [[hamming64Pairs]] banded join (at the default radius 3 the
+    * chunks are the classic 4 × 16-bit banding). */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 8,
+      maxHamming: Int = 3,
+      seed: Long = DefaultSeed): DataFrame =
+    hamming64Pairs(
+      df.select(col(idCol).as("id"),
+        simhash(shingles(col(textCol), shingleK, seed = seed)).as("sig")),
+      "id", "sig", maxHamming)
 
   /** Exact n-gram Jaccard over ALL pairs (quadratic; the small-scale oracle
     * the approximate paths are judged against — and itself a useful operator

@@ -337,13 +337,10 @@ object Multimodal {
   }
 
   /** Image near-duplicate pairs by banded dHash Hamming join — the image
-    * twin of SimHash text near-dup: split each 64-bit hash into four
-    * 16-bit bands, shuffle once on (band, value), verify candidates with
-    * an exact popcount. Pigeonhole recall guarantee: Hamming distance
-    * ≤ 3 leaves at least one of the 4 bands identical, so every pair
-    * within `maxHamming` ≤ 3 is FOUND (maxHamming = 4+ would need 5+
-    * bands for the same guarantee — rejected here rather than silently
-    * losing recall). Undecodable payloads are excluded (no hash to
+    * twin of SimHash text near-dup, sharing its candidate-generation
+    * kernel ([[Dedup.hamming64Pairs]]: pigeonhole-banded self-join, exact
+    * popcount verification, recall 1 within the radius at any
+    * maxHamming 0..63). Undecodable payloads are excluded (no hash to
     * band). Output: (id_a, id_b, hamming INT), id_a < id_b.
     *
     * Scale shape: candidates-only verification — the only shuffle is the
@@ -353,28 +350,30 @@ object Multimodal {
       df: DataFrame,
       idCol: String,
       payloadCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"maxHamming=$maxHamming: the 4-band join only guarantees recall " +
-        "for Hamming <= 3 (pigeonhole); use more bands for a wider radius")
-    val hashes = imageDHashes(df, idCol, payloadCol)
-      .where(col("dhash").isNotNull)
-    val bands = hashes.select(col("id"), col("dhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("dhash"), 16 * b)
-            .bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("bd"))
-      .select(col("id"), col("dhash"),
-        col("bd.band").as("band"), col("bd.bv").as("bv"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
-      .distinct() // a close pair matches in several bands — count it once
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
-      .where(col("hamming") <= maxHamming)
+      maxHamming: Int = 3): DataFrame =
+    Dedup.hamming64Pairs(
+      imageDHashes(df, idCol, payloadCol).where(col("dhash").isNotNull),
+      "id", "dhash", maxHamming)
+
+  /** Image near-dup canonicalization — "keep one copy per perceptual
+    * cluster", the image twin of [[Dedup.nearDupCanonical]] with the same
+    * output contract: (id, canonical_id, is_canonical). Pairs → connected
+    * components → min id per component; images with no near-dup (and
+    * undecodable payloads) are their own canonical. */
+  def imageNearDupCanonical(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 3,
+      maxIters: Int = 10): DataFrame = {
+    val pairs = imageNearDupPairs(df, idCol, payloadCol, maxHamming)
+      .select("id_a", "id_b")
+    val labels = Dedup.connectedMinLabels(pairs, maxIters)
+    df.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("label"), col("id")).as("canonical_id"),
+        (coalesce(col("label"), col("id")) === col("id")).as("is_canonical"))
   }
 
   // ---- real audio decode (javax.sound.sampled) -----------------------------

@@ -699,10 +699,46 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     val planted = (1L to 40L).filter(_ % 5 == 0)
       .map(id => (id, id + 1000L, 0)).toSet
     assert(got === planted)
-    // recall guarantee only holds to radius 3 with 4 bands — loud reject
-    intercept[IllegalArgumentException] {
-      Multimodal.imageNearDupPairs(rows.toDF("id", "payload"), "id",
-        "payload", maxHamming = 4)
+    // wider radii band into more (narrower) chunks — same pigeonhole
+    // recall, and at this fixture no new pairs enter the radius
+    val wide = Multimodal
+      .imageNearDupPairs(rows.toDF("id", "payload"), "id", "payload",
+        maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(wide === planted)
+    // canonicalization: every twin collapses onto its base id
+    val canon = Multimodal
+      .imageNearDupCanonical(rows.toDF("id", "payload"), "id", "payload")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    (1L to 40L).foreach { id =>
+      if (id % 5 == 0) {
+        assert(canon(id) === ((id, true)))
+        assert(canon(id + 1000L) === ((id, false)))
+      } else assert(canon(id) === ((id, true)))
+    }
+    assert(canon(9999L) === ((9999L, true))) // undecodable: own canonical
+  }
+
+  test("hamming64Pairs: generalized banding finds every pair within radius") {
+    // exhaustive check vs brute force on crafted 64-bit words at radii 0-6
+    val base = 0x0123456789abcdefL
+    val sigs = (0 until 40).map { i =>
+      // flip i%7 pseudo-random bit positions derived from i
+      val flipped = (0 until i % 7).foldLeft(base) { (v, j) =>
+        v ^ (1L << ((i * 11 + j * 17) % 64))
+      }
+      (i.toLong, flipped)
+    }
+    val df = sigs.toDF("id", "sig")
+    for (h <- Seq(0, 3, 6)) {
+      val got = graft.operators.Dedup.hamming64Pairs(df, "id", "sig", h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= h
+      } yield (ia, ib, d)).toSet
+      assert(got === want, s"radius $h")
     }
   }
 

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Classify, ProfilePipeline}
-import graft.sources.{SketchTable, Timing, Tsv}
+import graft.sources.{BucketedTable, SketchTable, Timing, Tsv}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -24,6 +24,48 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(0).getLong(6) == 140)
     assert(rows(1).getString(1) == null && rows(1).getString(8) == null,
       "'-' should decode to null")
+  }
+
+  test("bucketed tables: co-located join and agg plan with zero Exchange") {
+    val a = (1L to 500L).map(i => (i % 50, i)).toDF("k", "va")
+    val b = (1L to 300L).map(i => (i % 50, i * 2)).toDF("k", "vb")
+    BucketedTable.write(a, "bt_a", Seq("k"), 8)
+    BucketedTable.write(b, "bt_b", Seq("k"), 8)
+    assert(BucketedTable.bucketSpec(spark, "bt_a") === ((8, Seq("k"))))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = BucketedTable.colocatedJoin(spark, "bt_a", "bt_b", Seq("k"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        "co-bucketed join must not shuffle either side:\n" + plan)
+      // row-identical to the plain join
+      val got = j.groupBy("k").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = a.join(b, "k").groupBy("k").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want)
+      // aggregation on the bucket key: also exchange-free
+      val agg = BucketedTable.read(spark, "bt_a").groupBy("k").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucket-key agg must not shuffle")
+      // loud failures instead of silent shuffles
+      BucketedTable.write(b, "bt_c", Seq("k"), 4)
+      intercept[IllegalArgumentException] {
+        BucketedTable.colocatedJoin(spark, "bt_a", "bt_c", Seq("k"))
+      }
+      a.write.mode("overwrite").format("parquet").saveAsTable("bt_plain")
+      intercept[IllegalArgumentException] {
+        BucketedTable.colocatedJoin(spark, "bt_a", "bt_plain", Seq("k"))
+      }
+      intercept[IllegalArgumentException] {
+        BucketedTable.colocatedJoin(spark, "bt_a", "bt_b", Seq("va"))
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Seq("bt_a", "bt_b", "bt_c", "bt_plain")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
   }
 
   test("taxonomy tsv + path split") {
