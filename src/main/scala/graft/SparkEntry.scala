@@ -33,6 +33,26 @@ object SparkEntry {
     * [[TranscriptDumpPath]]. */
   val CellsDumpPath = "/tmp/graft_verify_cells"
 
+  /** Fixed dump path for the synthetic messy-URL table (web_* gates): the
+    * generator is Spark-only, so the oracle re-reads the raw (doc_id, url)
+    * rows by absolute path and re-derives the canonicalization chain from
+    * [[WebOps.canonicalPartsSql]]-generated SQL. */
+  val UrlsDumpPath = "/tmp/graft_verify_urls"
+
+  /** Domain blocklist for web_blocked_filter — chosen so each entry is hit
+    * by cids ≡ 0,1,2,3 (mod 100) of the synthetic-URL generator (tld =
+    * cid%4, site number = cid%50), keeping the filter non-vacuous. */
+  val WebBlockedDomains: Seq[String] =
+    Seq("site0.com", "site1.org", "site2.co.uk", "site3.net")
+
+  /** Generate + dump + read back the synthetic URL table (deterministic,
+    * so the three web_* gates may each rewrite the same path). */
+  private def webUrls(s: SparkSession, dir: String): DataFrame = {
+    WebOps.syntheticUrls(t(s, dir, "documents").select("doc_id"), "doc_id")
+      .write.mode("overwrite").parquet(UrlsDumpPath)
+    s.read.parquet(UrlsDumpPath)
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -1332,6 +1352,38 @@ object SparkEntry {
           "doc_id", nShards = 8)
         .orderBy("shard", "ord")
     },
+    // ---- web curation: URL canonicalization / dedup / domain stats --------
+    // The sf tables carry no URLs, so (text_redaction discipline) a messy
+    // synthetic absolute URL per doc_id is generated deterministically in
+    // SPARK ONLY and dumped to a fixed path the oracle reads back
+    // (TranscriptDumpPath convention). The oracle then re-derives the
+    // ENTIRE canonicalization chain in DuckDB from SQL GENERATED off the
+    // same pattern/param constants (WebOps.canonicalPartsSql), so the two
+    // sides cannot de-synchronize and every rule — fragment strip, default-
+    // port drop, tracking-param removal, param sort, trailing-slash — is
+    // cross-checked byte-exact. doc_ids ≡ 3 (mod 10) borrow the identity
+    // of doc_id-3, planting genuine URL-level duplicate classes whose mess
+    // (case, default port, tracking params, param order, fragments) still
+    // differs per row.
+    "web_url_dedup" -> { (s, dir) =>
+      WebOps.urlDedup(webUrls(s, dir), "doc_id", "url").orderBy("id")
+    },
+    // Per-registered-domain doc / distinct-canonical-URL counts: exercises
+    // registeredDomain's public-suffix rule (site7.co.uk stays a 3-label
+    // registered domain; www. is shed as an ordinary subdomain label).
+    "web_domain_stats" -> { (s, dir) =>
+      WebOps.domainStats(webUrls(s, dir), "doc_id", "url")
+        .orderBy("registered_domain")
+    },
+    // Broadcast anti-join against a curated domain blocklist. The four
+    // blocked domains hit cids ≡ 0,1,2,3 (mod 100) — ~4% of docs plus
+    // their planted duplicates — so the filter is non-vacuous at sf0.01.
+    "web_blocked_filter" -> { (s, dir) =>
+      import s.implicits._
+      val blocked = WebBlockedDomains.toDF("registered_domain")
+      WebOps.filterBlockedDomains(webUrls(s, dir), "url", blocked)
+        .select("doc_id").orderBy("doc_id")
+    },
     // Cluster-balanced (diversity) sampling: nearest-centroid cells over
     // FROZEN hash-picked centroids (deterministic — exact corpus rows in
     // xxhash64 order), then the md5 bottom-k cap per cell. The assignment
@@ -2068,6 +2120,28 @@ object SparkEntry {
              AS BIGINT) AS ord
          FROM sh ORDER BY shard, ord"""
     },
+    // the web_* oracles re-derive the FULL canonicalization chain in
+    // DuckDB from the dumped raw URLs, via SQL generated from the same
+    // constants as the Column code (WebOps.canonicalPartsSql — single
+    // source, engine-portable regexes with no backslash escapes)
+    "web_url_dedup" ->
+      s"""$webCanonSql
+         SELECT doc_id AS id,
+           min(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
+           doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+             AS is_canonical
+         FROM canon ORDER BY id""",
+    "web_domain_stats" ->
+      s"""$webCanonSql
+         SELECT registered_domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical_urls
+         FROM canon GROUP BY 1 ORDER BY 1""",
+    "web_blocked_filter" ->
+      s"""$webCanonSql
+         SELECT doc_id FROM canon
+         WHERE registered_domain NOT IN
+           (${WebBlockedDomains.map(d => s"'$d'").mkString(", ")})
+         ORDER BY doc_id""",
     // the float assignment layer comes from the engine's dump (absolute
     // path, TranscriptDumpPath convention); the oracle re-derives the
     // md5 per-cell cap from it byte-exactly
@@ -2498,6 +2572,17 @@ object SparkEntry {
     * query's concat chain token-for-token; the count/redact SELECT list is
     * GENERATED from TextStats.PiiPatterns (single source — the SQL cannot
     * de-synchronize from the Column chain). */
+  /** Shared CTE prefix for the web_* oracles: raw dumped URLs → RFC-3986
+    * parts (generated from the same constants as the Column chain) →
+    * canonical URL + registered domain. */
+  private def webCanonSql: String =
+    s"""WITH u AS (SELECT doc_id, url FROM '$UrlsDumpPath/*.parquet'),
+       parts AS (SELECT doc_id, ${WebOps.canonicalPartsSql("url")} FROM u),
+       canon AS (SELECT doc_id,
+         ${WebOps.CanonicalUrlFromPartsSql} AS canonical_url,
+         ${WebOps.registeredDomainSql("host")} AS registered_domain
+       FROM parts)"""
+
   private def textRedactionSql: String =
     s"""WITH twin AS (SELECT doc_id,
            coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
