@@ -53,6 +53,31 @@ object SparkEntry {
     s.read.parquet(UrlsDumpPath)
   }
 
+  /** Fixed dump paths for the conversation-structure gates (conv_*): the
+    * damage/duplication planting is Spark-only, so the oracle re-reads the
+    * MUTATED turn tables by absolute path and re-derives integrity /
+    * fingerprints / transitions from them (TranscriptDumpPath convention —
+    * each gate family owns its path; gates sharing a path write identical
+    * deterministic rows, so write order across gates is irrelevant). */
+  val ConvDamagedDumpPath = "/tmp/graft_verify_convs_damaged"
+  val ConvDupDumpPath = "/tmp/graft_verify_convs_dup"
+
+  /** Generate + plant structural damage + dump + read back (shared by
+    * conv_integrity and conv_role_transitions). */
+  private def damagedConvs(s: SparkSession): DataFrame = {
+    Conversations.plantDamage(graft.sources.Transcripts.generate(s, nConvs = 600))
+      .write.mode("overwrite").parquet(ConvDamagedDumpPath)
+    s.read.parquet(ConvDamagedDumpPath)
+  }
+
+  /** Generate + re-ingest duplicate conversations + dump + read back. */
+  private def dupConvs(s: SparkSession): DataFrame = {
+    Conversations.plantDuplicates(
+        graft.sources.Transcripts.generate(s, nConvs = 350))
+      .write.mode("overwrite").parquet(ConvDupDumpPath)
+    s.read.parquet(ConvDupDumpPath)
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -1384,6 +1409,23 @@ object SparkEntry {
       WebOps.filterBlockedDomains(webUrls(s, dir), "url", blocked)
         .select("doc_id").orderBy("doc_id")
     },
+    // ---- conversation-structure curation over the input_hint shape --------
+    // The transcript generator is Spark-only, so each gate dumps its
+    // (deterministically mutated) turn table to a fixed path the oracle
+    // reads back, then re-derives the full result in DuckDB. Damage is
+    // PLANTED (dropped turn_idx 2 for convs ≡5 mod 13; doubled turn_idx 1
+    // for convs ≡4 mod 17; re-ingested "-dup" conversations for ≡0 mod 7)
+    // so gapless/dup_idx/is_canonical are non-vacuous.
+    "conv_integrity" -> { (s, dir) =>
+      Conversations.integrity(damagedConvs(s)).orderBy("conv_id")
+    },
+    "conv_dedup" -> { (s, dir) =>
+      Conversations.dedup(dupConvs(s)).orderBy("conv_id")
+    },
+    "conv_role_transitions" -> { (s, dir) =>
+      Conversations.roleTransitions(damagedConvs(s))
+        .orderBy("role_from", "role_to")
+    },
     // Cluster-balanced (diversity) sampling: nearest-centroid cells over
     // FROZEN hash-picked centroids (deterministic — exact corpus rows in
     // xxhash64 order), then the md5 bottom-k cap per cell. The assignment
@@ -2142,6 +2184,56 @@ object SparkEntry {
          WHERE registered_domain NOT IN
            (${WebBlockedDomains.map(d => s"'$d'").mkString(", ")})
          ORDER BY doc_id""",
+    // the conv_* oracles re-derive integrity / fingerprints / transitions
+    // from the dumped MUTATED turn tables; ordering inside a conversation
+    // is (turn_idx, role, text) on both sides — total even under planted
+    // duplicate indices, so every hex fingerprint gates byte-exact
+    "conv_integrity" ->
+      s"""WITH t AS (
+           SELECT conv_id, turn_idx, role, text,
+             lag(role) OVER w AS prev_role,
+             first_value(role) OVER w AS fr,
+             last_value(role) OVER (PARTITION BY conv_id
+               ORDER BY turn_idx, role, text
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lr
+           FROM '$ConvDamagedDumpPath/*.parquet'
+           WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, role, text))
+         SELECT conv_id,
+           count(*) AS n_turns,
+           count(DISTINCT turn_idx) AS n_distinct_idx,
+           min(turn_idx) AS min_idx,
+           max(turn_idx) AS max_idx,
+           (count(DISTINCT turn_idx) = count(*) AND min(turn_idx) = 0
+             AND max(turn_idx) = count(*) - 1) AS gapless,
+           CAST(count(*) - count(DISTINCT turn_idx) AS BIGINT) AS dup_idx,
+           CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+             AS role_repeats,
+           min(fr) AS first_role, min(lr) AS last_role
+         FROM t GROUP BY conv_id ORDER BY conv_id""",
+    "conv_dedup" ->
+      s"""WITH fp AS (SELECT conv_id,
+             md5(string_agg(role || chr(31) || text, chr(30)
+               ORDER BY turn_idx, role, text)) AS conv_fp
+           FROM '$ConvDupDumpPath/*.parquet' GROUP BY 1),
+         canon AS (SELECT conv_fp, min(conv_id) AS canonical_id
+                   FROM fp GROUP BY 1)
+         SELECT conv_id, canonical_id, conv_id = canonical_id AS is_canonical
+         FROM fp JOIN canon USING (conv_fp) ORDER BY conv_id""",
+    "conv_role_transitions" ->
+      s"""WITH t AS (
+           SELECT conv_id, role,
+             lag(role) OVER w AS prev_role,
+             lead(role) OVER w AS next_role
+           FROM '$ConvDamagedDumpPath/*.parquet'
+           WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, role, text)),
+         e AS (
+           SELECT coalesce(prev_role, '^') AS role_from, role AS role_to
+           FROM t
+           UNION ALL
+           SELECT role AS role_from, '$$' AS role_to FROM t
+           WHERE next_role IS NULL)
+         SELECT role_from, role_to, count(*) AS n
+         FROM e GROUP BY 1,2 ORDER BY 1,2""",
     // the float assignment layer comes from the engine's dump (absolute
     // path, TranscriptDumpPath convention); the oracle re-derives the
     // md5 per-cell cap from it byte-exactly

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Conversation-structure curation over the canonical transcript shape
+  * (conv_id, turn_idx, role, text, tool, ts) — the BASELINE.json
+  * `input_hint` table. Three operators a transcript-training pipeline
+  * runs before any text-level work:
+  *
+  *  1. [[integrity]] — per-conversation structural validation: turn-index
+  *     contiguity (gapless 0..n-1, no duplicate indices), adjacent
+  *     same-role repeats, first/last role. Broken conversations (a
+  *     re-ingestion dropped or double-delivered a turn) poison
+  *     downstream packing and loss masking, so this is the first gate a
+  *     transcript corpus passes.
+  *  2. [[fingerprints]] / [[dedup]] — conversation-LEVEL exact dedup: two
+  *     conversations are duplicates iff their ordered (role, text) turn
+  *     sequences are byte-identical (the north-rule invariant: per-turn
+  *     text equality under stable turn ordering). Min-conv_id
+  *     canonicalization, same contract as [[Dedup.exactCanonical]] one
+  *     granularity up.
+  *  3. [[roleTransitions]] — corpus-wide (role → next role) transition
+  *     counts, the structural histogram that catches a corrupted
+  *     interleave (e.g. assistant→assistant mass from dropped user turns).
+  *
+  * Scale shape: each operator is ONE shuffle keyed on `conv_id` (a short
+  * string), with all per-turn work either row-local or window work inside
+  * the conv_id partition; `text` crosses the wire only as the member list
+  * of the fingerprint aggregation (unavoidable: the fingerprint is a
+  * function of every turn's bytes) and never as a shuffle KEY.
+  * [[roleTransitions]]'s second shuffle is the (role, next_role) count —
+  * 16 groups. At 10^12 turns everything here is linear.
+  *
+  * Engine portability: fingerprints are md5 hex over ASCII with
+  * unit-separator joins (chr(31) between fields, chr(30) between turns),
+  * computed in Spark via sort_array(collect_list(struct(...))) and in
+  * DuckDB via string_agg(... ORDER BY turn_idx, role, text) — the struct
+  * sort is lexicographic by field, so both engines order duplicated
+  * turn_idx rows identically and the hex strings gate byte-exact.
+  */
+object Conversations {
+
+  /** Field separator (chr 31) inside a turn, turn separator (chr 30)
+    * between turns — neither occurs in the transcript token text. */
+  val FieldSep = "\u001f"
+  val TurnSep = "\u001e"
+
+  /** Per-conversation structural validation. One shuffle (conv_id); the
+    * adjacency scan is a lag window inside the same partitioning.
+    *
+    * Output: (conv_id, n_turns, n_distinct_idx, min_idx, max_idx,
+    * gapless, dup_idx, role_repeats, first_role, last_role).
+    * `gapless` = indices are exactly 0..n-1 with no duplicates;
+    * `role_repeats` counts adjacent turns (by turn_idx order) sharing a
+    * role — duplicated-index rows sort deterministically by (turn_idx,
+    * role, text) so the count is partitioning-invariant. */
+  def integrity(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx", "role", "text")
+    turns
+      .withColumn("__prev_role", lag(col("role"), 1).over(w))
+      .groupBy("conv_id")
+      .agg(
+        count(lit(1)).as("n_turns"),
+        countDistinct(col("turn_idx")).as("n_distinct_idx"),
+        min(col("turn_idx")).as("min_idx"),
+        max(col("turn_idx")).as("max_idx"),
+        sum(when(col("role") === col("__prev_role"), 1L).otherwise(0L))
+          .as("role_repeats"),
+        min_by(col("role"), struct(col("turn_idx"), col("role"), col("text")))
+          .as("first_role"),
+        max_by(col("role"), struct(col("turn_idx"), col("role"), col("text")))
+          .as("last_role"))
+      .withColumn("gapless",
+        col("n_distinct_idx") === col("n_turns") &&
+          col("min_idx") === 0 && col("max_idx") === col("n_turns") - 1)
+      .withColumn("dup_idx", (col("n_turns") - col("n_distinct_idx")).cast("long"))
+      .select("conv_id", "n_turns", "n_distinct_idx", "min_idx", "max_idx",
+        "gapless", "dup_idx", "role_repeats", "first_role", "last_role")
+  }
+
+  /** (conv_id, conv_fp): md5 hex of the ordered (role, text) turn
+    * sequence. Turn ordering is (turn_idx, role, text) — total even under
+    * duplicated indices. tool/ts are NOT part of the fingerprint: identity
+    * is the visible dialogue, per the north-rule invariant. */
+  def fingerprints(turns: DataFrame): DataFrame =
+    turns
+      .groupBy("conv_id")
+      .agg(md5(array_join(
+        transform(
+          sort_array(collect_list(struct(
+            col("turn_idx"), col("role"), col("text")))),
+          x => concat(x("role"), lit(FieldSep), x("text"))),
+        TurnSep)).as("conv_fp"))
+
+  /** Conversation-level exact dedup: (conv_id, canonical_id, is_canonical)
+    * with min-conv_id-per-fingerprint canonicalization (conv_id is a
+    * string; "min" is byte order — deterministic). Two shuffles: the
+    * fingerprint agg (conv_id) and the canonical-per-fp agg (conv_fp, a
+    * 32-char hex string). */
+  def dedup(turns: DataFrame): DataFrame = {
+    val fps = fingerprints(turns)
+    val canon = fps.groupBy("conv_fp").agg(min(col("conv_id")).as("canonical_id"))
+    fps.join(canon, Seq("conv_fp"))
+      .select(col("conv_id"), col("canonical_id"),
+        (col("conv_id") === col("canonical_id")).as("is_canonical"))
+  }
+
+  /** Corpus-wide (role, next_role, n) transition counts; the first/last
+    * turns of each conversation contribute sentinel transitions from/to
+    * '^' / '$' so conversation boundaries are visible in the histogram.
+    *
+    * ONE window pass emits each turn's incoming edge plus (for the last
+    * turn) the closing sentinel edge — a union of two window branches
+    * would scan and shuffle the turn table twice for the same result. */
+  def roleTransitions(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx", "role", "text")
+    // window expressions must be materialized as plain columns BEFORE the
+    // generator projection — Spark rejects them inside explode()'s child
+    turns
+      .withColumn("__prev", lag(col("role"), 1).over(w))
+      .withColumn("__last", lead(col("role"), 1).over(w).isNull)
+      .select(explode(filter(array(
+        struct(coalesce(col("__prev"), lit("^")).as("role_from"),
+          col("role").as("role_to")),
+        when(col("__last"),
+          struct(col("role").as("role_from"), lit("$").as("role_to")))),
+        x => x.isNotNull)).as("e"))
+      .select(col("e.role_from"), col("e.role_to"))
+      .groupBy("role_from", "role_to")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // ---- deterministic corruption planting (gate fixtures) -----------------
+
+  /** Plant structural damage into a clean transcript table so the
+    * integrity gate is non-vacuous, deterministically:
+    *  - conversations whose numeric id ≡ 5 (mod 13) LOSE turn_idx 2
+    *    (a gap — n_turns must be ≥ 4 for the damage to be a strict gap);
+    *  - conversations whose numeric id ≡ 4 (mod 17) get turn_idx 1
+    *    DUPLICATED (double delivery; the copy keeps identical bytes).
+    * `conv_id` must end in a numeric suffix (conv-%06d). Spark-only: the
+    * oracle reads the DUMPED mutated table, not this generator. */
+  def plantDamage(turns: DataFrame): DataFrame = {
+    val num = substring_index(col("conv_id"), "-", -1).cast("long")
+    val dropped = turns.where(!(pmod(num, lit(13)) === 5 && col("turn_idx") === 2))
+    val dup = turns.where(pmod(num, lit(17)) === 4 && col("turn_idx") === 1)
+    dropped.unionByName(dup)
+  }
+
+  /** Re-ingest a deterministic subset as duplicate conversations: convs
+    * with numeric id ≡ 0 (mod 7) reappear under conv_id + "-dup" with
+    * identical turns. Spark-only (gate fixture). */
+  def plantDuplicates(turns: DataFrame): DataFrame = {
+    val num = substring_index(col("conv_id"), "-", -1).cast("long")
+    turns.unionByName(
+      turns.where(pmod(num, lit(7)) === 0)
+        .withColumn("conv_id", concat(col("conv_id"), lit("-dup"))))
+  }
+}

@@ -1606,4 +1606,66 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         s"false merge: $id -> $canon crosses exact components")
     }
   }
+
+  test("conversation integrity flags gaps, duplicate indices, role repeats") {
+    val turns = Seq(
+      // c0: clean 0..2, user/assistant/user — gapless, no repeats
+      ("c0", 0, "user", "hi"), ("c0", 1, "assistant", "hello"),
+      ("c0", 2, "user", "bye"),
+      // c1: gap (0,2,3) and one adjacent same-role pair (user,user)
+      ("c1", 0, "user", "a"), ("c1", 2, "user", "b"),
+      ("c1", 3, "assistant", "c"),
+      // c2: duplicate turn_idx 1 (double delivery, differing bytes) —
+      // the two idx-1 assistant rows are adjacent under (idx, role, text)
+      ("c2", 0, "user", "q"), ("c2", 1, "assistant", "r1"),
+      ("c2", 1, "assistant", "r2")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val got = Conversations.integrity(turns).orderBy("conv_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getBoolean(5), r.getLong(6), r.getLong(7),
+        r.getString(8), r.getString(9))).toSeq
+    assert(got == Seq(
+      ("c0", 3L, 3L, 0, 2, true, 0L, 0L, "user", "user"),
+      ("c1", 3L, 3L, 0, 3, false, 0L, 1L, "user", "assistant"),
+      ("c2", 3L, 2L, 0, 1, false, 1L, 1L, "user", "assistant")))
+  }
+
+  test("conversation dedup groups identical ordered dialogues only") {
+    // c10 == c11 in (role, text) sequence (tool/ts identity-irrelevant by
+    // contract — not even columns here); c12 differs by one byte; c13
+    // has the same SET of turns as c10 but swapped order → distinct.
+    val turns = Seq(
+      ("c10", 0, "user", "hi"), ("c10", 1, "assistant", "yo"),
+      ("c11", 0, "user", "hi"), ("c11", 1, "assistant", "yo"),
+      ("c12", 0, "user", "hi"), ("c12", 1, "assistant", "yo!"),
+      ("c13", 0, "assistant", "yo"), ("c13", 1, "user", "hi")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val got = Conversations.dedup(turns).orderBy("conv_id")
+      .as[(String, String, Boolean)].collect().toSeq
+    assert(got == Seq(("c10", "c10", true), ("c11", "c10", false),
+      ("c12", "c12", true), ("c13", "c13", true)))
+    // fingerprints are partitioning-invariant (sort_array fixes the
+    // collect_list order)
+    val a = Conversations.fingerprints(turns)
+      .orderBy("conv_id").collect().toSeq
+    val b = Conversations.fingerprints(turns.repartition(7))
+      .orderBy("conv_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("role transitions count adjacency with boundary sentinels") {
+    val turns = Seq(
+      ("c20", 0, "user", "a"), ("c20", 1, "assistant", "b"),
+      ("c20", 2, "user", "c"),
+      ("c21", 0, "system", "s"), ("c21", 1, "user", "d")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val got = Conversations.roleTransitions(turns)
+      .orderBy("role_from", "role_to")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("^", "system", 1L), ("^", "user", 1L),
+      ("assistant", "user", 1L),
+      ("system", "user", 1L),
+      ("user", "$", 2L), ("user", "assistant", 1L)))
+  }
 }

@@ -224,4 +224,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(gramParts.size <= 2,
       s"per-position gram stream shuffles on gram strings:\n$gramParts")
   }
+
+  test("conv integrity: window and aggregate share ONE conv_id exchange") {
+    val p = plan("conv_integrity")
+    // the groupBy(conv_id) must reuse the lag-window's hashpartitioning —
+    // two conv_id exchanges would shuffle every turn's text twice
+    val convParts =
+      "hashpartitioning\\([^)]*conv_id[^)]*\\)".r.findAllIn(p).toSeq
+    assert(convParts.size == 1,
+      s"integrity shuffles turns on conv_id more than once:\n$convParts")
+  }
+
+  test("conv role transitions: one turn scan, edges emitted in one pass") {
+    val p = plan("conv_role_transitions")
+    // a union of lag/lead window branches would scan + shuffle the turn
+    // table twice; the single-generator form reads it once
+    // count detail-section scan nodes ("(n) Scan parquet"), not the tree
+    // rendering of the same node
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      "transitions scan the turn table more than once:\n" + p)
+    assert(p.contains("partial_count"), "map-side partial count missing")
+  }
 }
