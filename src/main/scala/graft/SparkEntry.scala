@@ -1426,6 +1426,15 @@ object SparkEntry {
       Conversations.roleTransitions(damagedConvs(s))
         .orderBy("role_from", "role_to")
     },
+    // Inactivity-gap sessionization. The generator's inter-turn gaps are
+    // 60 + (hash mod 59) - (prev hash mod 59) seconds ∈ [2, 118], so a
+    // 90 s threshold splits sessions on a data-dependent, deterministic
+    // subset of turns — non-vacuous at any scale.
+    "conv_sessionize" -> { (s, dir) =>
+      Conversations.sessionize(damagedConvs(s), gapSeconds = 90)
+        .select("conv_id", "turn_idx", "role", "session_idx")
+        .orderBy("conv_id", "turn_idx", "role")
+    },
     // Cluster-balanced (diversity) sampling: nearest-centroid cells over
     // FROZEN hash-picked centroids (deterministic — exact corpus rows in
     // xxhash64 order), then the md5 bottom-k cap per cell. The assignment
@@ -2219,6 +2228,22 @@ object SparkEntry {
                    FROM fp GROUP BY 1)
          SELECT conv_id, canonical_id, conv_id = canonical_id AS is_canonical
          FROM fp JOIN canon USING (conv_fp) ORDER BY conv_id""",
+    // DuckDB epoch(ts) is double-valued but integral here (the generator
+    // emits whole-second timestamps), so the BIGINT cast is exact; the
+    // planted byte-identical duplicate rows tie harmlessly (own gap 0)
+    "conv_sessionize" ->
+      s"""WITH t AS (
+           SELECT conv_id, turn_idx, role, text,
+             CAST(epoch(ts) AS BIGINT) AS es,
+             lag(CAST(epoch(ts) AS BIGINT)) OVER w AS prev_es
+           FROM '$ConvDamagedDumpPath/*.parquet'
+           WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, role, text))
+         SELECT conv_id, turn_idx, role,
+           CAST(sum(CASE WHEN es - prev_es > 90 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY conv_id ORDER BY turn_idx, role, text
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_idx
+         FROM t ORDER BY conv_id, turn_idx, role""",
     "conv_role_transitions" ->
       s"""WITH t AS (
            SELECT conv_id, role,

@@ -132,6 +132,28 @@ object Conversations {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Split each conversation into sessions on inactivity gaps: a turn
+    * whose `ts` is more than `gapSeconds` after the previous turn (in the
+    * canonical (turn_idx, role, text) order) starts a new session.
+    * Appends `session_idx` (0-based running count of gap boundaries) to
+    * the input rows. ONE conv_id shuffle; the lag and the running sum
+    * share the window sort.
+    *
+    * Determinism: timestamps enter as whole epoch seconds (`cast long` —
+    * the generator emits integral-second ts; sub-second inputs truncate
+    * identically in both engines only at whole seconds, so gate data must
+    * be integral), and byte-identical duplicate rows tie harmlessly — the
+    * duplicate's own gap is 0, so both copies land in the same session
+    * whichever sorts first. */
+  def sessionize(turns: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx", "role", "text")
+    val es = col("ts").cast("long")
+    val gap = when(
+      es - lag(es, 1).over(w) > gapSeconds, 1L).otherwise(0L)
+    turns.withColumn("session_idx",
+      sum(gap).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   // ---- deterministic corruption planting (gate fixtures) -----------------
 
   /** Plant structural damage into a clean transcript table so the

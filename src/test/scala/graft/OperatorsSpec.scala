@@ -1653,6 +1653,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("sessionize splits on inactivity gaps, 0-based per conversation") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val turns = Seq(
+      // c0: gaps 10, 400 (split), 20 → sessions 0,0,1,1
+      ("c0", 0, "user", "a", ts(1000)), ("c0", 1, "assistant", "b", ts(1010)),
+      ("c0", 2, "user", "c", ts(1410)), ("c0", 3, "assistant", "d", ts(1430)),
+      // c1: single turn → session 0
+      ("c1", 0, "user", "e", ts(5000))
+    ).toDF("conv_id", "turn_idx", "role", "text", "ts")
+    val got = Conversations.sessionize(turns, gapSeconds = 300)
+      .select("conv_id", "turn_idx", "session_idx")
+      .orderBy("conv_id", "turn_idx")
+      .as[(String, Int, Long)].collect().toSeq
+    assert(got == Seq(("c0", 0, 0L), ("c0", 1, 0L), ("c0", 2, 1L),
+      ("c0", 3, 1L), ("c1", 0, 0L)))
+  }
+
   test("role transitions count adjacency with boundary sentinels") {
     val turns = Seq(
       ("c20", 0, "user", "a"), ("c20", 1, "assistant", "b"),
