@@ -1435,6 +1435,34 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "role", "session_idx")
         .orderBy("conv_id", "turn_idx", "role")
     },
+    // Streaming twin under the SAME oracle SQL: the damaged fixture fed
+    // through flatMapGroupsWithState custom state over three real
+    // micro-batches, in global ts order (which preserves each conv's
+    // canonical order — within a conv ts strictly increases with turn_idx
+    // and no inter-turn gap approaches the 2h eviction watermark).
+    "stream_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      val rows = damagedConvs(s)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("ts"))
+        .as[graft.streaming.SessTurn].collect()
+        .sortBy(t => (t.ts.getTime, t.conv_id, t.turn_idx, t.role, t.text))
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.SessTurn]
+      val q = graft.streaming.StreamingSketch
+        .sessionizeStream(mem.toDF(), gapSeconds = 90)
+        .writeStream.format("memory").queryName("stream_sessionize_gate")
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
+          mem.addData(b.toSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table("stream_sessionize_gate")
+        .select("conv_id", "turn_idx", "role", "session_idx")
+        .orderBy("conv_id", "turn_idx", "role")
+    },
     // Cluster-balanced (diversity) sampling: nearest-centroid cells over
     // FROZEN hash-picked centroids (deterministic — exact corpus rows in
     // xxhash64 order), then the md5 bottom-k cap per cell. The assignment
@@ -2232,6 +2260,21 @@ object SparkEntry {
     // emits whole-second timestamps), so the BIGINT cast is exact; the
     // planted byte-identical duplicate rows tie harmlessly (own gap 0)
     "conv_sessionize" ->
+      s"""WITH t AS (
+           SELECT conv_id, turn_idx, role, text,
+             CAST(epoch(ts) AS BIGINT) AS es,
+             lag(CAST(epoch(ts) AS BIGINT)) OVER w AS prev_es
+           FROM '$ConvDamagedDumpPath/*.parquet'
+           WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, role, text))
+         SELECT conv_id, turn_idx, role,
+           CAST(sum(CASE WHEN es - prev_es > 90 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY conv_id ORDER BY turn_idx, role, text
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_idx
+         FROM t ORDER BY conv_id, turn_idx, role""",
+    // streaming twin gated against the IDENTICAL derivation — custom
+    // keyed state over real micro-batches must reproduce the batch window
+    "stream_sessionize" ->
       s"""WITH t AS (
            SELECT conv_id, turn_idx, role, text,
              CAST(epoch(ts) AS BIGINT) AS es,

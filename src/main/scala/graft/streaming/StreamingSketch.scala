@@ -3,6 +3,14 @@ package graft.streaming
 import graft.GraftFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Input / state / output rows for [[StreamingSketch.sessionizeStream]]. */
+case class SessTurn(conv_id: String, turn_idx: Int, role: String,
+    text: String, ts: java.sql.Timestamp)
+case class SessState(lastEs: Long, sessIdx: Long)
+case class SessOut(conv_id: String, turn_idx: Int, role: String,
+    session_idx: Long)
 
 /** Structured Streaming sketch aggregation.
   *
@@ -119,6 +127,63 @@ object StreamingSketch {
     *     indexDir, "id", "text", outPath))
     *   .start()
     * }}} */
+  /** Streaming twin of [[graft.operators.Conversations.sessionize]]:
+    * per-conversation inactivity-gap session indices over a live turn
+    * stream, via `flatMapGroupsWithState` — the custom-keyed-state facility
+    * none of the sketch aggregates need (their state IS the sketch blob),
+    * but sessionization does: the state is (last epoch second, current
+    * session index) per conv_id, O(1) per live conversation.
+    *
+    * Batch equivalence is EXACT when each conversation's turns arrive in
+    * canonical (turn_idx, role, text) order across micro-batches (the
+    * append-log delivery shape); within a micro-batch the operator sorts,
+    * so only cross-batch reordering breaks the contract (asserted in
+    * StreamingSpec over real micro-batch boundaries, and driver-gated as
+    * `stream_sessionize` against the same DuckDB oracle as the batch gate).
+    *
+    * State eviction is the dedupStream trade made explicit: a conversation
+    * silent past `watermark` is evicted (timeout = last event + watermark),
+    * and a later turn would restart it at session 0 — size `watermark`
+    * above the longest silence worth bridging. */
+  def sessionizeStream(
+      turns: DataFrame, // streaming: (conv_id, turn_idx, role, text, ts)
+      gapSeconds: Long,
+      watermark: String = "2 hours"): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns
+      .selectExpr("conv_id", "cast(turn_idx as int) AS turn_idx", "role",
+        "text", "ts")
+      .withWatermark("ts", watermark)
+      .as[SessTurn]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (conv, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toArray.sortBy(t => (t.turn_idx, t.role, t.text))
+            var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
+            val out = sorted.map { t =>
+              val es = t.ts.getTime / 1000L
+              val idx =
+                if (st.lastEs != Long.MinValue && es - st.lastEs > gapSeconds)
+                  st.sessIdx + 1
+                else st.sessIdx
+              st = SessState(es, idx)
+              SessOut(t.conv_id, t.turn_idx, t.role, idx)
+            }
+            state.update(st)
+            // timeout base must sit above the current watermark (Spark
+            // requires it); late groups clamp to watermark + 1 ms
+            state.setTimeoutTimestamp(
+              math.max(st.lastEs * 1000L, state.getCurrentWatermarkMs + 1),
+              watermark)
+            out.iterator
+          }
+      }.toDF()
+  }
+
   def dedupAgainstIndexBatch(
       indexDir: String,
       idCol: String,

@@ -49,6 +49,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sessionize equals batch across micro-batch boundaries") {
+    implicit val sq = spark.sqlContext
+    // 12 convs × 24 turns; inter-turn gaps alternate 30s / 400s so every
+    // conversation splits sessions repeatedly, including ACROSS the three
+    // micro-batch boundaries below. All convs share a < 2h epoch window —
+    // the event-time watermark advances with the GLOBAL max, so a conv
+    // lagging more than the watermark behind another would have its later
+    // turns dropped as late data (the documented delivery contract).
+    val rows = for (c <- 0 until 12; i <- 0 until 24) yield {
+      val gapSum = (1 to i).map(j => if (j % 3 == 0) 400L else 30L).sum
+      graft.streaming.SessTurn(f"c$c%03d", i,
+        if (i % 2 == 0) "user" else "assistant", s"t$c-$i",
+        new Timestamp((1700000000L + c * 100L + gapSum) * 1000L))
+    }
+    val mem = MemoryStream[graft.streaming.SessTurn]
+    val q = StreamingSketch.sessionizeStream(mem.toDF(), gapSeconds = 300)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // in canonical order per conv, split at turn 8 and 16 — genuine
+      // micro-batch boundaries inside every conversation
+      Seq(0 until 8, 8 until 16, 16 until 24).foreach { r =>
+        mem.addData(rows.filter(t => r.contains(t.turn_idx)): _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("sess_stream")
+        .orderBy("conv_id", "turn_idx")
+        .as[(String, Int, String, Long)].collect().toSeq
+      val want = graft.operators.Conversations
+        .sessionize(mem.toDF().sparkSession.createDataFrame(rows), 300)
+        .select(col("conv_id"), col("turn_idx"), col("role"),
+          col("session_idx"))
+        .orderBy("conv_id", "turn_idx")
+        .as[(String, Int, String, Long)].collect().toSeq
+      assert(got == want)
+      // non-vacuous: sessions actually split (gap pattern → 8 splits/conv)
+      assert(got.map(_._4).max >= 7)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival of each content hash") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamDoc]
