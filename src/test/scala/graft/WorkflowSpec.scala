@@ -219,4 +219,80 @@ class WorkflowSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
     assert(replayed == shards, "export changed across pipeline re-runs")
   }
+
+  test("transcript pipeline: integrity -> conv dedup -> sessionize -> pack") {
+    import graft.operators.{Conversations, Sampling}
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    def conv(id: String, base: Long, gaps: Seq[Long]): Seq[(String, Int, String, String, java.sql.Timestamp)] = {
+      var t = base
+      gaps.zipWithIndex.map { case (g, i) =>
+        t += g
+        (id, i, if (i % 2 == 0) "user" else "assistant",
+          s"$id words of turn number $i in this conversation", ts(t))
+      }
+    }
+    val turns = (
+      conv("t00", 1000, Seq(0, 30, 30, 500, 30, 30)) ++   // clean, 2 sessions
+      conv("t01", 9000, Seq(0, 40, 40, 40)) ++             // clean, 1 session
+      conv("t01-re", 9000, Seq(0, 40, 40, 40))             // re-ingested dup of t01
+        .map(r => ("t01-re", r._2, r._3,
+          r._4.replace("t01-re", "t01"), r._5)) ++         // same (role, text)!
+      conv("t02", 20000, Seq(0, 30, 30)).filter(_._2 != 1) // broken: gap at idx 1
+    ).toDF("conv_id", "turn_idx", "role", "text", "ts")
+
+    // 1. structural gate: drop conversations with gaps / duplicate indices
+    val ok = Conversations.integrity(turns).where(col("gapless"))
+      .select("conv_id")
+    val okIds = ok.as[String].collect().toSet
+    assert(okIds == Set("t00", "t01", "t01-re"), s"integrity kept: $okIds")
+    val intact = turns.join(ok, "conv_id")
+
+    // 2. conversation-level dedup: the re-ingested copy collapses onto t01
+    val canon = Conversations.dedup(intact)
+    val keep = canon.where(col("is_canonical")).select("conv_id")
+    assert(canon.where(!col("is_canonical")).select("conv_id")
+      .as[String].collect().toSeq == Seq("t01-re"))
+    val deduped = intact.join(keep, "conv_id")
+
+    // 3. sessionize: t00 splits at its 500s gap, t01 stays whole
+    val sess = Conversations.sessionize(deduped, gapSeconds = 300)
+    val t00Sessions = sess.where(col("conv_id") === "t00")
+      .select("turn_idx", "session_idx").orderBy("turn_idx")
+      .as[(Int, Long)].collect().toSeq
+    assert(t00Sessions.map(_._2) == Seq(0L, 0L, 0L, 1L, 1L, 1L))
+    assert(sess.where(col("conv_id") === "t01")
+      .where(col("session_idx") =!= 0).count() == 0)
+
+    // 4. assemble one training document per (conv, session) — ordered turn
+    //    concat, the same fingerprint ordering contract — and pack into
+    //    fixed context windows for the dataloader
+    val sessionDocs = sess
+      .groupBy(col("conv_id"), col("session_idx"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("turn_idx"), col("role"),
+            col("text")))),
+          x => concat(x("role"), lit(": "), x("text"))), "\n").as("text"))
+      .select(concat(col("conv_id"), lit("#"),
+        col("session_idx").cast("string")).as("doc_id"), col("text"))
+    assert(sessionDocs.count() == 3) // t00#0, t00#1, t01#0
+    val withTokens = sessionDocs
+      .withColumn("stratum", lit("all"))
+      .withColumn("n_tokens",
+        size(split(trim(col("text")), "[ \n]+")).cast("long"))
+    val packed = Sampling.packWindows(
+      withTokens, Seq("stratum"), "doc_id", "n_tokens", ctxTokens = 32)
+    // every session-document lands exactly once; the window stream is
+    // gapless (last pack_start + its tokens == total token count)
+    assert(packed.count() == 3)
+    val total = withTokens.agg(sum(col("n_tokens"))).as[Long].head()
+    val end = packed.agg(max(col("pack_start") + col("n_tokens")))
+      .as[Long].head()
+    assert(end == total, s"packing lost tokens: end=$end total=$total")
+    // and replaying the whole chain is byte-identical (determinism
+    // end-to-end: integrity -> dedup -> sessionize -> pack)
+    val again = Sampling.packWindows(
+      withTokens, Seq("stratum"), "doc_id", "n_tokens", ctxTokens = 32)
+      .orderBy("doc_id").collect().toSeq
+    assert(packed.orderBy("doc_id").collect().toSeq == again)
+  }
 }
