@@ -62,6 +62,9 @@ object SparkEntry {
   val ConvDamagedDumpPath = "/tmp/graft_verify_convs_damaged"
   val ConvDupDumpPath = "/tmp/graft_verify_convs_dup"
 
+  /** Memory-sink sequence for streaming gates (unique name per run). */
+  private val streamGateSeq = new java.util.concurrent.atomic.AtomicInteger
+
   /** Generate + plant structural damage + dump + read back (shared by
     * conv_integrity and conv_role_transitions). */
   private def damagedConvs(s: SparkSession): DataFrame = {
@@ -1450,16 +1453,20 @@ object SparkEntry {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.streaming.SessTurn]
+      // unique sink name per invocation: Bench re-runs >10s queries in the
+      // same session, and a second memory query must not collide with the
+      // stopped first one's registration
+      val sink = s"stream_sessionize_gate_${streamGateSeq.incrementAndGet()}"
       val q = graft.streaming.StreamingSketch
         .sessionizeStream(mem.toDF(), gapSeconds = 90)
-        .writeStream.format("memory").queryName("stream_sessionize_gate")
+        .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
         rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
           mem.addData(b.toSeq: _*); q.processAllAvailable()
         }
       } finally q.stop()
-      s.table("stream_sessionize_gate")
+      s.table(sink)
         .select("conv_id", "turn_idx", "role", "session_idx")
         .orderBy("conv_id", "turn_idx", "role")
     },
@@ -2258,7 +2265,13 @@ object SparkEntry {
          FROM fp JOIN canon USING (conv_fp) ORDER BY conv_id""",
     // DuckDB epoch(ts) is double-valued but integral here (the generator
     // emits whole-second timestamps), so the BIGINT cast is exact; the
-    // planted byte-identical duplicate rows tie harmlessly (own gap 0)
+    // planted byte-identical duplicate rows NEED the prev_es tie-break in
+    // the outer window: lag (CTE) and the running sum are two separately
+    // sorted windows in DuckDB, and the tied copies carry DIFFERENT
+    // prev_es — without the tie-break the sum's result depends on the
+    // engine's internal tie order ((1,1) vs (0,1); seen flipping once
+    // under host-steal load). Spark evaluates both frames in ONE Window
+    // pass over one sort, so the engine side is order-stable.
     "conv_sessionize" ->
       s"""WITH t AS (
            SELECT conv_id, turn_idx, role, text,
@@ -2268,7 +2281,8 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, role, text))
          SELECT conv_id, turn_idx, role,
            CAST(sum(CASE WHEN es - prev_es > 90 THEN 1 ELSE 0 END)
-             OVER (PARTITION BY conv_id ORDER BY turn_idx, role, text
+             OVER (PARTITION BY conv_id
+               ORDER BY turn_idx, role, text, prev_es ASC NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS session_idx
          FROM t ORDER BY conv_id, turn_idx, role""",
@@ -2283,7 +2297,8 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, role, text))
          SELECT conv_id, turn_idx, role,
            CAST(sum(CASE WHEN es - prev_es > 90 THEN 1 ELSE 0 END)
-             OVER (PARTITION BY conv_id ORDER BY turn_idx, role, text
+             OVER (PARTITION BY conv_id
+               ORDER BY turn_idx, role, text, prev_es ASC NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS session_idx
          FROM t ORDER BY conv_id, turn_idx, role""",

@@ -142,9 +142,13 @@ object Conversations {
     * Determinism: timestamps enter as whole epoch seconds (`cast long` —
     * the generator emits integral-second ts; sub-second inputs truncate
     * identically in both engines only at whole seconds, so gate data must
-    * be integral), and byte-identical duplicate rows tie harmlessly — the
-    * duplicate's own gap is 0, so both copies land in the same session
-    * whichever sorts first. */
+    * be integral), and byte-identical duplicate rows are safe HERE because
+    * Spark evaluates the lag frame and the running-sum frame in one Window
+    * pass over one physical sort — both copies land in the same session
+    * whichever sorts first. An oracle that computes the lag and the sum in
+    * two separately sorted windows (the DuckDB two-level shape) must pin
+    * the tie with `prev_es` in the outer ORDER BY, or the tied copies'
+    * differing prev values make the running sum order-sensitive. */
   def sessionize(turns: DataFrame, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("turn_idx", "role", "text")
     val es = col("ts").cast("long")
