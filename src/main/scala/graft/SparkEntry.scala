@@ -65,6 +65,9 @@ object SparkEntry {
   /** Memory-sink sequence for streaming gates (unique name per run). */
   private val streamGateSeq = new java.util.concurrent.atomic.AtomicInteger
 
+  /** Dump path for the conv-fingerprint-index gate's (wave, turns) table. */
+  val ConvIndexDumpPath = "/tmp/graft_verify_convs_index"
+
   /** Generate + plant structural damage + dump + read back (shared by
     * conv_integrity and conv_role_transitions). */
   private def damagedConvs(s: SparkSession): DataFrame = {
@@ -1438,6 +1441,44 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "role", "session_idx")
         .orderBy("conv_id", "turn_idx", "role")
     },
+    // Incremental conv-level dedup vs a persisted fingerprint index, two
+    // waves: wave 1 probes (fresh odd convs + "-dup" re-ingests of indexed
+    // evens — must match), then the WHOLE wave is appended and wave 2
+    // ("-dup2" re-ingests of wave-1 odds) must match the APPENDED entries
+    // — arrival-order canonicalization end-to-end. The oracle re-derives
+    // both index states from the single dumped (wave, turns) table.
+    "conv_dedup_index" -> { (s, dir) =>
+      val num = substring_index(col("conv_id"), "-", -1).cast("long")
+      val base = graft.sources.Transcripts.generate(s, nConvs = 350)
+      val idxTurns = base.where(pmod(num, lit(2)) === 0)
+      val wave1 = base.where(pmod(num, lit(2)) === 1).unionByName(
+        base.where(pmod(num, lit(14)) === 0)
+          .withColumn("conv_id", concat(col("conv_id"), lit("-dup"))))
+      val wave2 = base.where(pmod(num, lit(10)) === 1)
+        .withColumn("conv_id", concat(col("conv_id"), lit("-dup2")))
+      idxTurns.withColumn("wave", lit(0))
+        .unionByName(wave1.withColumn("wave", lit(1)))
+        .unionByName(wave2.withColumn("wave", lit(2)))
+        .write.mode("overwrite").parquet(ConvIndexDumpPath)
+      val all = s.read.parquet(ConvIndexDumpPath)
+      def wave(n: Int) = all.where(col("wave") === n).drop("wave")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-conv-fpidx-gate").toString
+      Conversations.buildFingerprintIndex(wave(0), idx)
+      // wave 1 must be MATERIALIZED (parquet, not a persist() cache)
+      // before the append mutates the index: an evicted cache would
+      // silently recompute the probe against the post-append index, where
+      // every wave-1 conversation matches itself
+      Conversations.dedupAgainstIndex(wave(1), idx)
+        .withColumn("wave", lit(1))
+        .write.mode("overwrite").parquet(s"$idx/wave1_result")
+      Conversations.appendToFingerprintIndex(wave(1), idx)
+      val r2 = Conversations.dedupAgainstIndex(wave(2), idx)
+        .withColumn("wave", lit(2))
+      s.read.parquet(s"$idx/wave1_result").unionByName(r2)
+        .select("wave", "conv_id", "match_id", "is_duplicate")
+        .orderBy("wave", "conv_id")
+    },
     // Streaming twin under the SAME oracle SQL: the damaged fixture fed
     // through flatMapGroupsWithState custom state over three real
     // micro-batches, in global ts order (which preserves each conv's
@@ -2286,6 +2327,29 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS session_idx
          FROM t ORDER BY conv_id, turn_idx, role""",
+    // both index states (initial build + post-append) re-derived from the
+    // single dumped (wave, turns) table; arrival-order canonicalization =
+    // min conv_id per fingerprint within the wave that first saw it
+    "conv_dedup_index" ->
+      s"""WITH f AS (SELECT wave, conv_id,
+             md5(string_agg(role || chr(31) || text, chr(30)
+               ORDER BY turn_idx, role, text)) AS fp
+           FROM '$ConvIndexDumpPath/*.parquet' GROUP BY wave, conv_id),
+         idx0 AS (SELECT fp, min(conv_id) AS canonical_id FROM f
+                  WHERE wave = 0 GROUP BY 1),
+         w1 AS (SELECT conv_id, fp FROM f WHERE wave = 1),
+         w1new AS (SELECT fp, min(conv_id) AS canonical_id FROM w1
+                   WHERE fp NOT IN (SELECT fp FROM idx0) GROUP BY 1),
+         idx1 AS (SELECT * FROM idx0 UNION ALL SELECT * FROM w1new),
+         w2 AS (SELECT conv_id, fp FROM f WHERE wave = 2),
+         r AS (
+           SELECT CAST(1 AS INT) AS wave, conv_id, canonical_id AS match_id
+           FROM w1 LEFT JOIN idx0 USING (fp)
+           UNION ALL
+           SELECT CAST(2 AS INT) AS wave, conv_id, canonical_id AS match_id
+           FROM w2 LEFT JOIN idx1 USING (fp))
+         SELECT wave, conv_id, match_id, match_id IS NOT NULL AS is_duplicate
+         FROM r ORDER BY wave, conv_id""",
     // streaming twin gated against the IDENTICAL derivation — custom
     // keyed state over real micro-batches must reproduce the batch window
     "stream_sessionize" ->

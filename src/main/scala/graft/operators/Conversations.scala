@@ -158,6 +158,64 @@ object Conversations {
       sum(gap).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Persisted conversation-fingerprint index — the conv-level twin of
+    * [[Dedup.buildFingerprintIndex]], and the reason a growing transcript
+    * corpus never re-reads its history: the index is ONE (conv_fp,
+    * canonical_id) row per distinct dialogue (32-hex string + id), so a
+    * 10^12-turn corpus probes new batches against a table the size of its
+    * conversation count. Kind-checked manifest; wrong-kind dirs fail
+    * loudly ([[graft.sources.SketchTable.requireParams]]). */
+  def buildFingerprintIndex(turns: DataFrame, dir: String): Unit = {
+    val spark = turns.sparkSession
+    fingerprints(turns)
+      .groupBy("conv_fp").agg(min(col("conv_id")).as("canonical_id"))
+      .write.mode("overwrite").parquet(s"$dir/fps")
+    graft.sources.SketchTable.saveManifestOnly(spark, dir,
+      Map("kind" -> "conv_fingerprint"))
+  }
+
+  /** Probe a batch of conversations against the persisted index:
+    * (conv_id, match_id, is_duplicate) — match_id is the indexed
+    * canonical conversation with the identical ordered (role, text)
+    * dialogue, null when unseen. The batch's per-turn work is one
+    * fingerprint aggregation; the index side is a (32-hex, id) table. */
+  def dedupAgainstIndex(turns: DataFrame, dir: String): DataFrame = {
+    val spark = turns.sparkSession
+    val manifest = graft.sources.SketchTable.readManifest(spark, dir)
+    graft.sources.SketchTable.requireParams(manifest,
+      Map("kind" -> "conv_fingerprint"), dir)
+    fingerprints(turns)
+      .join(spark.read.parquet(s"$dir/fps"), Seq("conv_fp"), "left")
+      .select(col("conv_id"), col("canonical_id").as("match_id"),
+        col("canonical_id").isNotNull.as("is_duplicate"))
+  }
+
+  /** Fold a new batch into the index: only fingerprints the index has
+    * NOT seen are appended (arrival-order canonicalization — the
+    * first-arrived conversation stays canonical, identical to [[dedup]]'s
+    * min-id rule under monotone ingest ids). Idempotent per fingerprint
+    * (anti-join guard, snapshotted via persist+count before the append
+    * write so the job never re-lists the directory it is growing);
+    * manifest `appends` counter bumped. */
+  def appendToFingerprintIndex(turns: DataFrame, dir: String): Unit = {
+    val spark = turns.sparkSession
+    val manifest = graft.sources.SketchTable.readManifest(spark, dir)
+    graft.sources.SketchTable.requireParams(manifest,
+      Map("kind" -> "conv_fingerprint"), dir)
+    val p = graft.sources.SketchTable.params(manifest)
+    val fresh = fingerprints(turns)
+      .groupBy("conv_fp").agg(min(col("conv_id")).as("canonical_id"))
+      .join(spark.read.parquet(s"$dir/fps").select("conv_fp"),
+        Seq("conv_fp"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      fresh.count() // snapshot before writing into the anti-joined path
+      fresh.write.mode("append").parquet(s"$dir/fps")
+      graft.sources.SketchTable.saveManifestOnly(spark, dir,
+        p + ("appends" -> (p.getOrElse("appends", "0").toLong + 1).toString))
+    } finally fresh.unpersist()
+  }
+
   // ---- deterministic corruption planting (gate fixtures) -----------------
 
   /** Plant structural damage into a clean transcript table so the

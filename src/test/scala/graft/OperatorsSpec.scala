@@ -1653,6 +1653,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("conv fingerprint index: probe, idempotent append, kind check") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-conv-fpidx-spec").toString
+    val mk = (c: String, x: String) =>
+      Seq((c, 0, "user", x), (c, 1, "assistant", x + "!"))
+    val idxTurns = (mk("a", "hi") ++ mk("b", "yo"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    Conversations.buildFingerprintIndex(idxTurns, dir)
+    // probe: a re-ingest of "a" matches it; "c" is unseen
+    val probe = (mk("a2", "hi") ++ mk("c", "new"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val got = Conversations.dedupAgainstIndex(probe, dir)
+      .orderBy("conv_id").as[(String, String, Boolean)].collect().toSeq
+    assert(got == Seq(("a2", "a", true), ("c", null, false)))
+    // append is idempotent: fold the probe in twice, index rows stay
+    // unique per fingerprint and "a"'s canonical stays first-arrived
+    Conversations.appendToFingerprintIndex(probe, dir)
+    Conversations.appendToFingerprintIndex(probe, dir)
+    val fps = spark.read.parquet(s"$dir/fps")
+    assert(fps.count() == fps.select("conv_fp").distinct().count())
+    val again = Conversations.dedupAgainstIndex(probe, dir)
+      .orderBy("conv_id").as[(String, String, Boolean)].collect().toSeq
+    assert(again == Seq(("a2", "a", true), ("c", "c", true)))
+    // wrong-kind dirs fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(probe.withColumn("doc_id", lit(1L)),
+        "doc_id", "text", dir)
+    }
+    assert(e.getMessage.contains("kind"))
+  }
+
   test("sessionize splits on inactivity gaps, 0-based per conversation") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
     val turns = Seq(
