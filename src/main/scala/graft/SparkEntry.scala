@@ -283,6 +283,62 @@ object SparkEntry {
             (if (q == 0.5) 0.02 else 0.01))
       }.toDF("q_label", "within_rank_error").orderBy("q_label")
     },
+    // Trimmed mean straight off the t-digest centroids (Dunning & Ertl's
+    // centroid walk) vs the EXACT rank-windowed mean. The exact twin
+    // collapses ties per VALUE first (equal values are interchangeable, so
+    // the rank window's content is deterministic regardless of tie order),
+    // then takes each value's overlap with the (floor .1n, floor .9n] rank
+    // span — integer cents sum, byte-exact in both engines; the digest
+    // estimate gates as a bound boolean (t-digest bytes are partition-order
+    // sensitive, same posture as tdigest_value_quantiles).
+    "tdigest_trimmed_mean" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+      val td = graft.sketch.TDigest.fromBytes(
+        li.agg(tdigest_agg(col("x"), 100)).first().getAs[Array[Byte]](0))
+      val est = td.trimmedMean(0.1, 0.9)
+      val n = li.count()
+      val lo = n / 10
+      val hi = 9 * n / 10
+      val vals = li.groupBy("x").agg(count(lit(1)).as("c"))
+      // single-partition prefix sum over DISTINCT values — the verification
+      // twin's global order statistic, not the estimator's scale path
+      val wOrd = org.apache.spark.sql.expressions.Window.orderBy("x")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val takeCnt = greatest(lit(0L),
+        least(col("cumhi"), lit(hi)) - greatest(col("cumhi") - col("c"), lit(lo)))
+      val r = vals.withColumn("cumhi", sum("c").over(wOrd))
+        .agg(
+          sum(takeCnt * round(col("x") * 100).cast("long")).as("trimmed_cents"),
+          sum(takeCnt).as("n_trim")).first()
+      val exactMean = r.getLong(0) / 100.0 / r.getLong(1)
+      // bound: boundary rank error of the q(1-q)-capped digest mapped
+      // through the value range; 2% of spread is ~6x the observed error
+      val slack = 0.02 * (td.maxV - td.minV)
+      import s.implicits._
+      Seq((hi - lo, r.getLong(0), math.abs(est - exactMean) <= slack))
+        .toDF("n_trim", "trimmed_cents", "within_bound")
+    },
+    // Equi-join cardinality WITHOUT the join: CMS inner product
+    // (Cormode-Muthukrishnan §4.2) over two one-pass sketches of the two
+    // sides' key columns. Exact join size recomputed as sum(ca*cb) in both
+    // engines; the estimate gates its published one-sided bound
+    // (never-undercount; overcount ≤ eps·|A|·|B|). Deterministic: CMS
+    // counters are exact integer sums independent of partitioning.
+    "cms_join_size" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val li = t(s, dir, "lineitem")
+      val a = li.where(col("l_linenumber") <= 3).select(col("l_orderkey").as("k"))
+      val b = li.where(col("l_linenumber") >= 4).select(col("l_orderkey").as("k"))
+      val e = Joins.joinSizeEstimate(a, b, "k", eps = 1e-4, delta = 0.01)
+      val exact = a.groupBy("k").agg(count(lit(1)).as("ca"))
+        .join(b.groupBy("k").agg(count(lit(1)).as("cb")), "k")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("j"))
+        .first().getLong(0)
+      import s.implicits._
+      Seq((exact, e.estimate >= exact, e.estimate <= exact + e.slack))
+        .toDF("exact_join_size", "no_undercount", "within_eps")
+    },
     // ---- taxor search analogue (S2/S3, F2/F3, J1) -------------------------
     "classify_exact" -> { (s, dir) =>
       GraftFunctions.register(s)
@@ -740,6 +796,16 @@ object SparkEntry {
           lit(" "), lit("\n")).as("text"))
       TextStats.repetitionStats(derived, "doc_id", "text")
         .orderBy("doc_id")
+    },
+    // tf-idf-flavored keyword extraction with integer-only ranking
+    // (tf DESC, df ASC, term ASC — the discrete skeleton of tf·idf, no
+    // floating log to diverge between engines); top-3 terms per doc,
+    // byte-exact against the DuckDB mirror.
+    "text_top_terms" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      TextStats.topTerms(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, minLen = 3)
+        .orderBy("doc_id", "rk")
     },
     // context-window chunking (256 chars, 32 overlap): chunk strings are
     // compared byte-for-byte against the SQL mirror
@@ -1809,6 +1875,29 @@ object SparkEntry {
     "tdigest_value_quantiles" ->
       """SELECT q_label, true AS within_rank_error FROM (VALUES ('q01'),
          ('q50'),('q99')) AS t(q_label) ORDER BY q_label""",
+    // ties collapse per VALUE, then each value takes its rank-span overlap
+    // with (floor .1n, floor .9n] — identical arithmetic to the Spark twin
+    "tdigest_trimmed_mean" ->
+      """WITH v AS (SELECT l_extendedprice AS x, count(*) AS c
+                    FROM lineitem GROUP BY 1),
+         cum AS (SELECT x, c, sum(c) OVER (ORDER BY x) AS cumhi FROM v),
+         b AS (SELECT count(*) // 10 AS lo, 9*count(*) // 10 AS hi
+               FROM lineitem)
+         SELECT CAST(hi - lo AS BIGINT) AS n_trim,
+           CAST(sum(greatest(0, least(cumhi, hi) - greatest(cumhi - c, lo))
+                    * CAST(round(x*100) AS BIGINT)) AS BIGINT)
+             AS trimmed_cents,
+           true AS within_bound
+         FROM cum, b GROUP BY lo, hi""",
+    "cms_join_size" ->
+      """WITH a AS (SELECT l_orderkey, count(*) AS c FROM lineitem
+                    WHERE l_linenumber <= 3 GROUP BY 1),
+         b AS (SELECT l_orderkey, count(*) AS c FROM lineitem
+               WHERE l_linenumber >= 4 GROUP BY 1)
+         SELECT CAST(coalesce(sum(a.c*b.c), 0) AS BIGINT)
+             AS exact_join_size,
+           true AS no_undercount, true AS within_eps
+         FROM a JOIN b USING (l_orderkey)""",
     "classify_exact" ->
       """WITH corpus AS (SELECT source AS grp, text FROM documents
                          WHERE doc_id % 10 <> 0),
@@ -2550,6 +2639,24 @@ object SparkEntry {
          FROM documents, generate_series(0, 1000) t(i)
          WHERE i <= greatest(0, ceil((length(text) - 256)*1.0/224))
          ORDER BY doc_id, chunk_idx""",
+    // integer-only tf-idf skeleton: rank by (tf DESC, df ASC, term ASC);
+    // df reuses the doc-distinct tf table
+    "text_top_terms" ->
+      """WITH w AS (
+           SELECT doc_id, word FROM (
+             SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+             FROM documents)
+           WHERE length(word) >= 3),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1,2),
+         df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         r AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, df.df ASC, tf.word ASC) AS rk
+               FROM tf JOIN df USING (word))
+         SELECT doc_id, word AS term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
     "text_doc_stats" -> textDocStatsSql,
     "text_quality" -> textQualitySql,
     "text_repetition" -> textRepetitionSql,

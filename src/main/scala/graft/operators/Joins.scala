@@ -80,6 +80,44 @@ object Joins {
       seed: Long = DefaultSeed): DataFrame =
     bloomFiltered(probe, build, key, expectedKeys, fpp, seed)
 
+  /** Result of [[joinSizeEstimate]]: `estimate` never undercounts the true
+    * equi-join cardinality, and overcounts by at most [[slack]] with
+    * probability ≥ 1 − delta (Cormode & Muthukrishnan 2005 §4.2). */
+  final case class JoinSizeEstimate(
+      estimate: Long, rowsA: Long, rowsB: Long, eps: Double, delta: Double) {
+    /** The published one-sided error term eps·|A|·|B|. */
+    def slack: Long =
+      math.ceil(eps * rowsA.toDouble * rowsB.toDouble).toLong
+  }
+
+  /** Pre-flight equi-join cardinality estimate from two count-min sketches
+    * sharing (eps, delta, seed): |A ⋈ B| on `key` equals the inner product
+    * of the two key-frequency vectors, which CountMin.innerProduct estimates
+    * from two O(1/eps) blobs — ONE aggregate scan per side, NO join
+    * executed, no key-level shuffle. At 100 TB this is the planner's
+    * question ("will this join explode?") answered for the cost of two
+    * sketch passes that can also piggyback on aggregations already running
+    * over the same scans (cms_agg partials cross shuffles sparse).
+    * Deterministic for a fixed seed: counters are exact integer sums
+    * independent of partitioning, so the estimate is replayable. */
+  def joinSizeEstimate(
+      a: DataFrame,
+      b: DataFrame,
+      key: String,
+      eps: Double = 1e-4,
+      delta: Double = 0.01,
+      seed: Long = DefaultSeed): JoinSizeEstimate = {
+    val blobA =
+      a.agg(cms_agg(col(key), eps, delta, seed)).first().getAs[Array[Byte]](0)
+    val blobB =
+      b.agg(cms_agg(col(key), eps, delta, seed)).first().getAs[Array[Byte]](0)
+    JoinSizeEstimate(
+      graft.sketch.CountMin.innerProduct(blobA, blobB),
+      graft.sketch.CountMin.totalWeight(blobA),
+      graft.sketch.CountMin.totalWeight(blobB),
+      eps, delta)
+  }
+
   /** Skew-armored repartition join for a fact-fact key whose histogram is
     * too skewed for one reducer: salt the BIG side (each hot key's rows fan
     * out over `buckets` reducers) and explode the SMALL side ×`buckets`,

@@ -163,6 +163,45 @@ object TextStats {
           lit(0L)).as("top_bigram_ratio_x100"))
   }
 
+  /** Per-document top-k salient terms — a tf-idf-flavored keyword extractor
+    * with an ENGINE-PORTABLE, integer-only ranking: terms (lowercased
+    * maximal [a-z] runs of length ≥ `minLen`) rank by (tf DESC, df ASC,
+    * term ASC) — term frequency first, corpus rarity breaking ties. This is
+    * the exact discrete skeleton of tf·idf (idf is strictly decreasing in
+    * df), WITHOUT a floating-point log whose IEEE ordering could diverge
+    * between engines — so the whole output gates byte-exact.
+    *
+    * Scale shape: explode words → ONE (id, term) shuffle for tf; df reuses
+    * the tf table (ONE term shuffle over doc-distinct terms — never a
+    * second pass over text); join back on term; per-doc top-k pruned by
+    * WindowGroupLimit inside the exchange. Document text never shuffles.
+    * The regex contains no backslash escapes (PunctClass discipline), so
+    * Spark and DuckDB read byte-identical pattern strings.
+    *
+    * Output: (id, term, tf, df, rk), rk = 1..k per id. */
+  def topTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      minLen: Int = 3): DataFrame = {
+    val tf = df
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("term"))
+      .where(length(col("term")) >= minLen)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf already has one row per (doc, term) — df is a count over it
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("rk"))
+  }
+
   /** PII / sensitive-pattern classes for scrubbing (public regex classes
     * only — emails, phone shapes, long digit runs, key-shaped tokens), in
     * REDACTION ORDER: email first (its local part contains digit runs),

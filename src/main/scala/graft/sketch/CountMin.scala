@@ -89,6 +89,39 @@ object CountMin {
     a
   }
 
+  /** Inner-product estimate between two sketches built with IDENTICAL
+    * (depth, width, seed) — Cormode & Muthukrishnan 2005 §4.2: the row-wise
+    * dot product min_r Σ_j a[r][j]·b[r][j] estimates a·b = Σ_k fA(k)·fB(k),
+    * which for two relations keyed on the sketched column is EXACTLY the
+    * equi-join cardinality |A ⋈ B|. Published guarantee:
+    * a·b ≤ est ≤ a·b + eps·Na·Nb with probability ≥ 1 − delta — a join-size
+    * estimate from two O(1/eps)-sized blobs, no join executed.
+    *
+    * Reference analogue: the HIXF per-bin hit-count vectors are compared
+    * bin-wise at probe time (hierarchical_interleaved_xor_filter.hpp
+    * counting agent); this is the same counter-vector algebra applied
+    * across two independently-built sketches. */
+  def innerProduct(a: Array[Byte], b: Array[Byte]): Long = {
+    require(
+      depth(a) == depth(b) && width(a) == width(b) && seed(a) == seed(b),
+      "count-min parameter mismatch")
+    val d = depth(a); val w = width(a)
+    var min = Long.MaxValue
+    var r = 0
+    while (r < d) {
+      val base = HEADER + r * w * 8
+      var s = 0L
+      var j = 0
+      while (j < w) {
+        s += Bytes.getLong(a, base + j * 8) * Bytes.getLong(b, base + j * 8)
+        j += 1
+      }
+      if (s < min) min = s
+      r += 1
+    }
+    min
+  }
+
   /** Wire version marker for the SPARSE shuffle-boundary form (the public
     * dense artifact format stays VER=1 — estimates, persisted tables and
     * the byte-identity gates never see VER_SPARSE). */

@@ -152,6 +152,32 @@ final class TDigest(val delta: Double) extends Serializable {
     1.0
   }
 
+  /** Trimmed mean over the rank window (qlo, qhi] — Dunning & Ertl §2.9's
+    * centroid walk: each centroid contributes the overlap of its cumulative
+    * rank span with the window, so only the two boundary centroids are ever
+    * partially (mis)assigned. Error is bounded by the boundary rank error
+    * mapped through the data range — the quantity the trimmed-mean gate
+    * asserts against the exact windowed sum. */
+  def trimmedMean(qlo: Double, qhi: Double): Double = {
+    flush()
+    require(qlo >= 0 && qhi <= 1 && qlo < qhi, "bad trim window")
+    if (totalWeight == 0) return Double.NaN
+    val lo = qlo * totalWeight
+    val hi = qhi * totalWeight
+    var cum = 0.0
+    var sum = 0.0
+    var wsum = 0.0
+    var i = 0
+    while (i < means.size) {
+      val w = weights(i)
+      val overlap = math.min(cum + w, hi) - math.max(cum, lo)
+      if (overlap > 0) { sum += overlap * means(i); wsum += overlap }
+      cum += w
+      i += 1
+    }
+    if (wsum == 0) Double.NaN else sum / wsum
+  }
+
   def numCentroids: Int = { flush(); means.size }
 
   def toBytes: Array[Byte] = {

@@ -1701,6 +1701,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       ("c0", 3, 1L), ("c1", 0, 0L)))
   }
 
+  test("topTerms ranks by tf desc, df asc, term asc; text never decides ties") {
+    val d = Seq(
+      (0L, "apple apple banana cherry cherry date"),
+      (1L, "banana banana banana apple date"),
+      (2L, "elderberry elderberry fig fig apple")
+    ).toDF("doc_id", "text")
+    val got = TextStats.topTerms(d, "doc_id", "text", k = 2, minLen = 3)
+      .orderBy("doc_id", "rk")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // doc 0: apple tf=2 df=3, cherry tf=2 df=1 → cherry (rarer) outranks
+    assert(got == Seq(
+      (0L, "cherry", 2L, 1L, 1L), (0L, "apple", 2L, 3L, 2L),
+      (1L, "banana", 3L, 2L, 1L), (1L, "date", 1L, 2L, 2L),
+      (2L, "elderberry", 2L, 1L, 1L), (2L, "fig", 2L, 1L, 2L)))
+  }
+
+  test("joinSizeEstimate never undercounts and honors its published slack") {
+    val a = (1L to 400L).flatMap(k => Seq.fill((k % 5).toInt + 1)(k))
+      .toDF("k")
+    val b = (200L to 600L).flatMap(k => Seq.fill((k % 3).toInt + 1)(k))
+      .toDF("k")
+    val exact = a.join(b, "k").count()
+    val e = Joins.joinSizeEstimate(a, b, "k", eps = 1e-3, delta = 0.01)
+    assert(e.rowsA == a.count() && e.rowsB == b.count())
+    assert(e.estimate >= exact, s"undercount: est=${e.estimate} exact=$exact")
+    assert(e.estimate <= exact + e.slack,
+      s"est=${e.estimate} exact=$exact slack=${e.slack}")
+  }
+
   test("role transitions count adjacency with boundary sentinels") {
     val turns = Seq(
       ("c20", 0, "user", "a"), ("c20", 1, "assistant", "b"),

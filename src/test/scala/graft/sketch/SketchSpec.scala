@@ -138,6 +138,47 @@ class SketchSpec extends AnyFunSuite {
     assert(CountMin.totalWeight(m1) == 211) // 100 + 101 + 10 items
   }
 
+  test("cms inner product never undercounts the exact join size, bounded") {
+    val eps = 0.001; val delta = 0.01
+    val r = new Random(7)
+    val fa = (1 to 500).map(i => i.toLong -> (r.nextInt(20) + 1).toLong).toMap
+    val fb = (300 to 800).map(i => i.toLong -> (r.nextInt(20) + 1).toLong).toMap
+    val a = CountMin.empty(eps, delta, seed = 11)
+    val b = CountMin.empty(eps, delta, seed = 11)
+    fa.foreach { case (k, c) => CountMin.update(a, k, c) }
+    fb.foreach { case (k, c) => CountMin.update(b, k, c) }
+    val exact = fa.iterator.map { case (k, c) => c * fb.getOrElse(k, 0L) }.sum
+    val est = CountMin.innerProduct(a, b)
+    assert(est >= exact, s"undercount: est=$est exact=$exact")
+    val slack = eps * CountMin.totalWeight(a) * CountMin.totalWeight(b)
+    assert(est <= exact + slack, s"est=$est exact=$exact slack=$slack")
+  }
+
+  test("cms inner product: merge only raises the row-wise min; mismatch rejected") {
+    def sk(items: Seq[Long], seed: Long = 4, eps: Double = 0.01): Array[Byte] = {
+      val s = CountMin.empty(eps, 0.01, seed)
+      items.foreach(CountMin.update(s, _, 1L)); s
+    }
+    val a1 = sk(1L to 100L); val a2 = sk(80L to 120L); val b = sk(90L to 200L)
+    val merged = CountMin.merge(a1.clone, a2)
+    // counters add per cell, so each row's dot product is additive and the
+    // min over rows can only be >= the sum of the parts' mins
+    assert(CountMin.innerProduct(merged, b) >=
+      CountMin.innerProduct(a1, b) + CountMin.innerProduct(a2, b))
+    // exact on the merged stream: keys 90..120 appear twice (a1 once for
+    // 90..100, a2 once for 90..120... compute directly)
+    val fm = ((1L to 100L) ++ (80L to 120L)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val fb2 = (90L to 200L).map(_ -> 1L).toMap
+    val exact = fm.iterator.map { case (k, c) => c * fb2.getOrElse(k, 0L) }.sum
+    assert(CountMin.innerProduct(merged, b) >= exact)
+    intercept[IllegalArgumentException] {
+      CountMin.innerProduct(a1, sk(1L to 10L, seed = 5))
+    }
+    intercept[IllegalArgumentException] {
+      CountMin.innerProduct(a1, sk(1L to 10L, eps = 0.02))
+    }
+  }
+
   test("hll + bloom sparse wire codecs round-trip byte-identically") {
     // hll: 50 distinct values into 16384 registers → sparse
     val h = Hll.empty(14)
@@ -262,6 +303,24 @@ class SketchSpec extends AnyFunSuite {
       val rank = all.count(_ < merged.quantile(q)).toDouble / all.length
       assert(math.abs(rank - q) <= 0.03, s"q=$q rank=$rank")
     }
+  }
+
+  test("tdigest trimmed mean tracks the exact rank-windowed mean") {
+    val r = new Random(5)
+    val xs = Array.fill(20000)(r.nextDouble() * 1000.0)
+    val t = TDigest.empty(100)
+    xs.foreach(t.update)
+    val sorted = xs.sorted
+    val lo = xs.length / 10; val hi = 9 * xs.length / 10
+    val exact = sorted.slice(lo, hi).sum / (hi - lo)
+    val est = t.trimmedMean(0.1, 0.9)
+    assert(math.abs(est - exact) <= 0.01 * (sorted.last - sorted.head),
+      s"est=$est exact=$exact")
+    // the untrimmed window recovers the overall mean (centroid means are
+    // exact weighted averages of the inputs, modulo fp accumulation)
+    val mean = xs.sum / xs.length
+    assert(math.abs(t.trimmedMean(0.0, 1.0) - mean) <= 1e-6 * math.abs(mean))
+    intercept[IllegalArgumentException] { t.trimmedMean(0.9, 0.1) }
   }
 
   test("tdigest codec round-trips") {
