@@ -339,6 +339,101 @@ object SparkEntry {
       Seq((exact, e.estimate >= exact, e.estimate <= exact + e.slack))
         .toDF("exact_join_size", "no_undercount", "within_eps")
     },
+    // Two-sample Kolmogorov–Smirnov drift: sup |Fa − Fb| estimated from two
+    // KLL sketches (one aggregate pass per snapshot) vs the EXACT statistic
+    // computed as the integer max |cumA·nb − cumB·na| over the union of
+    // values — byte-exact in both engines; the sketch estimate gates its
+    // rank-error slack. Side B is a genuinely shifted distribution derived
+    // per-row with IEEE-identical ops (×2.0 exact, +10.0 same rounding).
+    "kll_ks_distance" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val ev = t(s, dir, "events")
+      val a = ev.where(col("event_type") === "click")
+        .select(col("value").as("x"))
+      val b = ev.where(col("event_type") === "purchase")
+        .select((col("value") * 2.0 + 10.0).as("x"))
+      val ks = Drift.ksDistance(a, "x", b, "x")
+      val av = a.groupBy("x").agg(count(lit(1)).as("ca"))
+      val bv = b.groupBy("x").agg(count(lit(1)).as("cb"))
+      val u = av.join(bv, Seq("x"), "full")
+        .select(col("x"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      // single-partition prefix sum over distinct values — the exact twin's
+      // global order statistic, not the estimator's scale path
+      val wOrd = org.apache.spark.sql.expressions.Window.orderBy("x")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val ksNum = u
+        .select(sum("ca").over(wOrd).as("cuma"),
+          sum("cb").over(wOrd).as("cumb"))
+        .agg(max(abs(col("cuma") * ks.nb - col("cumb") * ks.na)))
+        .first().getLong(0)
+      val exact = ksNum.toDouble / (ks.na.toDouble * ks.nb.toDouble)
+      import s.implicits._
+      Seq((ksNum, ks.na, ks.nb, math.abs(ks.estimate - exact) <= ks.slack))
+        .toDF("ks_num", "na", "nb", "within_bound")
+    },
+    // GROUP BY form of the KS drift: one mergeable-KLL pass per snapshot,
+    // per-group sup |Fa−Fb| compared driver-side. Two groups are planted
+    // with real shifts (click ×2+10, error ×0.5 — exact-KS 0.31 / 0.25),
+    // the rest identical (exact-KS 0); with slack 3·2·eps_k = 0.069 the
+    // 0.12 drift threshold is safe on both sides, so the estimate-based
+    // `drifted` flag equals the oracle's exact-KS flag deterministically.
+    "kll_ks_grouped" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val ev = t(s, dir, "events")
+        .select(col("event_type").as("g"), col("value").as("x"))
+      val after = ev.select(col("g"),
+        when(col("g") === "click", col("x") * 2.0 + 10.0)
+          .when(col("g") === "error", col("x") * 0.5)
+          .otherwise(col("x")).as("x"))
+      val ks = Drift.groupedKsDistance(ev, after, "g", "x")
+      val av = ev.groupBy("g", "x").agg(count(lit(1)).as("ca"))
+      val bv = after.groupBy("g", "x").agg(count(lit(1)).as("cb"))
+      val u = av.join(bv, Seq("g", "x"), "full")
+        .select(col("g"), col("x"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("x")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val totals = u.groupBy("g").agg(sum("ca").as("na"), sum("cb").as("nb"))
+      val exactDf = u
+        .select(col("g"), sum("ca").over(w).as("cuma"),
+          sum("cb").over(w).as("cumb"))
+        .join(totals, "g")
+        .groupBy("g")
+        .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+            .as("ks_num"),
+          min(col("na")).as("na"), min(col("nb")).as("nb"))
+      import s.implicits._
+      val estDf = ks.map(c => (c.group, c.estimate, c.slack))
+        .toDF("g", "est", "sl")
+      exactDf.join(estDf, "g")
+        .select(col("g"), col("ks_num"), col("na"), col("nb"),
+          (abs(col("est") -
+            col("ks_num").cast("double") /
+              (col("na").cast("double") * col("nb").cast("double"))) <=
+            col("sl")).as("within_bound"),
+          (col("est") >= 0.12).as("drifted"))
+        .orderBy("g")
+    },
+    // Heavy-change detection between two corpus snapshots (Drift
+    // .heavyChange): SpaceSaving candidates + per-snapshot CMS estimates,
+    // flag |estΔ| ≥ θ(Na+Nb). The after-snapshot drops 'click' and renames
+    // 'view'→'surge' (both re-derivable in SQL); planted changes (~10% of
+    // rows each) sit far from the θ=5% threshold relative to the CMS eps·N
+    // slack, so the exact-count flags the oracle computes match the
+    // estimate-based flags deterministically.
+    "cms_heavy_change" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val ev = t(s, dir, "events")
+      val before = ev.select(col("event_type").as("k"))
+      val after = ev.where(col("event_type") =!= "click")
+        .select(when(col("event_type") === "view", lit("surge"))
+          .otherwise(col("event_type")).as("k"))
+      val changes = Drift.heavyChange(before, after, "k", theta = 0.05)
+      import s.implicits._
+      changes.map(c => (c.key, c.flagged)).toDF("k", "flagged").orderBy("k")
+    },
     // ---- taxor search analogue (S2/S3, F2/F3, J1) -------------------------
     "classify_exact" -> { (s, dir) =>
       GraftFunctions.register(s)
@@ -1898,6 +1993,60 @@ object SparkEntry {
              AS exact_join_size,
            true AS no_undercount, true AS within_eps
          FROM a JOIN b USING (l_orderkey)""",
+    "kll_ks_distance" ->
+      """WITH a AS (SELECT value AS x FROM events
+                    WHERE event_type = 'click'),
+         b AS (SELECT value*2.0 + 10.0 AS x FROM events
+               WHERE event_type = 'purchase'),
+         av AS (SELECT x, count(*) AS ca FROM a GROUP BY 1),
+         bv AS (SELECT x, count(*) AS cb FROM b GROUP BY 1),
+         u AS (SELECT coalesce(av.x, bv.x) AS x, coalesce(ca, 0) AS ca,
+                      coalesce(cb, 0) AS cb
+               FROM av FULL JOIN bv ON av.x = bv.x),
+         cum AS (SELECT sum(ca) OVER (ORDER BY x) AS cuma,
+                        sum(cb) OVER (ORDER BY x) AS cumb FROM u),
+         n AS (SELECT (SELECT count(*) FROM a) AS na,
+                      (SELECT count(*) FROM b) AS nb)
+         SELECT CAST(max(abs(cuma*nb - cumb*na)) AS BIGINT) AS ks_num,
+           CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           true AS within_bound
+         FROM cum, n GROUP BY na, nb""",
+    "kll_ks_grouped" ->
+      """WITH a AS (SELECT event_type AS g, value AS x FROM events),
+         b AS (SELECT event_type AS g,
+                 CASE WHEN event_type = 'click' THEN value*2.0 + 10.0
+                      WHEN event_type = 'error' THEN value*0.5
+                      ELSE value END AS x FROM events),
+         av AS (SELECT g, x, count(*) AS ca FROM a GROUP BY 1,2),
+         bv AS (SELECT g, x, count(*) AS cb FROM b GROUP BY 1,2),
+         u AS (SELECT coalesce(av.g, bv.g) AS g, coalesce(av.x, bv.x) AS x,
+                      coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+               FROM av FULL JOIN bv ON av.g = bv.g AND av.x = bv.x),
+         cum AS (SELECT g,
+                   sum(ca) OVER (PARTITION BY g ORDER BY x) AS cuma,
+                   sum(cb) OVER (PARTITION BY g ORDER BY x) AS cumb FROM u),
+         t AS (SELECT g, sum(ca) AS na, sum(cb) AS nb FROM u GROUP BY 1)
+         SELECT cum.g AS g,
+           CAST(max(abs(cuma*nb - cumb*na)) AS BIGINT) AS ks_num,
+           CAST(min(na) AS BIGINT) AS na, CAST(min(nb) AS BIGINT) AS nb,
+           true AS within_bound,
+           max(abs(cuma*nb - cumb*na))*1.0/(min(na)*min(nb)) >= 0.12
+             AS drifted
+         FROM cum JOIN t ON cum.g = t.g GROUP BY 1 ORDER BY 1""",
+    "cms_heavy_change" ->
+      """WITH before_t AS (SELECT event_type AS k FROM events),
+         after_t AS (SELECT CASE WHEN event_type = 'view' THEN 'surge'
+                            ELSE event_type END AS k
+                     FROM events WHERE event_type <> 'click'),
+         fa AS (SELECT k, count(*) AS c FROM before_t GROUP BY 1),
+         fb AS (SELECT k, count(*) AS c FROM after_t GROUP BY 1),
+         n AS (SELECT (SELECT count(*) FROM before_t) AS na,
+                      (SELECT count(*) FROM after_t) AS nb),
+         u AS (SELECT coalesce(fa.k, fb.k) AS k, coalesce(fa.c, 0) AS ca,
+                      coalesce(fb.c, 0) AS cb
+               FROM fa FULL JOIN fb ON fa.k = fb.k)
+         SELECT k, abs(cb - ca) >= 0.05*(na + nb) AS flagged
+         FROM u, n ORDER BY k""",
     "classify_exact" ->
       """WITH corpus AS (SELECT source AS grp, text FROM documents
                          WHERE doc_id % 10 <> 0),

@@ -131,6 +131,21 @@ final class Kll(val k: Int) extends Serializable {
     below.toDouble / total
   }
 
+  /** Fraction of mass at or below x. */
+  def rankLE(x: Double): Double = {
+    if (n == 0) return Double.NaN
+    val items = weighted
+    var total = 0L
+    var below = 0L
+    items.foreach { case (v, w) => total += w; if (v <= x) below += w }
+    below.toDouble / total
+  }
+
+  /** Sorted distinct stored values — the sketch's own support grid, the
+    * probe points for two-sample statistics (every data value's rank is
+    * within the rank-error bound of some stored item's). */
+  def support: Array[Double] = weighted.map(_._1).distinct
+
   def toBytes: Array[Byte] = {
     val numItems = size
     val a = new Array[Byte](Kll.HEADER + 4 * levels.length + 8 * numItems)
@@ -156,6 +171,25 @@ object Kll {
   val HEADER = 35
 
   def empty(k: Int): Kll = new Kll(k)
+
+  /** Two-sample Kolmogorov–Smirnov distance estimate
+    * sup_x |F_a(x) − F_b(x)| from two sketches, evaluated on the union of
+    * their support grids with BOTH the strictly-below and at-or-below ranks
+    * probed (a difference of step CDFs attains its sup at a jump). Error ≤
+    * (eps_a + eps_b) pointwise plus the same again for grid quantization —
+    * gate with 3·(eps_a + eps_b) slack. */
+  def ksDistance(a: Kll, b: Kll): Double = {
+    require(a.n > 0 && b.n > 0, "ksDistance needs two non-empty sketches")
+    val probes = a.support ++ b.support
+    var m = 0.0
+    probes.foreach { v =>
+      val dLt = math.abs(a.rank(v) - b.rank(v))
+      val dLe = math.abs(a.rankLE(v) - b.rankLE(v))
+      if (dLt > m) m = dLt
+      if (dLe > m) m = dLe
+    }
+    m
+  }
 
   def fromBytes(a: Array[Byte]): Kll = {
     require(a(0) == TYPE, s"not a kll sketch: type=${a(0)}")

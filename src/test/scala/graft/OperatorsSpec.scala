@@ -1730,6 +1730,57 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       s"est=${e.estimate} exact=$exact slack=${e.slack}")
   }
 
+  test("Drift.sparkXxhash64 matches the in-plan xxhash64 on strings") {
+    val keys = Seq("", "a", "click", "surge", "héllo wörld", "x" * 100)
+    val inPlan = keys.toDF("k")
+      .select(col("k"), xxhash64(col("k")).as("h"))
+      .as[(String, Long)].collect().toMap
+    keys.foreach { k =>
+      assert(Drift.sparkXxhash64(k) == inPlan(k), s"hash mismatch for '$k'")
+    }
+  }
+
+  test("groupedKsDistance: per-group drift, shared groups only") {
+    val r = new scala.util.Random(3)
+    val rows = (1 to 4000).map { _ =>
+      val g = Seq("p", "q", "only_a")(r.nextInt(3))
+      (g, r.nextDouble() * 100.0)
+    }
+    val a = rows.toDF("g", "x")
+    // q shifts by +50, p unchanged; only_b appears on one side only
+    val b = rows.filter(_._1 != "only_a")
+      .map { case (g, x) => if (g == "q") (g, x + 50.0) else (g, x) }
+      .++(Seq(("only_b", 1.0)))
+      .toDF("g", "x")
+    val got = Drift.groupedKsDistance(a, b, "g", "x")
+    assert(got.map(_.group) == Seq("p", "q"), "one-sided groups skipped")
+    val byG = got.map(c => c.group -> c).toMap
+    assert(byG("p").estimate <= byG("p").slack, s"p=${byG("p").estimate}")
+    // +50 shift on U(0,100) has true KS 0.5
+    assert(math.abs(byG("q").estimate - 0.5) <= byG("q").slack + 0.05,
+      s"q=${byG("q").estimate}")
+  }
+
+  test("heavyChange flags planted frequency moves, not stable keys") {
+    val before = (Seq.fill(500)("alpha") ++ Seq.fill(300)("beta") ++
+      Seq.fill(200)("gamma")).toDF("k")
+    val after = (Seq.fill(495)("alpha") ++ Seq.fill(30)("beta") ++
+      Seq.fill(200)("gamma") ++ Seq.fill(250)("delta")).toDF("k")
+    val got = Drift.heavyChange(before, after, "k", theta = 0.05)
+    assert(got.map(_.key) == got.map(_.key).sorted)
+    val byKey = got.map(c => c.key -> c).toMap
+    // thresholds: theta*(1000+975) ~ 99 — beta (-270) and delta (+250)
+    // must flag; alpha (-5) and gamma (0) must not
+    assert(byKey("beta").flagged && byKey("delta").flagged)
+    assert(!byKey("alpha").flagged && !byKey("gamma").flagged)
+    // CMS one-sidedness: estimates never undercount the exact counts
+    assert(byKey("delta").estBefore >= 0 && byKey("delta").estAfter >= 250)
+    intercept[IllegalArgumentException] {
+      Drift.heavyChange(before.select(xxhash64(col("k")).as("k")),
+        after, "k", theta = 0.05)
+    }
+  }
+
   test("role transitions count adjacency with boundary sentinels") {
     val turns = Seq(
       ("c20", 0, "user", "a"), ("c20", 1, "assistant", "b"),

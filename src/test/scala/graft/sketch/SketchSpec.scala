@@ -305,6 +305,34 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("kll two-sample KS distance tracks the exact statistic") {
+    val r = new Random(13)
+    val xs = Array.fill(30000)(r.nextDouble() * 100.0)
+    val ys = Array.fill(20000)(r.nextDouble() * 100.0 + 25.0) // shifted
+    def sketch(v: Array[Double]): Kll = {
+      val s = Kll.empty(200); v.foreach(s.update); s
+    }
+    // exact KS over the union of values (step CDFs jump only at values)
+    def exactKs(a: Array[Double], b: Array[Double]): Double = {
+      val sa = a.sorted; val sb = b.sorted
+      (sa ++ sb).distinct.map { v =>
+        val fa = sa.count(_ <= v).toDouble / sa.length
+        val fb = sb.count(_ <= v).toDouble / sb.length
+        math.abs(fa - fb)
+      }.max
+    }
+    val slack = 3 * (2.296 / 200 + 2.296 / 200)
+    val est = Kll.ksDistance(sketch(xs), sketch(ys))
+    assert(math.abs(est - exactKs(xs, ys)) <= slack,
+      s"est=$est exact=${exactKs(xs, ys)}")
+    // identical distribution: KS near zero
+    val same = Kll.ksDistance(sketch(xs), sketch(xs.reverse))
+    assert(same <= slack, s"same-dist KS=$same")
+    intercept[IllegalArgumentException] {
+      Kll.ksDistance(sketch(xs), Kll.empty(200))
+    }
+  }
+
   test("tdigest trimmed mean tracks the exact rank-windowed mean") {
     val r = new Random(5)
     val xs = Array.fill(20000)(r.nextDouble() * 1000.0)
