@@ -68,6 +68,12 @@ object SparkEntry {
   /** Dump path for the conv-fingerprint-index gate's (wave, turns) table. */
   val ConvIndexDumpPath = "/tmp/graft_verify_convs_index"
 
+  /** Dump path for the sketch-derived equi-depth range boundaries: the
+    * boundaries are KLL output (driver-side doubles the oracle cannot
+    * recompute), so the gate dumps them and the oracle recomputes the
+    * per-bucket counts from the SAME boundary values byte-exactly. */
+  val RangeBoundsDumpPath = "/tmp/graft_verify_range_bounds"
+
   /** Generate + plant structural damage + dump + read back (shared by
     * conv_integrity and conv_role_transitions). */
   private def damagedConvs(s: SparkSession): DataFrame = {
@@ -371,6 +377,28 @@ object SparkEntry {
       import s.implicits._
       Seq((ksNum, ks.na, ks.nb, math.abs(ks.estimate - exact) <= ks.slack))
         .toDF("ks_num", "na", "nb", "within_bound")
+    },
+    // Equi-depth range layout from ONE KLL pass (RangeLayout): B=8
+    // boundaries at quantiles i/8, per-bucket counts byte-exact in both
+    // engines (boundaries dumped for the oracle), each bucket's mass
+    // within the rank-error slack of n/B.
+    "range_equidepth" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+      val buckets = 8
+      val bounds = RangeLayout.equiDepthBounds(li, "x", buckets)
+      import s.implicits._
+      bounds.toSeq.toDF("bound")
+        .coalesce(1).write.mode("overwrite").parquet(RangeBoundsDumpPath)
+      val n = li.count()
+      // two boundaries bracket a bucket; 3x the one-sided rank error each
+      val slack = (2 * 3 * (2.296 / 200) * n).toLong + 1
+      li.select(RangeLayout.bucketOf(col("x"), bounds).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .select(col("bucket"), col("cnt"),
+          (abs(col("cnt") - lit(n / buckets)) <= lit(slack))
+            .as("within_bound"))
+        .orderBy("bucket")
     },
     // GROUP BY form of the KS drift: one mergeable-KLL pass per snapshot,
     // per-group sup |Fa−Fb| compared driver-side. Two groups are planted
@@ -2011,6 +2039,13 @@ object SparkEntry {
            CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
            true AS within_bound
          FROM cum, n GROUP BY na, nb""",
+    "range_equidepth" ->
+      s"""WITH b AS (SELECT bound FROM '$RangeBoundsDumpPath/*.parquet')
+         SELECT bucket, count(*) AS cnt, true AS within_bound FROM (
+           SELECT (SELECT count(*) FROM b
+                   WHERE l_extendedprice >= b.bound) AS bucket
+           FROM lineitem)
+         GROUP BY 1 ORDER BY 1""",
     "kll_ks_grouped" ->
       """WITH a AS (SELECT event_type AS g, value AS x FROM events),
          b AS (SELECT event_type AS g,

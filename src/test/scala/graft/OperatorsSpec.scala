@@ -1740,6 +1740,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("equiDepthBounds balances buckets within rank error") {
+    val df = (1 to 50000).map(_.toDouble).toDF("x")
+    val bounds = RangeLayout.equiDepthBounds(df, "x", 10)
+    assert(bounds.length == 9 && bounds.sameElements(bounds.sorted))
+    val counts = df.select(RangeLayout.bucketOf(col("x"), bounds).as("b"))
+      .groupBy("b").count().orderBy("b").as[(Long, Long)].collect()
+    assert(counts.length == 10)
+    val slack = (2 * 3 * (2.296 / 200) * 50000).toLong + 1
+    counts.foreach { case (_, c) =>
+      assert(math.abs(c - 5000) <= slack, s"bucket mass $c")
+    }
+    // heavy point mass collapses adjacent quantiles instead of failing
+    val cb = RangeLayout.equiDepthBounds(Seq.fill(1000)(7.0).toDF("x"), "x", 4)
+    assert(cb.length == 1 && cb(0) == 7.0)
+    intercept[IllegalArgumentException] {
+      RangeLayout.bucketOf(col("x"), Array(2.0, 1.0))
+    }
+  }
+
   test("groupedKsDistance: per-group drift, shared groups only") {
     val r = new scala.util.Random(3)
     val rows = (1 to 4000).map { _ =>
