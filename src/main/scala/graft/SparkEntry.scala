@@ -1630,6 +1630,21 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "role", "session_idx")
         .orderBy("conv_id", "turn_idx", "role")
     },
+    // SFT packing with a loss mask: the damaged fixture concatenated in
+    // md5(conv_id) order, chunked into 512-token windows (token count =
+    // char length — integral, engine-portable), assistant turns trainable.
+    // Pure integer div/pmod window arithmetic — byte-exact; the planted
+    // double-delivered turns are full-row-identical, so their two cumsum
+    // values are interchangeable as a multiset in both engines.
+    "conv_pack_mask" -> { (s, dir) =>
+      val turns = damagedConvs(s)
+        .withColumn("tok", length(col("text")).cast("long"))
+      Conversations.packWithLossMask(turns, "tok", ctxTokens = 512)
+        .select(col("conv_id"), col("turn_idx"), col("role"),
+          col("window_id"), col("window_off"), col("n_windows"),
+          col("trainable"))
+        .orderBy("conv_id", "turn_idx", "role")
+    },
     // Incremental conv-level dedup vs a persisted fingerprint index, two
     // waves: wave 1 probes (fresh odd convs + "-dup" re-ingests of indexed
     // evens — must match), then the WHOLE wave is appended and wave 2
@@ -2586,6 +2601,23 @@ object SparkEntry {
     // engine's internal tie order ((1,1) vs (0,1); seen flipping once
     // under host-steal load). Spark evaluates both frames in ONE Window
     // pass over one sort, so the engine side is order-stable.
+    "conv_pack_mask" ->
+      s"""WITH t AS (SELECT conv_id, turn_idx, role, text,
+             CAST(length(text) AS BIGINT) AS tok
+           FROM '$ConvDamagedDumpPath/*.parquet'),
+         o AS (SELECT conv_id, turn_idx, role, tok,
+             sum(tok) OVER (ORDER BY md5('graft:' || conv_id), conv_id,
+               turn_idx, role, text
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+               AS pack_start
+           FROM t WHERE tok > 0)
+         SELECT conv_id, turn_idx, role,
+           CAST(pack_start // 512 AS BIGINT) AS window_id,
+           CAST(pack_start % 512 AS BIGINT) AS window_off,
+           CAST((pack_start + tok - 1) // 512 - pack_start // 512 + 1
+             AS BIGINT) AS n_windows,
+           role = 'assistant' AS trainable
+         FROM o ORDER BY conv_id, turn_idx, role""",
     "conv_sessionize" ->
       s"""WITH t AS (
            SELECT conv_id, turn_idx, role, text,

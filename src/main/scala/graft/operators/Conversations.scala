@@ -218,6 +218,55 @@ object Conversations {
 
   // ---- deterministic corruption planting (gate fixtures) -----------------
 
+  /** SFT-assembly packing with a loss mask — the step that turns a curated
+    * transcript corpus into fixed-context training windows: conversations
+    * concatenate in the engine-portable md5("<seed>:"+conv_id) order
+    * (turns inside each conversation in canonical (turn_idx, role, text)
+    * order), the token stream chunks into `ctxTokens` windows, and each
+    * turn is marked `trainable` (loss unmasked) iff its role is in
+    * `trainRoles` — assistant turns by default; user/system/tool turns
+    * are context-only. Same concat-and-chunk integer arithmetic as
+    * [[Sampling.packWindows]] (div/pmod over integer token counts —
+    * byte-exact across engines, stable under repartitioning,
+    * append-monotone per stratum in the suffix sense).
+    *
+    * `tokensCol` is the caller's per-turn token count (a TextStats
+    * counter, a BPE count, or char length); turns with null/non-positive
+    * counts are excluded from the stream (the packWindows posture).
+    *
+    * Scale shape: one stratum-wide window cumsum (pack per source/shard,
+    * not one global stratum, at 100 TB — the packWindows note); the mask
+    * is a row-local comparison.
+    *
+    * Output: all input columns plus pack_start / window_id / window_off /
+    * n_windows / trainable. */
+  def packWithLossMask(
+      turns: DataFrame,
+      tokensCol: String,
+      ctxTokens: Long,
+      strataCols: Seq[String] = Nil,
+      seed: String = "graft",
+      trainRoles: Seq[String] = Seq("assistant")): DataFrame = {
+    require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")
+    require(trainRoles.nonEmpty, "trainRoles must not be empty")
+    Seq("pack_start", "window_id", "window_off", "n_windows", "trainable")
+      .foreach(c => require(!turns.columns.contains(c),
+        s"input already has a '$c' column"))
+    val h = md5(concat(lit(seed + ":"), col("conv_id")))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(h, col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    turns.where(col(tokensCol).isNotNull && col(tokensCol) > 0)
+      .withColumn("pack_start",
+        sum(col(tokensCol).cast("long")).over(w) - col(tokensCol))
+      .withColumn("window_id", expr(s"pack_start div $ctxTokens"))
+      .withColumn("window_off", pmod(col("pack_start"), lit(ctxTokens)))
+      .withColumn("n_windows",
+        expr(s"(pack_start + cast(`$tokensCol` as bigint) - 1) div $ctxTokens")
+          - col("window_id") + 1)
+      .withColumn("trainable", col("role").isin(trainRoles: _*))
+  }
+
   /** Plant structural damage into a clean transcript table so the
     * integrity gate is non-vacuous, deterministically:
     *  - conversations whose numeric id ≡ 5 (mod 13) LOSE turn_idx 2

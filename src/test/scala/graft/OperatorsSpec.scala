@@ -1740,6 +1740,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("packWithLossMask: contiguous stream, conv-contiguous, masks/spans") {
+    val turns = Seq(
+      ("c1", 0, "user", "aaaa"), ("c1", 1, "assistant", "bbbbbb"),
+      ("c2", 0, "system", "cc"), ("c2", 1, "assistant", "dddddddddd"),
+      ("c2", 2, "tool", "") // zero tokens -> excluded from the stream
+    ).toDF("conv_id", "turn_idx", "role", "text")
+      .withColumn("tok", length(col("text")).cast("long"))
+    val got = Conversations.packWithLossMask(turns, "tok", ctxTokens = 8)
+      .orderBy("pack_start")
+      .select("conv_id", "turn_idx", "pack_start", "window_id",
+        "window_off", "n_windows", "trainable")
+      .as[(String, Int, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.length == 4 && got.head._3 == 0L)
+    val toks = Map(("c1", 0) -> 4L, ("c1", 1) -> 6L,
+      ("c2", 0) -> 2L, ("c2", 1) -> 10L)
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 == a._3 + toks((a._1, a._2)), "stream not contiguous")
+    }
+    got.foreach { case (c, i, ps, wid, woff, nw, tr) =>
+      assert(wid == ps / 8 && woff == ps % 8)
+      assert(nw == (ps + toks((c, i)) - 1) / 8 - wid + 1)
+      assert(tr == (i == 1), "assistant turns trainable, others masked")
+    }
+    // a conversation's turns stay adjacent in the stream
+    val order = got.map(_._1)
+    assert(order.zip(order.tail).count { case (x, y) => x != y } == 1)
+    intercept[IllegalArgumentException] {
+      Conversations.packWithLossMask(turns, "tok", ctxTokens = 0)
+    }
+  }
+
   test("equiDepthBounds balances buckets within rank error") {
     val df = (1 to 50000).map(_.toDouble).toDF("x")
     val bounds = RangeLayout.equiDepthBounds(df, "x", 10)
