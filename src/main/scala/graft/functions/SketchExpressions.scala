@@ -20,6 +20,8 @@ object SketchOps {
     Kll.fromBytes(buf).quantile(q)
   def kllRank(buf: Array[Byte], x: Double): Double = Kll.fromBytes(buf).rank(x)
   def kllCount(buf: Array[Byte]): Long = Kll.fromBytes(buf).n
+  def kllKs(a: Array[Byte], b: Array[Byte]): Double =
+    Kll.ksDistance(Kll.fromBytes(a), Kll.fromBytes(b))
   def tdigestQuantile(buf: Array[Byte], q: Double): Double =
     TDigest.fromBytes(buf).quantile(q)
   def tdigestCdf(buf: Array[Byte], x: Double): Double =
@@ -442,6 +444,22 @@ case class KllQuantile(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): KllQuantile = copy(left = l, right = r)
   override def prettyName: String = "graft_kll_quantile"
+}
+
+/** Two-sample KS distance between two KLL blobs (see Kll.ksDistance) —
+  * row-local, so a streaming per-window sketch can compare itself to a
+  * frozen reference blob at emit time with no extra state. */
+case class KllKs(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchOps.kllKs(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SketchOps.kllKs($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KllKs = copy(left = l, right = r)
+  override def prettyName: String = "graft_kll_ks"
 }
 
 case class KllRank(left: Expression, right: Expression)

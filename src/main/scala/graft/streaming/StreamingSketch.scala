@@ -39,6 +39,30 @@ object StreamingSketch {
         hll_estimate(col("hll_convs")).as("distinct_convs_est"),
         kll_quantile(col("kll_len"), 0.5).as("median_len"))
 
+  /** Per-window distribution-drift alarm vs a FROZEN reference: one KLL
+    * blob per event-time window in the state store, compared to the
+    * reference blob row-locally at emit (the [[graft.functions.KllKs]]
+    * expression; the reference rides as one small literal — k·8B-scale).
+    * This is the continuous form of [[graft.operators.Drift.ksDistance]]:
+    * "did this hour's turn-length distribution move from the accepted
+    * corpus?" — the alarm a 100 TB/day ingest monitors. Watermark bounds
+    * state exactly like [[windowedSketches]]. */
+  def windowedKsDrift(
+      turns: DataFrame, // streaming, with event-time column ts
+      xCol: String,
+      referenceKll: Array[Byte],
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours",
+      k: Int = 200,
+      threshold: Double = 0.2): DataFrame = {
+    val ks = kll_ks(col("kll"), lit(referenceKll))
+    turns.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(kll_agg(col(xCol), k).as("kll"))
+      .select(col("window"), ks.as("ks_est"),
+        (ks >= threshold).as("drifted"))
+  }
+
   /** Global (non-windowed) running sketches, complete-mode friendly. */
   def runningSketches(turns: DataFrame, p: Int = 12): DataFrame =
     turns.groupBy(col("role"))

@@ -235,6 +235,41 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       s"integrity shuffles turns on conv_id more than once:\n$convParts")
   }
 
+  test("top terms: short-key shuffles only, per-doc top-k pruned") {
+    val p = plan("text_top_terms")
+    // tf/df aggregate with map-side combine; the per-doc top-k prunes
+    // per-partition before the window exchange; document text never
+    // becomes a shuffle key (the (id, term) explode keys are short)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!"""hashpartitioning\(text#""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("range-layout bucket index is row-local: no exchange") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // fixed boundaries: the bucket projection must stay inside the scan
+    // stage — a codegen'd boolean-add chain, safe before any exchange
+    val p = li
+      .select(graft.operators.RangeLayout
+        .bucketOf(col("l_extendedprice"), Array(900.0, 2000.0, 5e4))
+        .as("bucket"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("loss-mask packing shuffles on the stratum, never on text") {
+    import org.apache.spark.sql.functions._
+    val turns = graft.sources.Transcripts.generate(spark, nConvs = 10)
+      .withColumn("shard", pmod(xxhash64(col("conv_id")), lit(4)))
+      .withColumn("tok", length(col("text")).cast("long"))
+    val p = graft.operators.Conversations
+      .packWithLossMask(turns, "tok", 512, strataCols = Seq("shard"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("""hashpartitioning\(shard#""".r.findFirstIn(p).isDefined, p)
+    assert(!"""hashpartitioning\(text#""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("conv role transitions: one turn scan, edges emitted in one pass") {
     val p = plan("conv_role_transitions")
     // a union of lag/lead window branches would scan + shuffle the turn

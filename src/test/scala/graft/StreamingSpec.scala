@@ -202,6 +202,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowed KS drift flags the shifted window against a frozen reference") {
+    implicit val sq = spark.sqlContext
+    // frozen reference: text lengths 1..50 uniform
+    val ref = {
+      val kll = graft.sketch.Kll.empty(200)
+      (0 until 5000).foreach(i => kll.update(i % 50 + 1.0))
+      kll.toBytes
+    }
+    val mem = MemoryStream[Turn]
+    // hour 1 matches the reference; hour 2 is shifted +200 chars
+    val rows = (0 until 600).map { i =>
+      val hour2 = i >= 300
+      val len = (i % 50 + 1) + (if (hour2) 200 else 0)
+      Turn(s"c${i % 13}", "user", "x" * len, null,
+        new Timestamp(1700000000000L + (if (hour2) 3600000L else 0L) + (i % 300) * 10000L))
+    }
+    mem.addData(rows: _*)
+    val q = StreamingSketch
+      .windowedKsDrift(mem.toDF().withColumn("len", length(col("text"))),
+        "len", ref, "1 hour", "2 hours", threshold = 0.2)
+      .writeStream.format("memory").queryName("ks_drift")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark past both hours so they close
+      mem.addData(Turn("cx", "user", "late", null,
+        new Timestamp(1700000000000L + 20 * 3600000L)))
+      q.processAllAvailable()
+      val got = spark.table("ks_drift")
+        .select(col("window.start").cast("long").as("start"), col("ks_est"),
+          col("drifted"))
+        .orderBy("start").as[(Long, Double, Boolean)].collect()
+      assert(got.length >= 2, s"expected 2 closed windows, got ${got.length}")
+      val slack = 3 * 2 * (2.296 / 200)
+      assert(got.head._2 <= slack && !got.head._3,
+        s"in-distribution window drifted: ${got.head}")
+      // +200 shift is total separation: KS ~ 1
+      assert(got(1)._2 >= 0.9 && got(1)._3, s"shifted window: ${got(1)}")
+    } finally q.stop()
+  }
+
   test("windowed sketches with watermark produce per-window rows") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Turn]

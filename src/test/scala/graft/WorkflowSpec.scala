@@ -294,5 +294,32 @@ class WorkflowSpec extends AnyFunSuite with SparkTestBase {
       withTokens, Seq("stratum"), "doc_id", "n_tokens", ctxTokens = 32)
       .orderBy("doc_id").collect().toSeq
     assert(packed.orderBy("doc_id").collect().toSeq == again)
+
+    // 5. SFT alternative: pack the TURNS directly with a loss mask —
+    //    assistant tokens train, user tokens are context; stream gapless
+    val masked = graft.operators.Conversations.packWithLossMask(
+      deduped.withColumn("tok",
+        size(split(trim(col("text")), "[ ]+")).cast("long")),
+      "tok", ctxTokens = 32)
+    assert(masked.where(col("trainable")).select("role").distinct()
+      .as[String].collect().toSeq == Seq("assistant"))
+    val mTotal = masked.agg(sum(col("tok"))).as[Long].head()
+    val mEnd = masked.agg(max(col("pack_start") + col("tok")))
+      .as[Long].head()
+    assert(mEnd == mTotal, "loss-mask packing lost tokens")
+
+    // 6. drift gate between corpus versions: dedup must NOT move the
+    //    turn-length distribution (the removed copy's texts are identical
+    //    to its canonical's), while a planted truncation bug must alarm
+    import graft.operators.Drift
+    val v1 = intact.select(length(col("text")).cast("double").as("len"))
+    val v2 = deduped.select(length(col("text")).cast("double").as("len"))
+    val clean = Drift.ksDistance(v1, "len", v2, "len")
+    assert(clean.estimate <= clean.slack,
+      s"dedup moved the length distribution: ${clean.estimate}")
+    val buggy = deduped
+      .select(least(length(col("text")), lit(8)).cast("double").as("len"))
+    val alarm = Drift.ksDistance(v2, "len", buggy, "len")
+    assert(alarm.estimate >= 0.9, s"truncation bug not flagged: $alarm")
   }
 }
