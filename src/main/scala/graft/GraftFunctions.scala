@@ -142,6 +142,7 @@ object GraftFunctions {
     "graft_kll_quantile" -> { es => KllQuantile(es.head, es(1)) },
     "graft_kll_rank" -> { es => KllRank(es.head, es(1)) },
     "graft_kll_ks" -> { es => KllKs(es.head, es(1)) },
+    "graft_kll_n" -> { es => KllN(es.head) },
     "graft_tdigest_agg" -> { es =>
       TDigestAgg(es.head, doubleArg(es(1), "delta"))
     },
@@ -323,6 +324,7 @@ object GraftFunctions {
     call_function("graft_kll_rank", sketch, x.cast("double"))
   def kll_ks(a: Column, b: Column): Column =
     call_function("graft_kll_ks", a, b)
+  def kll_n(sketch: Column): Column = call_function("graft_kll_n", sketch)
 
   def tdigest_agg(c: Column, delta: Double = 100.0): Column =
     call_function("graft_tdigest_agg", c.cast("double"), lit(delta))

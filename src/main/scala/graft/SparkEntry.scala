@@ -1715,6 +1715,92 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "role", "session_idx")
         .orderBy("conv_id", "turn_idx", "role")
     },
+    // Streaming distribution-drift alarm under the oracle: click values
+    // stream through windowedKsDrift in per-UTC-day event-time windows
+    // against a frozen reference KLL of the whole clean click corpus.
+    // Odd epoch-days are planted shifted by max(value)+1 (total range
+    // separation ⇒ exact per-day KS = 1); even days replay the reference
+    // distribution (exact KS ~ 1/sqrt(day rows), far under threshold −
+    // slack). Gated: per-window n byte-exact from the streamed blob (KLL
+    // tracks n exactly — proves every window closed with exactly its
+    // rows), drifted agrees with the oracle's exact-KS threshold (the
+    // plant's separation dwarfs the two-sketch 3σ slack), and the KS
+    // estimate sits within the published bound of the per-day exact KS
+    // (recomputed in-plan with the same union-of-step-points prefix sum
+    // as kll_ks_distance, partitioned by day).
+    "stream_ks_drift" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      import s.implicits._
+      val clicks = t(s, dir, "events")
+        .where(col("event_type") === "click").select(col("ts"), col("value"))
+      val shift = clicks.agg(max("value")).first().getDouble(0) + 1.0
+      val oddDay =
+        pmod(datediff(to_date(col("ts")), to_date(lit("1970-01-01"))),
+          lit(2)) === 1
+      val withDay = clicks.select(col("ts"),
+        when(oddDay, col("value") + shift).otherwise(col("value")).as("x"))
+      val refBlob = clicks.agg(kll_agg(col("value"), 200).as("s"))
+        .first().getAs[Array[Byte]](0)
+      val rows = withDay.as[graft.streaming.ValuePoint].collect()
+        .sortBy(_.ts.getTime)
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.ValuePoint]
+      val sink = s"stream_ks_drift_gate_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingSketch
+        .windowedKsDrift(mem.toDF(), "x", refBlob, "1 day", "2 days",
+          k = 200, threshold = 0.5)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
+          mem.addData(b.toSeq: _*); q.processAllAvailable()
+        }
+        // a sentinel far past the last day advances the watermark so every
+        // real window closes; its own window never closes, never emits
+        mem.addData(graft.streaming.ValuePoint(
+          new java.sql.Timestamp(rows.last.ts.getTime + 30L * 86400000L),
+          0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = s.table(sink)
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("n_rows"), col("ks_est"), col("drifted"))
+      // exact per-day two-sample KS twin vs the full clean corpus
+      val refV = clicks.select(col("value").as("x"))
+        .groupBy("x").agg(count(lit(1)).as("cb"))
+      val nb = clicks.count()
+      val wv = withDay
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("x"))
+        .groupBy("day", "x").agg(count(lit(1)).as("ca"))
+      val pts = wv.select(col("day"), col("x"), col("ca"), lit(0L).as("cb"))
+        .unionByName(wv.select("day").distinct().crossJoin(refV)
+          .select(col("day"), col("x"), lit(0L).as("ca"), col("cb")))
+      val g = pts.groupBy("day", "x")
+        .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+      val wOrd = org.apache.spark.sql.expressions.Window.partitionBy("day")
+        .orderBy("x").rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val na = wv.groupBy("day").agg(sum("ca").as("na"))
+      val cum = g.select(col("day"),
+        sum("ca").over(wOrd).as("cuma"), sum("cb").over(wOrd).as("cumb"))
+      val exact = cum.join(na, "day")
+        .groupBy("day")
+        .agg(max(abs(col("cuma") * nb - col("cumb") * col("na")))
+            .as("ksNum"),
+          first("na").as("na"))
+        .select(col("day"),
+          (col("ksNum").cast("double") / (col("na") * nb)).as("exact_ks"))
+      val slack = 3.0 * 2.0 * (2.296 / 200)
+      // drop tiny partial boundary days symmetrically (oracle HAVING twin):
+      // at n < 50 a clean day's sampling KS can approach the threshold and
+      // the est-vs-exact agreement argument loses its margin
+      streamed.join(exact, "day")
+        .where(col("n_rows") >= 50)
+        .select(col("day"), col("n_rows").as("n"), col("drifted"),
+          (abs(col("ks_est") - col("exact_ks")) <= slack).as("within_bound"))
+        .orderBy("day")
+    },
     // Cluster-balanced (diversity) sampling: nearest-centroid cells over
     // FROZEN hash-picked centroids (deterministic — exact corpus rows in
     // xxhash64 order), then the md5 bottom-k cap per cell. The assignment
@@ -2083,6 +2169,36 @@ object SparkEntry {
            max(abs(cuma*nb - cumb*na))*1.0/(min(na)*min(nb)) >= 0.12
              AS drifted
          FROM cum JOIN t ON cum.g = t.g GROUP BY 1 ORDER BY 1""",
+    "stream_ks_drift" ->
+      """WITH clicks AS (SELECT ts, value FROM events
+                         WHERE event_type = 'click'),
+         shift AS (SELECT max(value) + 1.0 AS sh FROM clicks),
+         w AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 CASE WHEN ((CAST(ts AS DATE) - DATE '1970-01-01') % 2) = 1
+                      THEN value + (SELECT sh FROM shift)
+                      ELSE value END AS x
+               FROM clicks),
+         rv AS (SELECT value AS x, count(*) AS cb FROM clicks GROUP BY 1),
+         nbt AS (SELECT count(*) AS nb FROM clicks),
+         wv AS (SELECT day, x, count(*) AS ca FROM w GROUP BY 1, 2),
+         days AS (SELECT DISTINCT day FROM w),
+         pts AS (SELECT day, x, ca, 0 AS cb FROM wv
+                 UNION ALL
+                 SELECT days.day, rv.x, 0 AS ca, rv.cb
+                 FROM days CROSS JOIN rv),
+         g AS (SELECT day, x, sum(ca) AS ca, sum(cb) AS cb
+               FROM pts GROUP BY 1, 2),
+         cum AS (SELECT day,
+                   sum(ca) OVER (PARTITION BY day ORDER BY x) AS cuma,
+                   sum(cb) OVER (PARTITION BY day ORDER BY x) AS cumb
+                 FROM g),
+         t AS (SELECT day, sum(ca) AS na FROM g GROUP BY 1)
+         SELECT cum.day AS day, CAST(min(t.na) AS BIGINT) AS n,
+           max(abs(cuma*nb - cumb*t.na))*1.0/(min(t.na)*nb) >= 0.5
+             AS drifted,
+           true AS within_bound
+         FROM cum JOIN t ON cum.day = t.day CROSS JOIN nbt
+         GROUP BY cum.day, nb HAVING min(t.na) >= 50 ORDER BY day""",
     "cms_heavy_change" ->
       """WITH before_t AS (SELECT event_type AS k FROM events),
          after_t AS (SELECT CASE WHEN event_type = 'view' THEN 'surge'

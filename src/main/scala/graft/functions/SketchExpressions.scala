@@ -446,6 +446,20 @@ case class KllQuantile(left: Expression, right: Expression)
   override def prettyName: String = "graft_kll_quantile"
 }
 
+/** Exact update count carried by a KLL blob (n is tracked exactly even
+  * though ranks are approximate) — lets a windowed-sketch consumer assert
+  * the window saw precisely the expected rows without a second aggregate. */
+case class KllN(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.kllCount(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.kllCount($c)")
+  override protected def withNewChildInternal(c: Expression): KllN =
+    copy(child = c)
+  override def prettyName: String = "graft_kll_n"
+}
+
 /** Two-sample KS distance between two KLL blobs (see Kll.ksDistance) —
   * row-local, so a streaming per-window sketch can compare itself to a
   * frozen reference blob at emit time with no extra state. */

@@ -9,6 +9,9 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 case class SessTurn(conv_id: String, turn_idx: Int, role: String,
     text: String, ts: java.sql.Timestamp)
 case class SessState(lastEs: Long, sessIdx: Long)
+/** A timestamped scalar sample — the [[StreamingSketch.windowedKsDrift]]
+  * stream-input row shape. */
+case class ValuePoint(ts: java.sql.Timestamp, x: Double)
 case class SessOut(conv_id: String, turn_idx: Int, role: String,
     session_idx: Long)
 
@@ -59,8 +62,8 @@ object StreamingSketch {
     turns.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen))
       .agg(kll_agg(col(xCol), k).as("kll"))
-      .select(col("window"), ks.as("ks_est"),
-        (ks >= threshold).as("drifted"))
+      .select(col("window"), kll_n(col("kll")).as("n_rows"),
+        ks.as("ks_est"), (ks >= threshold).as("drifted"))
   }
 
   /** Global (non-windowed) running sketches, complete-mode friendly. */

@@ -216,7 +216,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       val hour2 = i >= 300
       val len = (i % 50 + 1) + (if (hour2) 200 else 0)
       Turn(s"c${i % 13}", "user", "x" * len, null,
-        new Timestamp(1700000000000L + (if (hour2) 3600000L else 0L) + (i % 300) * 10000L))
+        // hour-aligned base so each fixture hour is exactly one window
+        new Timestamp(1699999200000L + (if (hour2) 3600000L else 0L) + (i % 300) * 10000L))
     }
     mem.addData(rows: _*)
     val q = StreamingSketch
@@ -228,18 +229,20 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       q.processAllAvailable()
       // advance the watermark past both hours so they close
       mem.addData(Turn("cx", "user", "late", null,
-        new Timestamp(1700000000000L + 20 * 3600000L)))
+        new Timestamp(1699999200000L + 20 * 3600000L)))
       q.processAllAvailable()
       val got = spark.table("ks_drift")
-        .select(col("window.start").cast("long").as("start"), col("ks_est"),
-          col("drifted"))
-        .orderBy("start").as[(Long, Double, Boolean)].collect()
+        .select(col("window.start").cast("long").as("start"), col("n_rows"),
+          col("ks_est"), col("drifted"))
+        .orderBy("start").as[(Long, Long, Double, Boolean)].collect()
       assert(got.length >= 2, s"expected 2 closed windows, got ${got.length}")
+      // n is tracked exactly by the blob: each closed hour saw 300 rows
+      assert(got.take(2).forall(_._2 == 300L), got.toSeq.toString)
       val slack = 3 * 2 * (2.296 / 200)
-      assert(got.head._2 <= slack && !got.head._3,
+      assert(got.head._3 <= slack && !got.head._4,
         s"in-distribution window drifted: ${got.head}")
       // +200 shift is total separation: KS ~ 1
-      assert(got(1)._2 >= 0.9 && got(1)._3, s"shifted window: ${got(1)}")
+      assert(got(1)._3 >= 0.9 && got(1)._4, s"shifted window: ${got(1)}")
     } finally q.stop()
   }
 
