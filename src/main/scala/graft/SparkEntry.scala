@@ -1928,6 +1928,29 @@ object SparkEntry {
           col("jaccard_x1m"))
         .orderBy("doc_id", "match_id", "kind")
     },
+    // Semantic (embedding-space) eval decontamination — the cosine twin
+    // of decontaminate_eval. Eval = every vec_id % 7 == 0 row VERBATIM
+    // (planted exact leaks, sim = 1); per-train-row match counts at tau
+    // are exact on both engines (same threshold-boolean determinism as
+    // cosine_neardup_exact, same vectors). The banded-LSH scale path is
+    // gated on the deterministic half of its guarantee: identical
+    // vectors have identical SRP signatures, so every planted leak MUST
+    // be caught by the banding — probability-1, not a recall floor.
+    "decontaminate_semantic" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val evalSet = emb.where(pmod(col("id"), lit(7)) === 0)
+      val res = Similarity.semanticContamination(emb, evalSet, 0.4)
+      val caught = Similarity.semanticContaminationLsh(emb, evalSet, 0.4)
+        .where(col("eval_id") === col("id"))
+        .select(col("id"), lit(true).as("self_hit"))
+      res.join(caught, Seq("id"), "left")
+        .select(col("id"), col("n_matches"), col("contaminated"),
+          (pmod(col("id"), lit(7)) =!= 0 ||
+            coalesce(col("self_hit"), lit(false))).as("planted_caught"))
+        .orderBy("id")
+    },
     // Eval-set decontamination: every (train, held-out) pair sharing an
     // identical 256-char chunk must be flagged by the winnowed cross-corpus
     // scan — deterministic by the winnowing guarantee (same margin as
@@ -2616,6 +2639,17 @@ object SparkEntry {
            CAST(ck % 1000000 AS INT) AS canonical_chunk_idx,
            (doc_id*1000000 + chunk_idx) = ck AS is_canonical
          FROM c2 ORDER BY doc_id, chunk_idx""",
+    "decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         ev AS (SELECT id AS eval_id, v AS evec FROM e WHERE id % 7 = 0),
+         hits AS (SELECT e.id, count(*) AS n
+                  FROM e JOIN ev
+                  ON list_cosine_similarity(e.v, ev.evec) >= 0.4
+                  GROUP BY 1)
+         SELECT e.id AS id, CAST(coalesce(n, 0) AS BIGINT) AS n_matches,
+           coalesce(n, 0) > 0 AS contaminated, true AS planted_caught
+         FROM e LEFT JOIN hits ON e.id = hits.id ORDER BY id""",
     // same chunk pattern; pairs restricted to the train/held-out split
     "decontaminate_eval" ->
       """WITH ch AS (SELECT doc_id, substr(text, CAST(i*224+1 AS INT), 256) AS chunk

@@ -459,4 +459,54 @@ object Similarity {
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** Cross-corpus semantic contamination scan — the embedding-space twin
+    * of the n-gram decontamination in [[Dedup]]: for every train row,
+    * count eval rows within cosine >= tau (0 = clean). Eval benchmarks
+    * are small by construction, so the scale shape is a broadcast
+    * nested-loop with the codegen'd cosine kernel: the train side never
+    * shuffles its embeddings, eval rides once per executor, and the cost
+    * is train_rows × |eval| row-local work — one map-side pass at 100 TB.
+    * For an eval side too large to broadcast, use
+    * [[semanticContaminationLsh]] (banded candidates, exact-verified). */
+  def semanticContamination(
+      train: DataFrame, // (id, vec)
+      eval: DataFrame,  // (id, vec)
+      tau: Double): DataFrame = {
+    val ev = eval.select(col("id").as("eval_id"), col("vec").as("evec"))
+    val hits = train.as("t")
+      .join(broadcast(ev), cosine(col("t.vec"), col("evec")) >= tau)
+      .groupBy(col("t.id").as("id"))
+      .agg(count(lit(1)).as("n_matches"))
+    train.select(col("id")).join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Banded-SRP contamination path for a large eval side. Identical
+    * vectors produce identical signatures (a pure function of the
+    * vector), so planted EXACT leaks collide in every band and are
+    * caught with probability 1; near-duplicates carry the usual
+    * band-miss probability. Candidates are exact-verified, so precision
+    * is 1 by construction. Embeddings travel as combiner values, never
+    * as shuffle keys (the lshTopK discipline). */
+  def semanticContaminationLsh(
+      train: DataFrame, // (id, vec)
+      eval: DataFrame,  // (id, vec)
+      tau: Double,
+      tables: Int = 12,
+      bits: Int = 8,
+      seed: Long = DefaultSeed): DataFrame = {
+    val tb = train.select(col("id"), col("vec"),
+      explode(srp_buckets(col("vec"), tables, bits, seed)).as("bucket"))
+    val eb = eval.select(col("id").as("eval_id"), col("vec").as("evec"),
+      explode(srp_buckets(col("vec"), tables, bits, seed)).as("bucket"))
+    tb.join(eb, "bucket")
+      .groupBy(col("id"), col("eval_id"))
+      .agg(first(col("vec")).as("vec"), first(col("evec")).as("evec"))
+      .withColumn("sim", cosine(col("vec"), col("evec")))
+      .where(col("sim") >= tau)
+      .select(col("id"), col("eval_id"), col("sim"))
+  }
 }

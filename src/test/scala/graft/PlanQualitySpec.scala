@@ -270,6 +270,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!"""hashpartitioning\(text#""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("semantic contamination: broadcast-NLJ scan, embeddings never shuffle keys") {
+    val p = plan("decontaminate_semantic")
+    // the eval side rides as a broadcast; the train scan is one map-side
+    // pass with the codegen'd cosine — no shuffle carries a vector key
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!"""hashpartitioning\((vec|evec|embedding)#""".r
+      .findFirstIn(p).isDefined, p)
+  }
+
   test("conv role transitions: one turn scan, edges emitted in one pass") {
     val p = plan("conv_role_transitions")
     // a union of lag/lead window branches would scan + shuffle the turn
