@@ -74,6 +74,14 @@ object SparkEntry {
     * per-bucket counts from the SAME boundary values byte-exactly. */
   val RangeBoundsDumpPath = "/tmp/graft_verify_range_bounds"
 
+  /** Pre-compaction probe rows for `dedup_index_compaction`: the oracle
+    * re-reads this dump, so a hash MATCH proves the post-compaction probe
+    * is byte-identical to the pre-compaction one. */
+  val IdxCompactDumpPath = "/tmp/graft_verify_idx_compact"
+
+  /** Same convention for `ann_index_compaction` (IVF cell rewrite). */
+  val AnnCompactDumpPath = "/tmp/graft_verify_ann_compact"
+
   /** Generate + plant structural damage + dump + read back (shared by
     * conv_integrity and conv_role_transitions). */
   private def damagedConvs(s: SparkSession): DataFrame = {
@@ -893,6 +901,31 @@ object SparkEntry {
           nIdx == nInline && inter == nIdx && nIdx > 0),
         ("drift_is_fraction", drift >= 0.0 && drift <= 1.0))
         .toDF("check", "ok").orderBy("check")
+    },
+    // IVF compaction identity, same recipe as dedup_index_compaction:
+    // build one wave, append the rest (each append leaves one file per
+    // touched cell), dump a partition-pruned top-k probe, rewrite every
+    // cell into a single file, probe again — the oracle re-reads the dump,
+    // so a MATCH proves the rewrite was pure layout.
+    "ann_index_compaction" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-ivf-compact").toString
+      Similarity.IvfIndex.build(
+        emb.where(pmod(col("id"), lit(3)) === 1), idx, nCentroids = 16)
+      Similarity.IvfIndex.append(
+        emb.where(pmod(col("id"), lit(3)) =!= 1), idx)
+      val qs = emb.where(pmod(col("id"), lit(25)) === 0)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val cols = Seq("qid", "rank", "id")
+      Similarity.IvfIndex.topK(s, idx, qs, 5, nProbe = 4)
+        .select(cols.map(col): _*).orderBy("qid", "rank")
+        .write.mode("overwrite").parquet(AnnCompactDumpPath)
+      Similarity.IvfIndex.compact(s, idx)
+      Similarity.IvfIndex.topK(s, idx, qs, 5, nProbe = 4)
+        .select(cols.map(col): _*).orderBy("qid", "rank")
     },
     // ---- text analysis -----------------------------------------------------
     "text_doc_stats" -> { (s, dir) =>
@@ -1887,6 +1920,29 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", idx)
         .orderBy("doc_id", "match_id", "kind")
     },
+    // Index-compaction identity: build one wave, APPEND a second (so the
+    // index really holds multiple appended file waves), probe, dump the
+    // probe rows, compact in place, probe again. The oracle re-reads the
+    // pre-compaction dump — a hash MATCH proves compaction changed the
+    // LAYOUT (few key-clustered files) and nothing else, byte-for-byte,
+    // including the Jaccard estimates.
+    "dedup_index_compaction" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-fpidx-compact").toString
+      Dedup.buildFingerprintIndex(
+        docs.where(pmod(col("doc_id"), lit(3)) === 1), "doc_id", "text", idx,
+        maxDf = Some(64))
+      Dedup.appendToFingerprintIndex(
+        docs.where(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text", idx)
+      val probe = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      Dedup.dedupAgainstIndex(probe, "doc_id", "text", idx)
+        .orderBy("doc_id", "match_id", "kind")
+        .write.mode("overwrite").parquet(IdxCompactDumpPath)
+      Dedup.compactFingerprintIndex(s, idx, filesPerTable = 4)
+      Dedup.dedupAgainstIndex(probe, "doc_id", "text", idx)
+        .orderBy("doc_id", "match_id", "kind")
+    },
     // STREAMING under the oracle: the same probe-vs-persisted-index dedup
     // as dedup_incremental, but the probe third arrives as a real
     // Structured Streaming source (MemoryStream) drained through THREE
@@ -2622,6 +2678,10 @@ object SparkEntry {
     // and the same jaccard_x1m expression tree as the engine (byte-exact,
     // estimator value included); series cap per the 1007-byte invariant
     "dedup_incremental" -> dedupAgainstIndexSql,
+    "dedup_index_compaction" ->
+      s"""SELECT doc_id, match_id, kind, jaccard_x1m
+         FROM '$IdxCompactDumpPath/*.parquet'
+         ORDER BY doc_id, match_id, kind""",
     // identical semantics (and therefore identical oracle) to
     // dedup_incremental: the streaming sink unions per-micro-batch probes
     // of the same frozen index
@@ -3033,6 +3093,9 @@ object SparkEntry {
     "ann_index_append" ->
       """SELECT * FROM (VALUES ('appended_index_equals_inline', true),
          ('drift_is_fraction', true)) AS t("check", ok) ORDER BY "check"""",
+    "ann_index_compaction" ->
+      s"""SELECT qid, rank, id FROM '$AnnCompactDumpPath/*.parquet'
+         ORDER BY qid, rank""",
     "multimodal_image_neardup" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
          CAST(0 AS INT) AS hamming

@@ -525,6 +525,43 @@ object Dedup {
     }
   }
 
+  /** Compact an appended fingerprint index in place: each table is
+    * rewritten into `filesPerTable` files clustered on its probe key
+    * (`exact/` on content_hash, `shingles/` and `hot/` on gh), so a
+    * probe's scan reads few well-sorted row groups instead of one small
+    * appended wave-file per batch (row-group min/max pruning + better
+    * compression). Pure layout work — row multisets are untouched, so a
+    * probe before and after compaction is byte-identical (driver-gated:
+    * `dedup_index_compaction`). Cost is one shuffle of the INDEX tables
+    * (~scale_hex/256 of corpus shingle volume), never the corpus — run it
+    * on the same cadence as the hot-list refresh. The swap is
+    * delete-then-rename per table (LocalFS rename refuses existing
+    * targets); a crash between the two loses only a rebuildable derived
+    * artifact, and the manifest (written last) still names the params. */
+  def compactFingerprintIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      filesPerTable: Int = 8): Unit = {
+    val manifest = graft.sources.SketchTable.readManifest(spark, dir)
+    graft.sources.SketchTable.requireParams(manifest,
+      Map("kind" -> "fingerprint"), dir)
+    val p = graft.sources.SketchTable.params(manifest)
+    def rewrite(sub: String, key: String): Unit = {
+      val path = s"$dir/$sub"
+      val tmp = s"$dir/${sub}_compact_tmp"
+      spark.read.parquet(path)
+        .repartition(filesPerTable, col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite").parquet(tmp)
+      graft.sources.SketchTable.replaceDir(spark, tmp, path)
+    }
+    rewrite("exact", "content_hash")
+    rewrite("shingles", "gh")
+    rewrite("hot", "gh")
+    graft.sources.SketchTable.saveManifestOnly(spark, dir,
+      p + ("compactions" ->
+        (p.getOrElse("compactions", "0").toLong + 1).toString))
+  }
+
   /** Dedup a new batch against a persisted fingerprint index. Output:
     * (doc_id, match_id, kind, jaccard_x1m) — kind 'exact' (content-hash
     * hit on the index, jaccard_x1m = 1000000) or 'near' (scaled-set

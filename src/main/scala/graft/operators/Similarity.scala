@@ -277,6 +277,30 @@ object Similarity {
       drift
     }
 
+    /** Compact an appended IVF index in place: every append leaves one
+      * file per touched cell, so after N appends a probe of one cell opens
+      * N small files. The rewrite shuffles `data/` once on cid and rewrites
+      * each cell as a single file; rows, cells, and the partition-pruned
+      * probe path are untouched (driver-gated: `ann_index_compaction`).
+      * Centroids/manifest params are preserved; `compactions` is bumped.
+      * Swap is delete-then-rename ([[graft.sources.SketchTable.replaceDir]]
+      * caveat applies — the index is a rebuildable derived artifact). */
+    def compact(spark: org.apache.spark.sql.SparkSession,
+        dir: String): Unit = {
+      val manifest = graft.sources.SketchTable.readManifest(spark, dir)
+      graft.sources.SketchTable.requireParams(
+        manifest, Map("kind" -> "ivf"), dir)
+      val p = graft.sources.SketchTable.params(manifest)
+      val tmp = s"$dir/data_compact_tmp"
+      spark.read.parquet(s"$dir/data")
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+      graft.sources.SketchTable.replaceDir(spark, tmp, s"$dir/data")
+      graft.sources.SketchTable.saveManifestOnly(spark, dir,
+        p + ("compactions" ->
+          (p.getOrElse("compactions", "0").toLong + 1).toString))
+    }
+
     def loadCentroids(
         spark: org.apache.spark.sql.SparkSession,
         dir: String): Seq[Seq[Float]] = {

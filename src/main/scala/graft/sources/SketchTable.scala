@@ -42,6 +42,17 @@ object SketchTable {
     out.close()
   }
 
+  /** Replace `path` with `tmpPath` (delete-then-rename — LocalFS rename
+    * refuses existing targets). For compaction swaps of DERIVED tables: a
+    * crash between the two steps loses only a rebuildable artifact. */
+  def replaceDir(spark: SparkSession, tmpPath: String, path: String): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    require(fs.rename(new Path(tmpPath), new Path(path)),
+      s"rename $tmpPath -> $path failed")
+  }
+
   def readManifest(spark: SparkSession, dir: String): String = {
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -399,6 +399,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       Dedup.appendToFingerprintIndex(batch, "doc_id", "text", wrong)
     }
+    // compaction: probes identical, appended wave-files merged into the
+    // requested clustered layout, manifest compactions bumped, params kept
+    val filesBefore = new java.io.File(s"$appended/shingles")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    // re-probe AFTER the 99L append above: that append added 99's shingles
+    val preCompact = probe(appended)
+    Dedup.compactFingerprintIndex(spark, appended, filesPerTable = 2)
+    assert(probe(appended) == preCompact, "compaction changed probe results")
+    val filesAfter = new java.io.File(s"$appended/shingles")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(filesAfter <= 2 && filesAfter < filesBefore,
+      s"shingles not compacted: $filesBefore -> $filesAfter")
+    val pc = graft.sources.SketchTable.params(
+      graft.sources.SketchTable.readManifest(spark, appended))
+    assert(pc.get("compactions").contains("1"), s"no compaction bump: $pc")
+    assert(pc.get("appends") == p.get("appends"), s"append history lost: $pc")
+    intercept[IllegalArgumentException] {
+      Dedup.compactFingerprintIndex(spark, wrong)
+    }
   }
 
   test("coarse-layout cost search avoids saturated bucket filters") {
