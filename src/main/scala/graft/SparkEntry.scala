@@ -1481,6 +1481,54 @@ object SparkEntry {
             lit(KmvJaccardBound)).as("within_bound"))
         .orderBy("et_a", "et_b")
     },
+    // Directional containment |A∩B|/|A| — the decontamination direction a
+    // symmetric Jaccard cannot see (a tiny eval fully inside a huge train
+    // has Jaccard ~ 0 but containment-of-eval = 1). The event-type user
+    // sets all coincide (every user hits every type), which would gate a
+    // vacuous wall of 1.0s — so the fixture is nested modulus subsets of
+    // the user universe (m2/m5/m13), giving genuinely asymmetric pairs
+    // (cont(m13 in m2) ~ 1/2 vs cont(m2 in m13) ~ 1/13). Estimates gate
+    // byte-exact (same integer-derived IEEE expression trees in both
+    // engines); the bound boolean follows the kmv_jaccard precedent.
+    "kmv_containment" -> { (s, dir) =>
+      val k = 128
+      val ev = t(s, dir, "events")
+      val grps = ev.select(col("event_id")).distinct()
+        .select(col("event_id"), explode(array(
+          when(pmod(col("event_id"), lit(2)) === 0, lit("m2")),
+          when(pmod(col("event_id"), lit(5)) === 0, lit("m5")),
+          when(pmod(col("event_id"), lit(13)) === 0, lit("m13"))))
+          .as("grp"))
+        .where(col("grp").isNotNull)
+      val sk = Kmv.sketch(grps, Seq("grp"), "event_id", k)
+      val ests = sk.as("a")
+        .join(sk.as("b"), col("a.grp") < col("b.grp"))
+        .select(col("a.grp").as("g_a"), col("b.grp").as("g_b"),
+          Kmv.containmentEstimate(col("a.ks"), col("b.ks"), k).as("cont_ab"),
+          Kmv.containmentEstimate(col("b.ks"), col("a.ks"), k).as("cont_ba"))
+      val inter = grps.as("x").join(grps.as("y"),
+          col("x.event_id") === col("y.event_id") &&
+            col("x.grp") < col("y.grp"))
+        .groupBy(col("x.grp").as("g_a"), col("y.grp").as("g_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      val sizes = grps.groupBy("grp").agg(count(lit(1)).as("n"))
+      val xi = coalesce(col("exact_inter"), lit(0L))
+      ests
+        .join(inter, Seq("g_a", "g_b"), "left")
+        .join(broadcast(sizes.select(col("grp").as("g_a"),
+          col("n").as("n_a"))), Seq("g_a"))
+        .join(broadcast(sizes.select(col("grp").as("g_b"),
+          col("n").as("n_b"))), Seq("g_b"))
+        .select(col("g_a"), col("g_b"), xi.as("exact_inter"),
+          col("n_a"), col("n_b"), col("cont_ab"), col("cont_ba"),
+          (abs(col("cont_ab") -
+            xi.cast("double") / col("n_a").cast("double")) <=
+            lit(KmvContainmentBound)).as("within_bound_ab"),
+          (abs(col("cont_ba") -
+            xi.cast("double") / col("n_b").cast("double")) <=
+            lit(KmvContainmentBound)).as("within_bound_ba"))
+        .orderBy("g_a", "g_b")
+    },
     // Substring-level dedup: identical 256-char spans (stride 224)
     // canonicalized corpus-wide; byte-exact oracle via the chunk pattern
     // (same generate_series cap + ASCII/length invariant as text_chunks).
@@ -2671,6 +2719,71 @@ object SparkEntry {
          JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM du
                GROUP BY 1) sb ON sb.event_type = g.et_b
          ORDER BY g.et_a, g.et_b""",
+    "kmv_containment" ->
+      s"""WITH du0 AS (SELECT DISTINCT event_id FROM events),
+         du AS (SELECT 'm2' AS grp, event_id FROM du0 WHERE event_id % 2 = 0
+                UNION ALL
+                SELECT 'm5', event_id FROM du0 WHERE event_id % 5 = 0
+                UNION ALL
+                SELECT 'm13', event_id FROM du0 WHERE event_id % 13 = 0),
+         ty AS (SELECT DISTINCT grp FROM du),
+         p AS (SELECT a.grp AS g_a, b.grp AS g_b
+               FROM ty a, ty b WHERE a.grp < b.grp),
+         h AS (SELECT DISTINCT grp,
+             ${Kmv.hashSql("CAST(event_id AS VARCHAR)", "graft")} AS hv
+           FROM du),
+         rk AS (SELECT grp, hv,
+             row_number() OVER (PARTITION BY grp ORDER BY hv) AS r
+           FROM h),
+         bk AS (SELECT grp, hv, r FROM rk WHERE r <= 128),
+         ta AS (SELECT grp, count(*) AS cnt,
+             max(CASE WHEN r = 128 THEN hv END) AS hk
+           FROM bk GROUP BY 1),
+         uh AS (SELECT DISTINCT p.g_a, p.g_b, bk.hv FROM p JOIN bk
+             ON bk.grp = p.g_a OR bk.grp = p.g_b),
+         ur AS (SELECT g_a, g_b, hv,
+             row_number() OVER (PARTITION BY g_a, g_b ORDER BY hv) AS r
+           FROM uh),
+         m AS (SELECT g_a, g_b, hv, r FROM ur WHERE r <= 128),
+         agg AS (SELECT g_a, g_b, count(*) AS cnt,
+             max(CASE WHEN r = 128 THEN hv END) AS hk
+           FROM m GROUP BY 1,2),
+         sh AS (SELECT m.g_a, m.g_b, count(*) AS shared
+           FROM m JOIN bk a ON a.grp = m.g_a AND a.hv = m.hv
+                  JOIN bk b ON b.grp = m.g_b AND b.hv = m.hv
+           GROUP BY 1,2),
+         xi AS (SELECT p.g_a, p.g_b, count(*) AS exact_inter
+           FROM p JOIN du a ON a.grp = p.g_a
+                  JOIN du b ON b.grp = p.g_b
+                    AND b.event_id = a.event_id
+           GROUP BY 1,2)
+         SELECT g.g_a, g.g_b,
+           CAST(coalesce(xi.exact_inter, 0) AS BIGINT) AS exact_inter,
+           sa.n AS n_a, sb.n AS n_b,
+           ${Kmv.containmentEstimateSql("coalesce(sh.shared, 0)", "g.cnt",
+              "g.hk", 128, "ta_a.cnt", "ta_a.hk")} AS cont_ab,
+           ${Kmv.containmentEstimateSql("coalesce(sh.shared, 0)", "g.cnt",
+              "g.hk", 128, "ta_b.cnt", "ta_b.hk")} AS cont_ba,
+           abs((${Kmv.containmentEstimateSql("coalesce(sh.shared, 0)",
+              "g.cnt", "g.hk", 128, "ta_a.cnt", "ta_a.hk")})
+             - CAST(coalesce(xi.exact_inter, 0) AS DOUBLE)
+               / CAST(sa.n AS DOUBLE)) <= $KmvContainmentBound
+             AS within_bound_ab,
+           abs((${Kmv.containmentEstimateSql("coalesce(sh.shared, 0)",
+              "g.cnt", "g.hk", 128, "ta_b.cnt", "ta_b.hk")})
+             - CAST(coalesce(xi.exact_inter, 0) AS DOUBLE)
+               / CAST(sb.n AS DOUBLE)) <= $KmvContainmentBound
+             AS within_bound_ba
+         FROM agg g
+         LEFT JOIN sh ON sh.g_a = g.g_a AND sh.g_b = g.g_b
+         LEFT JOIN xi ON xi.g_a = g.g_a AND xi.g_b = g.g_b
+         JOIN ta ta_a ON ta_a.grp = g.g_a
+         JOIN ta ta_b ON ta_b.grp = g.g_b
+         JOIN (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM du
+               GROUP BY 1) sa ON sa.grp = g.g_a
+         JOIN (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM du
+               GROUP BY 1) sb ON sb.grp = g.g_b
+         ORDER BY g.g_a, g.g_b""",
     // same series cap + stride as text_chunks; canonical = lexicographic
     // min (doc_id, chunk_idx) over identical chunk text, encoded as
     // doc_id*1000000+chunk_idx (chunk_idx <= 4 under the 1007-byte invariant)
@@ -3207,6 +3320,12 @@ object SparkEntry {
     * slack. Interpolated into the oracle SQL verbatim (Double.toString
     * round-trips through DuckDB's strtod). */
   private val KmvJaccardBound: Double = 4.0 * math.sqrt(0.25 / 128) + 1.0 / 128
+
+  /** Containment compounds the Jaccard sampling error with the union/|A|
+    * rescale and side A's own estimate error; the event-type user sets are
+    * near-equal-sized (union/side <= ~2), so twice the Jaccard bound holds
+    * with margin. Interpolated into the oracle SQL verbatim. */
+  private val KmvContainmentBound: Double = 2.0 * KmvJaccardBound
 
   /** text_bpe_merges oracle: the same `BpeSteps` merge rounds as
     * TextStats.bpeTrain, generated as chained CTEs. Each round counts

@@ -151,4 +151,22 @@ object Kmv {
       sharedSql: String, cntSql: String, hkSql: String, k: Int): String =
     s"(${jaccardEstimateSql(sharedSql, cntSql)}) * " +
       s"(${estimateSql(cntSql, hkSql, k)})"
+
+  /** Directional containment estimate |A ∩ B| / |A| — the decontamination
+    * question ("what fraction of the eval set also appears in train") that
+    * Jaccard, being symmetric, cannot answer: a tiny eval fully inside a
+    * huge train has Jaccard ≈ 0 but containment-of-eval = 1. One further
+    * IEEE division on top of [[intersectionEstimate]], all operands
+    * integer-derived, so it gates byte-exact like the others when the SQL
+    * twin keeps the association (intersection) / (estimate-of-A). */
+  def containmentEstimate(a: Column, b: Column, k: Int): Column =
+    intersectionEstimate(a, b, k) / estimate(a, k)
+
+  /** [[containmentEstimate]] as portable SQL. `cntASql`/`hkASql` describe
+    * side A's OWN sketch (not the union sample). */
+  def containmentEstimateSql(
+      sharedSql: String, cntSql: String, hkSql: String, k: Int,
+      cntASql: String, hkASql: String): String =
+    s"(${intersectionEstimateSql(sharedSql, cntSql, hkSql, k)}) / " +
+      s"(${estimateSql(cntASql, hkASql, k)})"
 }
