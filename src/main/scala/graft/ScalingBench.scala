@@ -342,6 +342,30 @@ object ScalingBench {
       if (f16 <= 0) -1.0 else f4 / f16
     }
 
+    // Absolute clean-floor reference. The per-run validity floor is
+    // RELATIVE (min CPU-seconds of this run's own blocks) — in a window
+    // where EVERY block is contaminated, the run's own floor is itself
+    // inflated and the mask cannot see it (observed: a storm replay whose
+    // lone "valid" 16-level block burned 135 s CPU, 2× the clean 68 s).
+    // The reference floors are the whole-box CPU-seconds of this fixed
+    // workload measured across the committed clean-window runs (cpu4
+    // 62.5-65.6 s, cpu16 67.9-72.4 s), scaled linearly with the input
+    // size and overridable via SPARK_GRAFT_CPU_FLOOR_REF_{4,16}.
+    // window_degraded=true means even the BEST block never came within
+    // 1.5× of the clean floor: the headline is interference-bounded and
+    // should be read as a lower bound on engine scaling, not a measurement
+    // of it. Calibrated for the default workload (90k convs): linear
+    // scaling ignores fixed JVM/stage overheads, so far smaller inputs
+    // over-read the ratio and the flag loses meaning there.
+    val refScale = best(blocks4.head).rows / 1494405.0
+    val ref4 = sys.env.getOrElse("SPARK_GRAFT_CPU_FLOOR_REF_4", "62.0")
+      .toDouble * refScale
+    val ref16 = sys.env.getOrElse("SPARK_GRAFT_CPU_FLOOR_REF_16", "67.0")
+      .toDouble * refScale
+    val runFloor4 = blocks4.map(b => best(b).cpuS).min
+    val runFloor16 = blocks16.map(b => best(b).cpuS).min
+    val windowDegraded = runFloor4 > ref4 * 1.5 || runFloor16 > ref16 * 1.5
+
     def r3(x: Double) = math.rint(x * 1000) / 1000
     def arrL(xs: Seq[Double]) = xs.map(_.toLong).mkString("[", ",", "]")
     def arrR(xs: Seq[Double]) = xs.map(r3).mkString("[", ",", "]")
@@ -386,6 +410,10 @@ object ScalingBench {
       s""""cpu8_sec":${r3(best8.cpuS)},"cpu32_sec":${r3(best32.cpuS)},""" +
       s""""scaling_efficiency":${r3(eff4to16)},""" +
       s""""cpu_parity_4_to_16":${r3(cpuParity4to16)},""" +
+      s""""cpu_floor_ref_4":${r3(ref4)},"cpu_floor_ref_16":${r3(ref16)},""" +
+      s""""floor_vs_ref_4":${r3(runFloor4 / ref4)},""" +
+      s""""floor_vs_ref_16":${r3(runFloor16 / ref16)},""" +
+      s""""window_degraded":$windowDegraded,""" +
       s""""scaling_efficiency_8_to_32":${r3(eff8to32)}}"""
   }
 
