@@ -56,6 +56,10 @@ object GraftFunctions {
       MinimizerHashes(es.head, intArg(es(1), "k"), intArg(es(2), "w"),
         longArg(es(3), "seed"))
     },
+    "graft_scaled_ghs" -> { es =>
+      ScaledGramHexes(es.head, intArg(es(1), "k"),
+        arg(es(2), "scaleHex").toString, arg(es(3), "seed").toString)
+    },
     "graft_syncmers" -> { es =>
       SyncmerHashes(es.head, intArg(es(1), "k"), intArg(es(2), "s"),
         intArg(es(3), "t"), longArg(es(4), "seed"))
@@ -180,6 +184,11 @@ object GraftFunctions {
 
   def minimizers(c: Column, k: Int, w: Int, seed: Long = DefaultSeed): Column =
     call_function("graft_minimizers", c, lit(k), lit(w), lit(seed))
+
+  /** Distinct scaled md5-hex k-gram fingerprints (the engine-portable
+    * FracMinHash twin; see Dedup.scaledFingerprints for the contract). */
+  def scaled_ghs(c: Column, k: Int, scaleHex: String, seed: String): Column =
+    call_function("graft_scaled_ghs", c, lit(k), lit(scaleHex), lit(seed))
   /** Open-syncmer k-gram hashes: keep a k-gram iff its minimal s-gram hash
     * sits at offset t (the reference's default tokenizer mode). */
   def syncmers(c: Column, k: Int, s: Int, t: Int,

@@ -65,6 +65,29 @@ object SparkEntry {
   /** Memory-sink sequence for streaming gates (unique name per run). */
   private val streamGateSeq = new java.util.concurrent.atomic.AtomicInteger
 
+  /** Run a streaming micro-batch drain with the shuffle-partition count
+    * sized for the STATE STORE, then restore the session's setting.
+    *
+    * Rationale (r6, measured): every stateful micro-batch stage runs one
+    * task per shuffle partition, and each task opens/commits a state-store
+    * partition — ~0.6 s of pure checkpoint overhead per task at near-zero
+    * CPU (observed: 32-task state stages at cpu 0.2-0.4 s / run 17-20 s).
+    * The gates' streams carry ~30 windows / ~600 conversations, so the
+    * state-partition count should track key cardinality, not the batch
+    * scan parallelism. Parameterised for scale: production sets
+    * SPARK_GRAFT_STREAM_PARTITIONS to its real key-volume-derived value;
+    * the local default min(8, cores) keeps small-key gates comparable.
+    * Restoring AFTER the drain means the downstream batch result (built
+    * lazily, planned at action time) still uses the session's setting. */
+  private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS",
+      math.min(8, s.sparkContext.defaultParallelism).toString)
+    s.conf.set(key, n)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Dump path for the conv-fingerprint-index gate's (wave, turns) table. */
   val ConvIndexDumpPath = "/tmp/graft_verify_convs_index"
 
@@ -100,6 +123,19 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Documents table with the raw rows spread across the session's cores.
+    * The sf-scale parquet files are ONE row group, so no matter how many
+    * byte-range splits Spark makes only one scan task carries rows, and
+    * every per-row-heavy stage rooted at the scan (shingle explode, per-gram
+    * md5, LM gram counting) serializes on a single core (observed: the
+    * dedup_ngram_jaccard shingle stage at 10 tasks / 6.5 s wall / 6.6 s cpu
+    * — parallelism 1). Same posture as corpusQueries, applied to the gates
+    * that consume documents directly. Results are partitioning-invariant
+    * for every caller here: exact integer / md5-threshold math only, no
+    * arrival-order-dependent aggregate (SpaceSaving gates use events). */
+  private def docsPar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
@@ -635,7 +671,7 @@ object SparkEntry {
     // regime stays covered by DedupSpec's recall assertions.
     "dedup_minhash_lsh" -> { (s, dir) =>
       GraftFunctions.register(s)
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashLshPairs(docsPar(s, dir), "doc_id", "text",
           shingleK = 8, numBands = 32, rowsPerBand = 4, threshold = 0.5)
         .where(col("jaccard") >= 0.7)
         .select(col("id_a"), col("id_b"),
@@ -652,7 +688,7 @@ object SparkEntry {
     // behavior stays covered by OperatorsSpec.
     "dedup_neardup_canonical" -> { (s, dir) =>
       GraftFunctions.register(s)
-      Dedup.nearDupCanonical(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.nearDupCanonical(docsPar(s, dir), "doc_id", "text",
           shingleK = 8, numBands = 32, rowsPerBand = 4, threshold = 0.8)
         .orderBy("doc_id")
     },
@@ -662,7 +698,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> { (s, dir) =>
       GraftFunctions.register(s)
       Dedup.exactJaccardPairs(
-          t(s, dir, "documents").where(pmod(col("doc_id"), lit(3)) === 0),
+          docsPar(s, dir).where(pmod(col("doc_id"), lit(3)) === 0),
           "doc_id", "text", shingleK = 8, threshold = 0.5)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard") * 1000000).cast("long").as("jaccard_x1m"))
@@ -680,7 +716,7 @@ object SparkEntry {
     //    strict, so full recall is not expected).
     "dedup_simhash" -> { (s, dir) =>
       GraftFunctions.register(s)
-      val docs = t(s, dir, "documents")
+      val docs = docsPar(s, dir)
       val sim = Dedup.simhashPairs(docs, "doc_id", "text",
           shingleK = 8, maxHamming = 3).select("id_a", "id_b").cache()
       val base = Dedup.minhashLshPairs(docs, "doc_id", "text",
@@ -947,7 +983,7 @@ object SparkEntry {
     // byte-exact.
     "text_repetition" -> { (s, dir) =>
       GraftFunctions.register(s)
-      val derived = t(s, dir, "documents").select(col("doc_id"),
+      val derived = docsPar(s, dir).select(col("doc_id"),
         replace(replace(col("text"), lit(" the "), lit("\n\n")),
           lit(" "), lit("\n")).as("text"))
       TextStats.repetitionStats(derived, "doc_id", "text")
@@ -959,7 +995,7 @@ object SparkEntry {
     // byte-exact against the DuckDB mirror.
     "text_top_terms" -> { (s, dir) =>
       GraftFunctions.register(s)
-      TextStats.topTerms(t(s, dir, "documents"), "doc_id", "text",
+      TextStats.topTerms(docsPar(s, dir), "doc_id", "text",
           k = 3, minLen = 3)
         .orderBy("doc_id", "rk")
     },
@@ -999,7 +1035,7 @@ object SparkEntry {
     // iterative pipeline. The oracle replays the identical six rounds as
     // chained CTEs (generated, single-source constants).
     "text_bpe_merges" -> { (s, dir) =>
-      TextStats.bpeTrain(t(s, dir, "documents"), "text", steps = BpeSteps,
+      TextStats.bpeTrain(docsPar(s, dir), "text", steps = BpeSteps,
         maxWordLen = BpeMaxWordLen).orderBy("step")
     },
     // The encode half: train the six merges, then tokenize EVERY document
@@ -1008,7 +1044,7 @@ object SparkEntry {
     // byte-exact. The oracle re-derives the identical merges from its own
     // CTE chain, so this gate cross-checks train AND encode end-to-end.
     "text_bpe_tokens" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      val docs = docsPar(s, dir)
       val merges = TextStats.bpeTrain(docs, "text", steps = BpeSteps,
         maxWordLen = BpeMaxWordLen)
         .orderBy("step").collect()
@@ -1025,7 +1061,7 @@ object SparkEntry {
     // across sf0.001/0.01/0.1; floor at ~half, LSH-floor discipline —
     // cross-engine log/sum jitter is ~1e-9, six orders below the margin).
     "text_lm_perplexity" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      val docs = docsPar(s, dir)
       val model = TextStats.charNgramCounts(
         docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "text", 3)
       // the model feeds FOUR join lineages (grams+ctx × real/reversed):
@@ -1604,14 +1640,20 @@ object SparkEntry {
     // the operator's float log_weight column (DSIR's actual statistic) is
     // deliberately left out of the gate (float sum — never hash-gated).
     "sample_importance" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      // each model feeds two join lineages plus a totals lineage: persist
-      // in the CALLER and leave cached (hierarchicalSketch posture)
-      val target = TextStats.charNgramCounts(
-        docs.where(col("lang") === "en"), "text", 3).persist()
-      target.count()
-      val raw = TextStats.charNgramCounts(docs, "text", 3).persist()
-      raw.count()
+      val docs = docsPar(s, dir)
+      // ONE combined gram pass builds BOTH models (target = en sub-corpus,
+      // raw = whole corpus): cnt_flagged > 0 selects exactly the grams of
+      // the en sub-corpus with their en counts, so target/raw below are
+      // provably the same tables the two separate charNgramCounts calls
+      // produced (r6: halves the dominant gram-explode scan). The combined
+      // table feeds four join lineages plus two totals lineages: persist
+      // in the CALLER and leave cached (hierarchicalSketch posture).
+      val models = TextStats.charNgramCountsWithFlag(
+        docs, "text", 3, col("lang") === "en").persist()
+      models.count()
+      val target = models.where(col("cnt_flagged") > 0)
+        .select(col("gram"), col("cnt_flagged").as("cnt"))
+      val raw = models.select("gram", "cnt")
       val wts = TextStats
         .importanceWeights(docs, "doc_id", "text", target, raw, 3)
         .select(col("doc_id"), col("n_pos"), col("sum_lr_x1e9"),
@@ -1783,15 +1825,17 @@ object SparkEntry {
       // same session, and a second memory query must not collide with the
       // stopped first one's registration
       val sink = s"stream_sessionize_gate_${streamGateSeq.incrementAndGet()}"
-      val q = graft.streaming.StreamingSketch
-        .sessionizeStream(mem.toDF(), gapSeconds = 90)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
-          mem.addData(b.toSeq: _*); q.processAllAvailable()
-        }
-      } finally q.stop()
+      withStreamPartitions(s) {
+        val q = graft.streaming.StreamingSketch
+          .sessionizeStream(mem.toDF(), gapSeconds = 90)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
+            mem.addData(b.toSeq: _*); q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       s.table(sink)
         .select("conv_id", "turn_idx", "role", "session_idx")
         .orderBy("conv_id", "turn_idx", "role")
@@ -1812,8 +1856,12 @@ object SparkEntry {
     "stream_ks_drift" -> { (s, dir) =>
       GraftFunctions.register(s)
       import s.implicits._
+      // clicks feeds six lineages (shift, reference blob, the streamed
+      // rows, refV, nb, per-day wv): persist in the caller and leave
+      // cached (hierarchicalSketch posture; r6)
       val clicks = t(s, dir, "events")
         .where(col("event_type") === "click").select(col("ts"), col("value"))
+        .persist()
       val shift = clicks.agg(max("value")).first().getDouble(0) + 1.0
       val oddDay =
         pmod(datediff(to_date(col("ts")), to_date(lit("1970-01-01"))),
@@ -1828,22 +1876,24 @@ object SparkEntry {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.streaming.ValuePoint]
       val sink = s"stream_ks_drift_gate_${streamGateSeq.incrementAndGet()}"
-      val q = graft.streaming.StreamingSketch
-        .windowedKsDrift(mem.toDF(), "x", refBlob, "1 day", "2 days",
-          k = 200, threshold = 0.5)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
-          mem.addData(b.toSeq: _*); q.processAllAvailable()
-        }
-        // a sentinel far past the last day advances the watermark so every
-        // real window closes; its own window never closes, never emits
-        mem.addData(graft.streaming.ValuePoint(
-          new java.sql.Timestamp(rows.last.ts.getTime + 30L * 86400000L),
-          0.0))
-        q.processAllAvailable()
-      } finally q.stop()
+      withStreamPartitions(s) {
+        val q = graft.streaming.StreamingSketch
+          .windowedKsDrift(mem.toDF(), "x", refBlob, "1 day", "2 days",
+            k = 200, threshold = 0.5)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
+            mem.addData(b.toSeq: _*); q.processAllAvailable()
+          }
+          // a sentinel far past the last day advances the watermark so every
+          // real window closes; its own window never closes, never emits
+          mem.addData(graft.streaming.ValuePoint(
+            new java.sql.Timestamp(rows.last.ts.getTime + 30L * 86400000L),
+            0.0))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       val streamed = s.table(sink)
         .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
           col("n_rows"), col("ks_est"), col("drifted"))
@@ -1958,7 +2008,8 @@ object SparkEntry {
     // the gate is byte-exact INCLUDING the scaled-Jaccard estimate — no
     // LSH band-miss caveat anywhere in this path.
     "dedup_incremental" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      GraftFunctions.register(s)
+      val docs = docsPar(s, dir)
       val idx = java.nio.file.Files
         .createTempDirectory("graft-fpidx").toString
       Dedup.buildFingerprintIndex(
@@ -1975,7 +2026,8 @@ object SparkEntry {
     // LAYOUT (few key-clustered files) and nothing else, byte-for-byte,
     // including the Jaccard estimates.
     "dedup_index_compaction" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      GraftFunctions.register(s)
+      val docs = docsPar(s, dir)
       val idx = java.nio.file.Files
         .createTempDirectory("graft-fpidx-compact").toString
       Dedup.buildFingerprintIndex(
@@ -1984,11 +2036,22 @@ object SparkEntry {
       Dedup.appendToFingerprintIndex(
         docs.where(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text", idx)
       val probe = docs.where(pmod(col("doc_id"), lit(3)) === 0)
-      Dedup.dedupAgainstIndex(probe, "doc_id", "text", idx)
+      // the probe SIDE is identical before and after compaction — persist
+      // the two probeProjections tables and materialize them BEFORE the
+      // rewrite, so the per-byte shingle+md5 work over the probe third is
+      // paid once, not per probe (r6; caller-caches posture). Left cached:
+      // the returned plan's second probe consumes them at bench count()
+      // time.
+      val (pHashes0, pSh0) = Dedup.probeProjections(probe, "doc_id", "text",
+        idx)
+      val pHashes = pHashes0.persist()
+      val pSh = pSh0.persist()
+      pHashes.count(); pSh.count()
+      Dedup.dedupAgainstIndexWithProbes(s, pHashes, pSh, idx)
         .orderBy("doc_id", "match_id", "kind")
         .write.mode("overwrite").parquet(IdxCompactDumpPath)
       Dedup.compactFingerprintIndex(s, idx, filesPerTable = 4)
-      Dedup.dedupAgainstIndex(probe, "doc_id", "text", idx)
+      Dedup.dedupAgainstIndexWithProbes(s, pHashes, pSh, idx)
         .orderBy("doc_id", "match_id", "kind")
     },
     // STREAMING under the oracle: the same probe-vs-persisted-index dedup
@@ -2001,8 +2064,9 @@ object SparkEntry {
     // one-shot batch result, and the oracle is the identical SQL as
     // dedup_incremental (byte-exact, estimator values included).
     "stream_dedup_index" -> { (s, dir) =>
+      GraftFunctions.register(s)
       import s.implicits._
-      val docs = t(s, dir, "documents")
+      val docs = docsPar(s, dir)
       val idx = java.nio.file.Files
         .createTempDirectory("graft-stream-fpidx-gate").toString
       Dedup.buildFingerprintIndex(
@@ -2016,17 +2080,19 @@ object SparkEntry {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
-      val q = mem.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(graft.streaming.StreamingSketch.dedupAgainstIndexBatch(
-          idx, "doc_id", "text", out))
-        .start()
-      try {
-        // three genuine micro-batches: add → drain, three times
-        probes.grouped(math.max(1, probes.length / 3 + 1)).foreach { b =>
-          mem.addData(b.toSeq: _*); q.processAllAvailable()
-        }
-      } finally q.stop()
+      withStreamPartitions(s) {
+        val q = mem.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(graft.streaming.StreamingSketch.dedupAgainstIndexBatch(
+            idx, "doc_id", "text", out))
+          .start()
+        try {
+          // three genuine micro-batches: add → drain, three times
+          probes.grouped(math.max(1, probes.length / 3 + 1)).foreach { b =>
+            mem.addData(b.toSeq: _*); q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       s.read.parquet(out)
         .select(col("doc_id"), col("match_id"), col("kind"),
           col("jaccard_x1m"))
@@ -2061,7 +2127,7 @@ object SparkEntry {
     // dedup_winnowed_spans), gate every row.
     "decontaminate_eval" -> { (s, dir) =>
       GraftFunctions.register(s)
-      val docs = t(s, dir, "documents")
+      val docs = docsPar(s, dir)
       val hits = Dedup.crossSpanContamination(
           docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id",
           docs.where(pmod(col("doc_id"), lit(10)) === 0), "doc_id",

@@ -81,6 +81,29 @@ case class ShingleHashes(child: Expression, k: Int, seed: Long, scale: Long)
   override def prettyName: String = "graft_shingles"
 }
 
+/** Distinct scaled md5-hex k-gram fingerprints of a text column (see
+  * TextOps.scaledGramHexes — the fused codegen'd twin of the
+  * explode/md5/threshold/distinct Column chain in Dedup.scaledFingerprints). */
+case class ScaledGramHexes(child: Expression, k: Int, scaleHex: String,
+    seed: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextOps.scaledGramHexes(v.asInstanceOf[UTF8String], k,
+      UTF8String.fromString(scaleHex), UTF8String.fromString(seed))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val scaleRef = ctx.addReferenceObj("scaleHex",
+      UTF8String.fromString(scaleHex), classOf[UTF8String].getName)
+    val seedRef = ctx.addReferenceObj("seedStr",
+      UTF8String.fromString(seed), classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextOps.scaledGramHexes($c, $k, $scaleRef, $seedRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): ScaledGramHexes =
+    copy(child = c)
+  override def prettyName: String = "graft_scaled_ghs"
+}
+
 /** Deduplicated minimizer hashes over windows of w consecutive k-grams. */
 case class MinimizerHashes(child: Expression, k: Int, w: Int, seed: Long)
     extends UnaryExpression {

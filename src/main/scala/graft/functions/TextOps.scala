@@ -142,6 +142,67 @@ object TextOps {
     new GenericArrayData(sortedDistinct(out, cnt))
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Engine-portable scaled k-gram fingerprints — the fused runtime of the
+    * Column chain
+    * `explode(char k-grams) → md5(concat(seed+":", g)) →
+    *  substring(gh,1,2) < scaleHex → distinct-within-doc`,
+    * value-identical by construction:
+    *  - grams are CHARACTER substrings (Column.substr semantics); the
+    *    all-ASCII fast path windows raw bytes, the general path uses
+    *    UTF8String.substringSQL exactly like the Substring expression;
+    *  - md5 hex is lowercase (DigestUtils.md5Hex twin) and the lexicographic
+    *    two-hex-char compare equals a strict numeric compare of the first
+    *    digest byte against parseInt(scaleHex, 16) — both sides are 2-char
+    *    lowercase hex;
+    *  - the within-text dedup mirrors the (id, gh) distinct the Column
+    *    chain applied per UNIQUE-id input (the fingerprint-index contract:
+    *    one row per document id).
+    * One reused MessageDigest per thread; dropped grams allocate nothing.
+    * Motive (r6, guide §1.2 per-task work): the HOF chain was
+    * CodegenFallback and cost 10-15 CPU-s per corpus pass in the dedup
+    * index gates. */
+  def scaledGramHexes(
+      s: UTF8String, k: Int, scaleHex: UTF8String,
+      seed: UTF8String): ArrayData = {
+    val scaleByte = Integer.parseInt(scaleHex.toString, 16)
+    val prefix = (seed.toString + ":").getBytes("UTF-8")
+    val md = md5Local.get()
+    val bytes = s.getBytes
+    val ascii = s.numChars() == bytes.length
+    val nChars = if (ascii) bytes.length else s.numChars()
+    if (nChars < k) return new GenericArrayData(Array.empty[Any])
+    val n = nChars - k + 1
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(prefix)
+      if (ascii) md.update(bytes, i, k)
+      else md.update(s.substringSQL(i + 1, k).getBytes)
+      val digest = md.digest()
+      if ((digest(0) & 0xff) < scaleByte) {
+        val hex = new Array[Char](32)
+        var j = 0
+        while (j < 16) {
+          hex(2 * j) = HexDigits((digest(j) >> 4) & 0xf)
+          hex(2 * j + 1) = HexDigits(digest(j) & 0xf)
+          j += 1
+        }
+        val u = UTF8String.fromString(new String(hex))
+        if (seen.add(u)) out.add(u)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Count of whitespace-delimited tokens (cheap token counting). */
   def tokenCount(s: UTF8String): Long = {
     val bytes = s.getBytes

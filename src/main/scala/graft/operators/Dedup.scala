@@ -386,18 +386,21 @@ object Dedup {
     * re-derive. */
   private[graft] def scaledFingerprints(
       df: DataFrame, idCol: String, textCol: String, k: Int,
-      scaleHex: String, seed: String): DataFrame = {
-    val t = col(textCol)
+      scaleHex: String, seed: String): DataFrame =
+    // r6: ONE codegen'd kernel (graft_scaled_ghs) replaces the
+    // explode(transform(sequence))/md5/substring-threshold/distinct chain —
+    // the higher-order functions were CodegenFallback and cost 10-15 CPU-s
+    // per corpus pass (guide §1.2 per-task work; VecCosine precedent). The
+    // kernel emits each document's DISTINCT kept fingerprints, which equals
+    // the old global (id, gh) distinct under the index family's one-row-
+    // per-document-id contract (append's idempotence guard already
+    // anti-joins on id, so a duplicate-id input was never supported).
+    // Values are identical by construction: character substrings, lowercase
+    // md5 hex, strict first-byte < parseInt(scaleHex, 16) — the numeric
+    // twin of the two-hex-char lexicographic compare.
     df.select(col(idCol).cast("long").as("id"),
-        explode(transform(
-          sequence(lit(1L), greatest(length(t).cast("long") - (k - 1), lit(1L))),
-          i => t.substr(i.cast("int"), lit(k)))).as("g"))
-      .where(length(col("g")) === k) // drops the <k-char tail of short docs
-      .select(col("id"),
-        md5(concat(lit(seed + ":"), col("g"))).as("gh"))
-      .where(substring(col("gh"), 1, 2) < lit(scaleHex))
-      .distinct()
-  }
+      explode(graft.GraftFunctions.scaled_ghs(col(textCol), k, scaleHex,
+        seed)).as("gh"))
 
   /** Persist a dedup fingerprint index for a corpus:
     *   dir/exact/    (content_hash, canonical_id) — one row per distinct text
@@ -577,28 +580,58 @@ object Dedup {
   def dedupAgainstIndex(
       newDocs: DataFrame, idCol: String, textCol: String, dir: String,
       minJaccardX1m: Long = 500000L): DataFrame = {
+    val (hashes, newSh) = probeProjections(newDocs, idCol, textCol, dir)
+    dedupAgainstIndexWithProbes(newDocs.sparkSession, hashes, newSh, dir,
+      minJaccardX1m)
+  }
+
+  /** The probe-side projections of [[dedupAgainstIndex]]: (content-hash
+    * rows `(doc_id, content_hash)`, capped scaled fingerprints
+    * `(id, gh)`). Exposed so a caller probing the SAME batch against an
+    * index more than once — e.g. the before/after identity probe around
+    * [[compactFingerprintIndex]] — can persist these two small tables and
+    * pay the dominant per-byte shingle+md5 work once (the
+    * buildFilters/sketchWithFilters posture; library operators never
+    * cache, callers do). Params come from the manifest, so a mismatched
+    * index still fails loudly here. */
+  def probeProjections(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      dir: String): (DataFrame, DataFrame) = {
     val spark = newDocs.sparkSession
     val manifest = graft.sources.SketchTable.readManifest(spark, dir)
     graft.sources.SketchTable.requireParams(manifest,
       Map("kind" -> "fingerprint"), dir)
     val p = graft.sources.SketchTable.params(manifest)
-    val k = p("k").toInt
-    val exact = newDocs
+    val hashes = newDocs
       .select(col(idCol).cast("long").as("doc_id"),
         md5(col(textCol)).as("content_hash"))
+    // the probe works in the index's capped universe: fingerprints the
+    // build dropped as boilerplate are dropped here too (including from
+    // the n_new denominator), so the Jaccard both sides compute is over
+    // the same set family
+    val newSh = scaledFingerprints(newDocs, idCol, textCol, p("k").toInt,
+        p("scale_hex"), p("seed"))
+      .join(spark.read.parquet(s"$dir/hot"), Seq("gh"), "left_anti")
+    (hashes, newSh)
+  }
+
+  /** Index-side half of [[dedupAgainstIndex]] over prebuilt
+    * [[probeProjections]]. Each call re-reads the PERSISTED index tables
+    * (exact/shingles), so a probe after an in-place layout rewrite sees
+    * the rewritten files while the probe side stays fixed. */
+  def dedupAgainstIndexWithProbes(
+      spark: org.apache.spark.sql.SparkSession,
+      hashes: DataFrame, // (doc_id, content_hash)
+      newSh: DataFrame, // (id, gh), already hot-capped
+      dir: String,
+      minJaccardX1m: Long = 500000L): DataFrame = {
+    val exact = hashes
       .join(spark.read.parquet(s"$dir/exact"), "content_hash")
       .select(col("doc_id"), col("canonical_id").as("match_id"),
         lit("exact").as("kind"), lit(1000000L).as("jaccard_x1m"))
     val shIdx = spark.read.parquet(s"$dir/shingles")
       .select(col("id").as("old_id"), col("gh"))
     val oldN = shIdx.groupBy("old_id").agg(count(lit(1)).as("n_old"))
-    // the probe works in the index's capped universe: fingerprints the
-    // build dropped as boilerplate are dropped here too (including from
-    // the n_new denominator), so the Jaccard both sides compute is over
-    // the same set family
-    val newSh = scaledFingerprints(newDocs, idCol, textCol, k,
-        p("scale_hex"), p("seed"))
-      .join(spark.read.parquet(s"$dir/hot"), Seq("gh"), "left_anti")
     val newN = newSh.groupBy("id").agg(count(lit(1)).as("n_new"))
     val near = newSh.join(shIdx, "gh")
       .groupBy(col("id"), col("old_id"))

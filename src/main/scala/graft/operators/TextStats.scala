@@ -317,6 +317,25 @@ object TextStats {
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** One-pass twin of calling [[charNgramCounts]] on a corpus AND on a
+    * flagged sub-corpus: (gram, cnt, cnt_flagged), where cnt is the whole-
+    * corpus gram count and cnt_flagged counts only rows where `flag` is
+    * true. Restricting to cnt_flagged > 0 yields exactly
+    * charNgramCounts(train.where(flag)) — a gram absent from the
+    * sub-corpus has cnt_flagged = 0 — so a caller needing both models
+    * (DSIR target + raw) pays ONE gram-explode scan instead of two; the
+    * explode is the dominant per-row cost of model building. */
+  def charNgramCountsWithFlag(
+      train: DataFrame, textCol: String, n: Int, flag: Column): DataFrame = {
+    require(n >= 2, s"n=$n: need at least bigram for a conditional model")
+    val t = coalesce(col(textCol), lit(""))
+    train
+      .select(flag.as("__flag"), explode(gramArray(t, n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("__flag"), 1L).otherwise(0L)).as("cnt_flagged"))
+  }
+
   /** Score documents against a trained [[charNgramCounts]] model with
     * add-one (Laplace) smoothing over a fixed `vocab`-sized alphabet:
     * P(c | ctx) = (cnt(ctx·c) + 1) / (cnt(ctx) + vocab).
