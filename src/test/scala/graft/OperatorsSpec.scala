@@ -1850,6 +1850,63 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("scaledGramHexes kernel equals the md5 Column chain it replaced") {
+    // r6: Dedup.scaledFingerprints moved from the CodegenFallback
+    // explode(transform(sequence))/md5/threshold/distinct chain to one
+    // codegen'd kernel — assert value identity on the awkward inputs:
+    // shorter-than-k, exactly-k, repeated grams (within-row dedup),
+    // multi-byte UTF-8 (char-substring semantics), null, empty.
+    val k = 8
+    val docs = Seq(
+      (1L, "abcdefghij abcdefghij abcdefghij"), // repeats
+      (2L, "short"), // < k chars
+      (3L, "exactly8"), // == k chars
+      (4L, "héllo wörld — ünïcode payload with ümlauts and émojis ☃"),
+      (5L, ""), // empty
+      (6L, null.asInstanceOf[String]), // null text
+      (7L, ("the quick brown fox jumps over the lazy dog " * 20).trim)
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .scaledFingerprints(docs, "doc_id", "text", k, "40", "graft")
+      .as[(Long, String)].collect().toSeq.sorted
+    val t = col("text")
+    val want = docs.select(col("doc_id").cast("long").as("id"),
+        explode(transform(
+          sequence(lit(1L),
+            greatest(length(t).cast("long") - (k - 1), lit(1L))),
+          i => t.substr(i.cast("int"), lit(k)))).as("g"))
+      .where(length(col("g")) === k)
+      .select(col("id"),
+        md5(concat(lit("graft:"), col("g"))).as("gh"))
+      .where(substring(col("gh"), 1, 2) < lit("40"))
+      .distinct()
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("charNgramCountsWithFlag equals two separate charNgramCounts builds") {
+    val docs = Seq(
+      ("en", "the cat sat on the mat"),
+      ("en", "a cat and a hat"),
+      ("de", "die katze sitzt"),
+      ("fr", null.asInstanceOf[String]),
+      ("en", "xy") // shorter than n: contributes no grams
+    ).toDF("lang", "text")
+    val combined = TextStats
+      .charNgramCountsWithFlag(docs, "text", 3, col("lang") === "en")
+    val raw = combined.select(col("gram"), col("cnt"))
+      .as[(String, Long)].collect().toSeq.sorted
+    val target = combined.where(col("cnt_flagged") > 0)
+      .select(col("gram"), col("cnt_flagged"))
+      .as[(String, Long)].collect().toSeq.sorted
+    val rawWant = TextStats.charNgramCounts(docs, "text", 3)
+      .as[(String, Long)].collect().toSeq.sorted
+    val targetWant = TextStats
+      .charNgramCounts(docs.where(col("lang") === "en"), "text", 3)
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(raw == rawWant && target == targetWant && target.nonEmpty)
+  }
+
   test("role transitions count adjacency with boundary sentinels") {
     val turns = Seq(
       ("c20", 0, "user", "a"), ("c20", 1, "assistant", "b"),
