@@ -13,6 +13,23 @@ import org.apache.spark.sql.functions._
   * shuffle is O(docs · bands), independent of document length.
   */
 object Dedup {
+  /** Run independent Spark jobs from a small driver thread pool so a later
+    * job's tasks back-fill the cores a prior job's tail leaves idle (guide
+    * §2.6 overlap-independent-jobs; actions are only sequential because the
+    * driver calls them sequentially). First failure is rethrown after all
+    * threads finish. Used for independent table WRITES within one index
+    * mutation — each task must touch a distinct output directory. */
+  private[graft] def runParallel(tasks: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = tasks.map { t =>
+      val th = new Thread(() =>
+        try t() catch { case e: Throwable => errs.add(e) })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   /** Exact duplicate grouping by full-content hash: every doc keeps the id
     * of its canonical (minimum-id) copy. One shuffle on the 128-bit hash. */
   def exactCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -426,24 +443,33 @@ object Dedup {
       scaleHex.forall(c => c.isDigit || ('a' to 'f').contains(c)),
       s"scaleHex must be two lowercase hex chars, got '$scaleHex'")
     val spark = df.sparkSession
-    df.select(md5(col(textCol)).as("content_hash"),
-        col(idCol).cast("long").as("id"))
-      .groupBy("content_hash").agg(min(col("id")).as("canonical_id"))
-      .write.mode("overwrite").parquet(s"$dir/exact")
-    // cached between the df pass and the capped write — both consume the
+    // cached between the hot pass and the capped write — both consume the
     // same explode+md5 scan; unpersisted before return (build-local state)
     val sc = scaledFingerprints(df, idCol, textCol, k, scaleHex, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = maxDf match {
-      case Some(cap) =>
-        sc.groupBy("gh").agg(count(lit(1)).as("__df"))
-          .where(col("__df") > cap).select("gh")
-      case None => sc.select("gh").limit(0)
-    }
-    hot.write.mode("overwrite").parquet(s"$dir/hot")
-    sc.join(spark.read.parquet(s"$dir/hot"), Seq("gh"), "left_anti")
-      .select("id", "gh")
-      .write.mode("overwrite").parquet(s"$dir/shingles")
+    // the exact/ table and the hot→shingles chain touch DISTINCT output
+    // dirs and share no intermediate state — overlap them (r6, guide §2.6)
+    runParallel(
+      () =>
+        df.select(md5(col(textCol)).as("content_hash"),
+            col(idCol).cast("long").as("id"))
+          .groupBy("content_hash").agg(min(col("id")).as("canonical_id"))
+          .write.mode("overwrite").parquet(s"$dir/exact"),
+      () => {
+        val hot = maxDf match {
+          case Some(cap) =>
+            sc.groupBy("gh").agg(count(lit(1)).as("__df"))
+              .where(col("__df") > cap).select("gh")
+          case None => sc.select("gh").limit(0)
+        }
+        hot.write.mode("overwrite").parquet(s"$dir/hot")
+        // anti-join against the in-plan hot DF, not a re-read of the file
+        // just written: same rows by construction (hot is derived from the
+        // CACHED sc and was fully written above), one less scan stage (r6)
+        sc.join(hot, Seq("gh"), "left_anti")
+          .select("id", "gh")
+          .write.mode("overwrite").parquet(s"$dir/shingles")
+      })
     sc.unpersist()
     graft.sources.SketchTable.saveManifestOnly(spark, dir,
       Map("kind" -> "fingerprint", "k" -> k.toString,
@@ -511,15 +537,24 @@ object Dedup {
       .join(spark.read.parquet(s"$dir/hot"), Seq("gh"), "left_anti")
       // idempotence guard (mirrors the exact-path anti-join): a doc id
       // already in the index — a retry after a partial failure, or a
-      // caller re-sending a batch — must not duplicate its rows
-      .join(spark.read.parquet(s"$dir/shingles").select("id").distinct(),
+      // caller re-sending a batch — must not duplicate its rows. No
+      // distinct() on the guard side: LeftAnti keeps a row iff NO match
+      // exists, so right-side duplicates cannot change the result and the
+      // distinct was a pure extra shuffle of the whole index id column (r6)
+      .join(spark.read.parquet(s"$dir/shingles").select("id"),
         Seq("id"), "left_anti")
       .select("id", "gh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      newExact.count(); newShingles.count() // snapshot before any write
-      newExact.write.mode("append").parquet(s"$dir/exact")
-      newShingles.write.mode("append").parquet(s"$dir/shingles")
+      // snapshot before any write — ONE action materializes both caches
+      // (two separate counts paid two job round-trips for tiny tables; r6)
+      newExact.select(lit(1).as("one"))
+        .unionAll(newShingles.select(lit(1).as("one"))).count()
+      // both tables are fully materialized caches from this point, writing
+      // to distinct dirs — overlap the two append jobs (r6, guide §2.6)
+      runParallel(
+        () => newExact.write.mode("append").parquet(s"$dir/exact"),
+        () => newShingles.write.mode("append").parquet(s"$dir/shingles"))
       graft.sources.SketchTable.saveManifestOnly(spark, dir,
         p + ("appends" ->
           (p.getOrElse("appends", "0").toLong + 1).toString))
@@ -557,9 +592,13 @@ object Dedup {
         .write.mode("overwrite").parquet(tmp)
       graft.sources.SketchTable.replaceDir(spark, tmp, path)
     }
-    rewrite("exact", "content_hash")
-    rewrite("shingles", "gh")
-    rewrite("hot", "gh")
+    // three independent table rewrites into distinct directories — overlap
+    // them so the wall is the largest table's rewrite, not the sum (r6,
+    // guide §2.6)
+    runParallel(
+      () => rewrite("exact", "content_hash"),
+      () => rewrite("shingles", "gh"),
+      () => rewrite("hot", "gh"))
     graft.sources.SketchTable.saveManifestOnly(spark, dir,
       p + ("compactions" ->
         (p.getOrElse("compactions", "0").toLong + 1).toString))
