@@ -24,6 +24,28 @@ object QueryTime {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
+    // per-JOB accounting: multi-action gates (index build/append/compact,
+    // checked-equality counts) spend their wall in DRIVER job round-trips,
+    // not in any one stage — print every job's wall + gap since the last
+    // job ended (the gap is pure driver-side work: planning, collect
+    // consumption, manifest IO)
+    val lastJobEnd = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val starts =
+          new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, j.time)
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = Option(starts.remove(j.jobId)).getOrElse(j.time)
+          val prev = lastJobEnd.getAndSet(j.time)
+          val gap = if (prev == 0L) 0.0 else (t0 - prev) / 1e3
+          println(f"[qtime-job] job=${j.jobId} wall=${(j.time - t0) / 1e3}%.2f s " +
+            f"gap=$gap%.2f s")
+        }
+      })
     // print any stage slower than 2s with its straggler profile, so a slow
     // rep can be attributed to a stage (and to skew vs uniform slowness)
     spark.sparkContext.addSparkListener(

@@ -344,10 +344,13 @@ object SparkEntry {
     "tdigest_trimmed_mean" -> { (s, dir) =>
       GraftFunctions.register(s)
       val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
-      val td = graft.sketch.TDigest.fromBytes(
-        li.agg(tdigest_agg(col("x"), 100)).first().getAs[Array[Byte]](0))
+      // ONE pass for the digest AND the row count (the count rode a second
+      // full scan; partial build/merge order — and so the blob — unchanged)
+      val r0 = li.agg(tdigest_agg(col("x"), 100).as("td"),
+        count(lit(1)).as("n")).first()
+      val td = graft.sketch.TDigest.fromBytes(r0.getAs[Array[Byte]](0))
       val est = td.trimmedMean(0.1, 0.9)
-      val n = li.count()
+      val n = r0.getLong(1)
       val lo = n / 10
       val hi = 9 * n / 10
       val vals = li.groupBy("x").agg(count(lit(1)).as("c"))
@@ -543,9 +546,20 @@ object SparkEntry {
       GraftFunctions.register(s)
       val (corpus, qs) = corpusQueries(s, dir)
       val fpp = 0.0039
-      val exact = Classify.exactCounts(corpus, qs)
+      // ONE corpus shingle explode+distinct feeds BOTH strategies: the
+      // exact inverted join and the salted Bloom build (bit-OR idempotence
+      // ⇒ byte-identical filters from the distinct table). Persisted
+      // because the final plan references it from both sides; left cached
+      // for the bench action (hierarchicalSketch posture).
+      val groupSh = Classify.groupShingles(corpus)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val querySh = qs
+        .select(col("query_id"), explode(shingles(col("text"), 8)).as("h"))
+        .distinct()
+      val exact = Classify.exactCountsFromShingles(groupSh, querySh)
         .withColumnRenamed("match_cnt", "exact_cnt")
-      val bloom = Classify.sketchCounts(corpus, qs, fpp = fpp)
+      val bloom = Classify.sketchCountsWithFilters(
+          Classify.buildFiltersFromShingles(groupSh, fpp = fpp), qs)
         .select(col("query_id"), col("group"), col("match_cnt").as("bloom_cnt"))
       exact.join(bloom, Seq("query_id", "group"))
         .select(col("query_id"), col("group"), col("exact_cnt"),
@@ -571,8 +585,13 @@ object SparkEntry {
       val hier = Classify.hierarchicalSketchWithFilters(filters, qs,
           minFraction = 0.1, nBuckets = 16)
         .select(cols.map(col): _*).cache()
-      val nFlat = flat.count()
-      val nHier = hier.count()
+      // the two probe strategies are independent DAGs over the shared
+      // (cached) filter build — materialize them concurrently (guide §2.6)
+      val ns = new Array[Long](2)
+      Dedup.runParallel(
+        () => ns(0) = flat.count(),
+        () => ns(1) = hier.count())
+      val (nFlat, nHier) = (ns(0), ns(1))
       val inter = hier.join(flat, cols, "left_semi").count()
       flat.unpersist(); hier.unpersist(); filters.unpersist()
       import s.implicits._
@@ -594,8 +613,12 @@ object SparkEntry {
       val ixf = Classify.interleavedSketchWithFilters(filters, qs,
           minFraction = 0.1)
         .select(cols.map(col): _*).cache()
-      val nFlat = flat.count()
-      val nIxf = ixf.count()
+      // independent probe DAGs over the shared cached build (guide §2.6)
+      val ns = new Array[Long](2)
+      Dedup.runParallel(
+        () => ns(0) = flat.count(),
+        () => ns(1) = ixf.count())
+      val (nFlat, nIxf) = (ns(0), ns(1))
       val inter = ixf.join(flat, cols, "left_semi").count()
       flat.unpersist(); ixf.unpersist(); filters.unpersist()
       import s.implicits._
@@ -722,8 +745,13 @@ object SparkEntry {
       val base = Dedup.minhashLshPairs(docs, "doc_id", "text",
           shingleK = 8, numBands = 32, rowsPerBand = 4, threshold = 0.8)
         .select("id_a", "id_b").cache()
-      val nSim = sim.count()
-      val nBase = base.count()
+      // simhash-banding and minhash-banding pair DAGs are independent —
+      // materialize the two caches concurrently (guide §2.6)
+      val ns = new Array[Long](2)
+      Dedup.runParallel(
+        () => ns(0) = sim.count(),
+        () => ns(1) = base.count())
+      val (nSim, nBase) = (ns(0), ns(1))
       val inter = sim.join(base, Seq("id_a", "id_b"), "left_semi").count()
       sim.unpersist(); base.unpersist() // counts are collected; don't pin
       import s.implicits._
@@ -756,6 +784,9 @@ object SparkEntry {
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val qs = emb.where(pmod(col("vec_id"), lit(25)) === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // the corpus feeds five scans (exact, ivf ×2, lsh ×2) — cache it for
+      // the gate's duration (r6; values identical, all paths deterministic)
+      corpus.cache()
       val exact = Similarity.bruteForceTopK(corpus, qs, 5)
         .select("qid", "id").cache()
       val total = exact.count().toDouble
@@ -771,13 +802,25 @@ object SparkEntry {
       def plantedRecall(app: DataFrame): Double =
         app.where(col("id") === col("qid") - 1000000L)
           .select("qid").distinct().count() / nPlanted
-      def both(mk: (DataFrame, DataFrame) => DataFrame): (Double, Double) =
-        (recallOf(mk(corpus, qs)), plantedRecall(mk(corpus, planted)))
-      val (ivfR, ivfP) = both((c, q) =>
-        Similarity.ivfTopK(c, q, 5, nCentroids = 32, nProbe = 8))
-      val (lshR, lshP) = both((c, q) =>
-        Similarity.lshTopK(c, q, 5, tables = 12, bits = 6))
+      // ivfTopK at kmeansIters=0 is inlineIvfProbe against the picked seed
+      // — hoist the ONE deterministic centroid pick (the old shape
+      // re-collected it per probe set) and run the four independent recall
+      // jobs from a small driver pool (guide §2.6)
+      val cents = Similarity.pickCentroids(corpus, 32)
+      val recalls = new Array[Double](4)
+      Dedup.runParallel(
+        () => recalls(0) = recallOf(
+          Similarity.inlineIvfProbe(corpus, qs, cents, 5, nProbe = 8)),
+        () => recalls(1) = plantedRecall(
+          Similarity.inlineIvfProbe(corpus, planted, cents, 5, nProbe = 8)),
+        () => recalls(2) = recallOf(
+          Similarity.lshTopK(corpus, qs, 5, tables = 12, bits = 6)),
+        () => recalls(3) = plantedRecall(
+          Similarity.lshTopK(corpus, planted, 5, tables = 12, bits = 6)))
+      val (ivfR, ivfP, lshR, lshP) =
+        (recalls(0), recalls(1), recalls(2), recalls(3))
       exact.unpersist() // all recalls collected; don't pin for the session
+      corpus.unpersist()
       import s.implicits._
       Seq(("ivf", ivfR >= 0.25, ivfP >= 0.9), ("lsh", lshR >= 0.25, lshP >= 0.9))
         .toDF("method", "recall_ok", "planted_ok").orderBy("method")
@@ -869,32 +912,55 @@ object SparkEntry {
             .as("vec"))
       val corpus = emb.unionByName(copies).cache()
       val nPlanted = copies.count().toDouble
-      val sem = Similarity.semDedup(corpus, threshold = 0.9,
-        nCentroids = 8).cache()
-      val exact = {
-        val pairs = corpus.as("a").join(corpus.as("b"),
-            col("a.id") < col("b.id"))
-          .withColumn("sim", Similarity.cosine(col("a.vec"), col("b.vec")))
-          .where(col("sim") >= 0.9)
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        val labels = graft.operators.Dedup.connectedMinLabels(pairs)
-        corpus.select(col("id"))
-          .join(labels, Seq("id"), "left")
-          .select(col("id"),
-            coalesce(col("label"), col("id")).as("canonical_id"),
-            (coalesce(col("label"), col("id")) === col("id"))
-              .as("is_canonical"))
-      }.cache()
-      val falseMerges = sem.where(!col("is_canonical"))
-        .join(exact.where(!col("is_canonical")), Seq("id"), "left_anti")
-        .count()
-      val disagreeOnRecovered = sem.where(!col("is_canonical"))
-        .join(exact.select(col("id"),
-          col("canonical_id").as("exact_canon")), "id")
-        .where(col("canonical_id") =!= col("exact_canon"))
-        .count()
-      val recovered = sem.where(!col("is_canonical")).count().toDouble
-      val exactDups = exact.where(!col("is_canonical")).count()
+      // the sem chain (centroid pick + cell pairs + label propagation) and
+      // the exact chain (all-pairs cosine + label propagation) are
+      // independent job DAGs over the cached corpus — construct AND
+      // materialize them from two driver threads so one chain's stage
+      // barriers back-fill the other's idle cores (guide §2.6; concurrent
+      // first-touch of the corpus cache is safe: per-partition cache locks)
+      var semV: DataFrame = null
+      var exactV: DataFrame = null
+      Dedup.runParallel(
+        () => {
+          semV = Similarity.semDedup(corpus, threshold = 0.9,
+            nCentroids = 8).cache()
+          semV.count()
+        },
+        () => {
+          val pairs = corpus.as("a").join(corpus.as("b"),
+              col("a.id") < col("b.id"))
+            .withColumn("sim", Similarity.cosine(col("a.vec"), col("b.vec")))
+            .where(col("sim") >= 0.9)
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          val labels = graft.operators.Dedup.connectedMinLabels(pairs)
+          exactV = corpus.select(col("id"))
+            .join(labels, Seq("id"), "left")
+            .select(col("id"),
+              coalesce(col("label"), col("id")).as("canonical_id"),
+              (coalesce(col("label"), col("id")) === col("id"))
+                .as("is_canonical"))
+            .cache()
+          exactV.count()
+        })
+      val sem = semV
+      val exact = exactV
+      // four independent counts over the two materialized label caches
+      val cnts = new Array[Long](4)
+      Dedup.runParallel(
+        () => cnts(0) = sem.where(!col("is_canonical"))
+          .join(exact.where(!col("is_canonical")), Seq("id"), "left_anti")
+          .count(),
+        () => cnts(1) = sem.where(!col("is_canonical"))
+          .join(exact.select(col("id"),
+            col("canonical_id").as("exact_canon")), "id")
+          .where(col("canonical_id") =!= col("exact_canon"))
+          .count(),
+        () => cnts(2) = sem.where(!col("is_canonical")).count(),
+        () => cnts(3) = exact.where(!col("is_canonical")).count())
+      val falseMerges = cnts(0)
+      val disagreeOnRecovered = cnts(1)
+      val recovered = cnts(2).toDouble
+      val exactDups = cnts(3)
       corpus.unpersist(); sem.unpersist(); exact.unpersist()
       import s.implicits._
       Seq(
@@ -927,8 +993,13 @@ object SparkEntry {
       val inline = Similarity.inlineIvfProbe(emb, qs,
           Similarity.IvfIndex.loadCentroids(s, idx), k = 5, nProbe = 4)
         .select(cols.map(col): _*).cache()
-      val nIdx = fromIndex.count()
-      val nInline = inline.count()
+      // index-probe and inline-probe DAGs are independent — materialize
+      // the two caches concurrently (guide §2.6)
+      val ns = new Array[Long](2)
+      Dedup.runParallel(
+        () => ns(0) = fromIndex.count(),
+        () => ns(1) = inline.count())
+      val (nIdx, nInline) = (ns(0), ns(1))
       val inter = fromIndex.join(inline, cols, "left_semi").count()
       fromIndex.unpersist(); inline.unpersist()
       import s.implicits._
@@ -1792,14 +1863,18 @@ object SparkEntry {
       val idx = java.nio.file.Files
         .createTempDirectory("graft-conv-fpidx-gate").toString
       Conversations.buildFingerprintIndex(wave(0), idx)
-      // wave 1 must be MATERIALIZED (parquet, not a persist() cache)
-      // before the append mutates the index: an evicted cache would
-      // silently recompute the probe against the post-append index, where
-      // every wave-1 conversation matches itself
-      Conversations.dedupAgainstIndex(wave(1), idx)
+      // wave-1 fingerprints feed BOTH the probe and the append — persist
+      // the one per-turn aggregation (r6; caller-caches posture). The
+      // probe result itself must still be MATERIALIZED (parquet, not a
+      // persist() cache) before the append mutates the index: an evicted
+      // cache would silently recompute the probe against the post-append
+      // index, where every wave-1 conversation matches itself.
+      val fps1 = Conversations.fingerprints(wave(1)).persist()
+      Conversations.dedupAgainstIndexWithFps(s, fps1, idx)
         .withColumn("wave", lit(1))
         .write.mode("overwrite").parquet(s"$idx/wave1_result")
-      Conversations.appendToFingerprintIndex(wave(1), idx)
+      Conversations.appendToFingerprintIndexWithFps(s, fps1, idx)
+      fps1.unpersist()
       val r2 = Conversations.dedupAgainstIndex(wave(2), idx)
         .withColumn("wave", lit(2))
       s.read.parquet(s"$idx/wave1_result").unionByName(r2)
@@ -1862,14 +1937,21 @@ object SparkEntry {
       val clicks = t(s, dir, "events")
         .where(col("event_type") === "click").select(col("ts"), col("value"))
         .persist()
-      val shift = clicks.agg(max("value")).first().getDouble(0) + 1.0
+      // ONE pass over the cached clicks for the shift constant, the frozen
+      // reference blob AND the row count the exact twin divides by (three
+      // separate actions before r6; per-partition build/merge order — and
+      // so the blob — unchanged)
+      val r0 = clicks.agg(max("value").as("mx"),
+        kll_agg(col("value"), 200).as("s"),
+        count(lit(1)).as("nb")).first()
+      val shift = r0.getDouble(0) + 1.0
+      val refBlob = r0.getAs[Array[Byte]](1)
+      val nb = r0.getLong(2)
       val oddDay =
         pmod(datediff(to_date(col("ts")), to_date(lit("1970-01-01"))),
           lit(2)) === 1
       val withDay = clicks.select(col("ts"),
         when(oddDay, col("value") + shift).otherwise(col("value")).as("x"))
-      val refBlob = clicks.agg(kll_agg(col("value"), 200).as("s"))
-        .first().getAs[Array[Byte]](0)
       val rows = withDay.as[graft.streaming.ValuePoint].collect()
         .sortBy(_.ts.getTime)
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1900,7 +1982,6 @@ object SparkEntry {
       // exact per-day two-sample KS twin vs the full clean corpus
       val refV = clicks.select(col("value").as("x"))
         .groupBy("x").agg(count(lit(1)).as("cb"))
-      val nb = clicks.count()
       val wv = withDay
         .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("x"))
         .groupBy("day", "x").agg(count(lit(1)).as("ca"))
@@ -2046,7 +2127,10 @@ object SparkEntry {
         idx)
       val pHashes = pHashes0.persist()
       val pSh = pSh0.persist()
-      pHashes.count(); pSh.count()
+      // ONE action materializes both probe caches (two counts paid two
+      // job round-trips; r6 — the appendToFingerprintIndex snapshot shape)
+      pHashes.select(lit(1).as("one"))
+        .unionAll(pSh.select(lit(1).as("one"))).count()
       Dedup.dedupAgainstIndexWithProbes(s, pHashes, pSh, idx)
         .orderBy("doc_id", "match_id", "kind")
         .write.mode("overwrite").parquet(IdxCompactDumpPath)

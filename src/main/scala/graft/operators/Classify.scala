@@ -38,13 +38,36 @@ object Classify {
       queries: DataFrame, // (query_id, text)
       shingleK: Int = 8,
       seed: Long = DefaultSeed,
+      maxGroupDf: Option[Long] = None): DataFrame =
+    exactCountsFromShingles(
+      groupShingles(corpus, shingleK, seed),
+      queries
+        .select(col("query_id"),
+          explode(shingles(col("text"), shingleK, seed = seed)).as("h"))
+        .distinct(),
+      maxGroupDf)
+
+  /** The distinct (group, h) reference-shingle table both classification
+    * strategies consume — exposed so a gate comparing exact vs sketch
+    * output can pay the corpus explode+distinct ONCE (persist in the
+    * caller; the buildFilters posture) instead of re-exploding the corpus
+    * per strategy. */
+  def groupShingles(
+      corpus: DataFrame, // (group, text)
+      shingleK: Int = 8,
+      seed: Long = DefaultSeed): DataFrame =
+    corpus
+      .select(col("group"),
+        explode(shingles(col("text"), shingleK, seed = seed)).as("h"))
+      .distinct()
+
+  /** [[exactCounts]] over prebuilt shingle tables: `groupSh` = distinct
+    * (group, h) ([[groupShingles]]), `querySh` = distinct (query_id, h).
+    * Same plan tail as exactCounts by construction. */
+  def exactCountsFromShingles(
+      groupSh0: DataFrame, // (group, h), distinct
+      querySh0: DataFrame, // (query_id, h), distinct
       maxGroupDf: Option[Long] = None): DataFrame = {
-    val groupSh0 = corpus
-      .select(col("group"), explode(shingles(col("text"), shingleK, seed = seed)).as("h"))
-      .distinct()
-    val querySh0 = queries
-      .select(col("query_id"), explode(shingles(col("text"), shingleK, seed = seed)).as("h"))
-      .distinct()
     val (groupSh, querySh) = maxGroupDf match {
       case Some(cap) =>
         val hot = groupSh0.groupBy("h").agg(count(lit(1)).as("__df"))
@@ -84,6 +107,21 @@ object Classify {
       seed: Long = DefaultSeed): DataFrame = {
     val groupSh = corpus.select(col("group"),
       explode(shingles(col("text"), shingleK, seed = seed)).as("h"))
+    buildFiltersFromShingles(groupSh, expectedShinglesPerGroup, fpp,
+      saltBuckets, seed)
+  }
+
+  /** [[buildFilters]] over a prebuilt (group, h) shingle table — Bloom
+    * insertion is set-idempotent (bit OR), so feeding the DISTINCT
+    * [[groupShingles]] table yields byte-identical filters to the raw
+    * explode while letting a caller share that table with the exact path
+    * (classify_bloom_bounds does). */
+  def buildFiltersFromShingles(
+      groupSh: DataFrame, // (group, h)
+      expectedShinglesPerGroup: Long = 1 << 17,
+      fpp: Double = 0.0039,
+      saltBuckets: Int = 8,
+      seed: Long = DefaultSeed): DataFrame =
     SaltedAgg.twoStage(
       groupSh, Seq("group"), saltBuckets,
       saltOn = Seq(col("h")),
@@ -91,7 +129,6 @@ object Classify {
         Seq(bloom_agg_hashed(col("h"), expectedShinglesPerGroup, fpp, seed).as("bf_p")),
       finalAggs =
         Seq(bloom_merge_agg(col("bf_p"), expectedShinglesPerGroup, fpp, seed).as("bf")))
-  }
 
   /** Flat probe of a prebuilt (group, bf) filter table. */
   def sketchCountsWithFilters(

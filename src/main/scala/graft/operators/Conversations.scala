@@ -179,12 +179,21 @@ object Conversations {
     * canonical conversation with the identical ordered (role, text)
     * dialogue, null when unseen. The batch's per-turn work is one
     * fingerprint aggregation; the index side is a (32-hex, id) table. */
-  def dedupAgainstIndex(turns: DataFrame, dir: String): DataFrame = {
-    val spark = turns.sparkSession
+  def dedupAgainstIndex(turns: DataFrame, dir: String): DataFrame =
+    dedupAgainstIndexWithFps(turns.sparkSession, fingerprints(turns), dir)
+
+  /** [[dedupAgainstIndex]] over a prebuilt (conv_id, conv_fp) table — a
+    * caller probing AND appending the same batch (the production ingest
+    * loop, and the conv_dedup_index gate) persists one [[fingerprints]]
+    * result and pays the per-turn aggregation once. */
+  def dedupAgainstIndexWithFps(
+      spark: org.apache.spark.sql.SparkSession,
+      fps: DataFrame, // (conv_id, conv_fp)
+      dir: String): DataFrame = {
     val manifest = graft.sources.SketchTable.readManifest(spark, dir)
     graft.sources.SketchTable.requireParams(manifest,
       Map("kind" -> "conv_fingerprint"), dir)
-    fingerprints(turns)
+    fps
       .join(spark.read.parquet(s"$dir/fps"), Seq("conv_fp"), "left")
       .select(col("conv_id"), col("canonical_id").as("match_id"),
         col("canonical_id").isNotNull.as("is_duplicate"))
@@ -197,13 +206,21 @@ object Conversations {
     * (anti-join guard, snapshotted via persist+count before the append
     * write so the job never re-lists the directory it is growing);
     * manifest `appends` counter bumped. */
-  def appendToFingerprintIndex(turns: DataFrame, dir: String): Unit = {
-    val spark = turns.sparkSession
+  def appendToFingerprintIndex(turns: DataFrame, dir: String): Unit =
+    appendToFingerprintIndexWithFps(turns.sparkSession,
+      fingerprints(turns), dir)
+
+  /** [[appendToFingerprintIndex]] over a prebuilt (conv_id, conv_fp)
+    * table — see [[dedupAgainstIndexWithFps]]. */
+  def appendToFingerprintIndexWithFps(
+      spark: org.apache.spark.sql.SparkSession,
+      fps: DataFrame, // (conv_id, conv_fp)
+      dir: String): Unit = {
     val manifest = graft.sources.SketchTable.readManifest(spark, dir)
     graft.sources.SketchTable.requireParams(manifest,
       Map("kind" -> "conv_fingerprint"), dir)
     val p = graft.sources.SketchTable.params(manifest)
-    val fresh = fingerprints(turns)
+    val fresh = fps
       .groupBy("conv_fp").agg(min(col("conv_id")).as("canonical_id"))
       .join(spark.read.parquet(s"$dir/fps").select("conv_fp"),
         Seq("conv_fp"), "left_anti")

@@ -42,10 +42,15 @@ object Drift {
       xColB: String,
       k: Int = 200): KsEstimate = {
     graft.GraftFunctions.register(a.sparkSession)
-    val ka = Kll.fromBytes(
-      a.agg(kll_agg(col(xColA), k)).first().getAs[Array[Byte]](0))
-    val kb = Kll.fromBytes(
-      b.agg(kll_agg(col(xColB), k)).first().getAs[Array[Byte]](0))
+    // the two snapshot passes are independent jobs — overlap them
+    // (guide §2.6); blobs are partition-merge deterministic either way
+    val ks = new Array[Kll](2)
+    Dedup.runParallel(
+      () => ks(0) = Kll.fromBytes(
+        a.agg(kll_agg(col(xColA), k)).first().getAs[Array[Byte]](0)),
+      () => ks(1) = Kll.fromBytes(
+        b.agg(kll_agg(col(xColB), k)).first().getAs[Array[Byte]](0)))
+    val (ka, kb) = (ks(0), ks(1))
     KsEstimate(Kll.ksDistance(ka, kb),
       3.0 * (ka.rankErrorBound + kb.rankErrorBound), ka.n, kb.n)
   }
@@ -74,8 +79,12 @@ object Drift {
         .collect()
         .map(r => r.getString(0) -> Kll.fromBytes(r.getAs[Array[Byte]](1)))
         .toMap
-    val ma = sketches(a)
-    val mb = sketches(b)
+    // independent per-snapshot aggregation jobs — overlap them (guide §2.6)
+    val ms = new Array[Map[String, Kll]](2)
+    Dedup.runParallel(
+      () => ms(0) = sketches(a),
+      () => ms(1) = sketches(b))
+    val (ma, mb) = (ms(0), ms(1))
     ma.keySet.intersect(mb.keySet).toSeq.sorted.map { g =>
       val (ka, kb) = (ma(g), mb(g))
       GroupKs(g, Kll.ksDistance(ka, kb),
@@ -139,8 +148,12 @@ object Drift {
         cms_agg(col(key), eps, delta, seed).as("cms")).first()
       (SpaceSaving.fromBytes(r.getAs[Array[Byte]](0)), r.getAs[Array[Byte]](1))
     }
-    val (ssA, cmsA) = pass(before)
-    val (ssB, cmsB) = pass(after)
+    // independent per-snapshot passes — overlap them (guide §2.6)
+    val ps = new Array[(SpaceSaving, Array[Byte])](2)
+    Dedup.runParallel(
+      () => ps(0) = pass(before),
+      () => ps(1) = pass(after))
+    val ((ssA, cmsA), (ssB, cmsB)) = (ps(0), ps(1))
     val na = graft.sketch.CountMin.totalWeight(cmsA)
     val nb = graft.sketch.CountMin.totalWeight(cmsB)
     val threshold = theta * (na + nb)

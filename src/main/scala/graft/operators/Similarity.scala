@@ -205,14 +205,18 @@ object Similarity {
       require(cents.nonEmpty, "IVF build over an empty corpus")
       val cells = corpus.withColumn("cid",
         element_at(nearest_centroids(col("vec"), typedLit(cents), 1), 1))
-      cells.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/data")
       // centroid matrix as a dedicated tiny parquet sidecar (one row per
       // cell), not a string packed into the manifest — schema'd, typed, and
-      // immune to manifest quoting/ordering changes
+      // immune to manifest quoting/ordering changes. The sidecar derives
+      // from driver memory, the data write from the corpus — two
+      // independent jobs into distinct dirs, overlapped (guide §2.6)
       import spark.implicits._
-      cents.zipWithIndex.map { case (v, c) => (c, v) }
-        .toDF("cid", "vec")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      Dedup.runParallel(
+        () => cells.write.mode("overwrite").partitionBy("cid")
+          .parquet(s"$dir/data"),
+        () => cents.zipWithIndex.map { case (v, c) => (c, v) }
+          .toDF("cid", "vec")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids"))
       graft.sources.SketchTable.saveManifestOnly(
         spark, dir,
         Map("kind" -> "ivf", "n_centroids" -> cents.size.toString,
@@ -244,32 +248,38 @@ object Similarity {
       val p = graft.sources.SketchTable.params(manifest)
       val cents = loadCentroids(spark, dir)
       val dims = cents.head.size
-      // null vectors must fail too: size(null) is NULL so a plain =!=
-      // predicate silently drops them from the check, and they would land
-      // in a junk null-cid partition no probe ever reads
-      val badDims = newVecs
-        .where(col("vec").isNull || size(col("vec")) =!= dims)
-        .limit(1).count()
-      require(badDims == 0,
+      val centsLit = typedLit(cents)
+      // one pass: dims/null guard + assignment + best-centroid similarity
+      // for the drift stat (the guard was a separate pre-scan before r6).
+      // Null vectors must fail too: size(null) is NULL so a plain =!=
+      // predicate silently drops them, and they would land in a junk
+      // null-cid partition no probe ever reads. CASE short-circuits per
+      // row, so a flagged row never reaches the centroid kernel, and the
+      // require below still fires BEFORE any write.
+      val flagged = newVecs
+        .withColumn("__bad",
+          col("vec").isNull || size(col("vec")) =!= dims)
+        .withColumn("cid",
+          when(!col("__bad"),
+            element_at(nearest_centroids(col("vec"), centsLit, 1), 1)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = flagged
+        .select(col("__bad"), when(!col("__bad"),
+          cosine(col("vec"), element_at(centsLit, col("cid") + 1))).as("sim"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__bad"), 1L).otherwise(0L)).as("bad"),
+          sum(when(!col("__bad") && col("sim") < driftSimFloor, 1L)
+            .otherwise(0L)).as("low"))
+        .first()
+      require(stats.getLong(1) == 0L,
         s"IVF append at $dir: null vectors or dims disagreeing with the " +
           s"index ($dims) — appending them would corrupt cell assignment")
-      val centsLit = typedLit(cents)
-      // one pass: assignment + best-centroid similarity for the drift stat
-      val cells = newVecs
-        .withColumn("cid",
-          element_at(nearest_centroids(col("vec"), centsLit, 1), 1))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val stats = cells
-        .select(col("cid"), cosine(col("vec"),
-          element_at(centsLit, col("cid") + 1)).as("sim"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("sim") < driftSimFloor, 1L).otherwise(0L)).as("low"))
-        .first()
       val drift =
         if (stats.getLong(0) == 0L) 0.0
-        else stats.getLong(1).toDouble / stats.getLong(0)
-      cells.write.mode("append").partitionBy("cid").parquet(s"$dir/data")
-      cells.unpersist()
+        else stats.getLong(2).toDouble / stats.getLong(0)
+      flagged.drop("__bad")
+        .write.mode("append").partitionBy("cid").parquet(s"$dir/data")
+      flagged.unpersist()
       graft.sources.SketchTable.saveManifestOnly(spark, dir,
         p ++ Map(
           "appends" -> (p.getOrElse("appends", "0").toLong + 1).toString,
