@@ -1862,14 +1862,18 @@ object SparkEntry {
       def wave(n: Int) = all.where(col("wave") === n).drop("wave")
       val idx = java.nio.file.Files
         .createTempDirectory("graft-conv-fpidx-gate").toString
-      Conversations.buildFingerprintIndex(wave(0), idx)
       // wave-1 fingerprints feed BOTH the probe and the append — persist
-      // the one per-turn aggregation (r6; caller-caches posture). The
-      // probe result itself must still be MATERIALIZED (parquet, not a
-      // persist() cache) before the append mutates the index: an evicted
-      // cache would silently recompute the probe against the post-append
-      // index, where every wave-1 conversation matches itself.
+      // the one per-turn aggregation (r6; caller-caches posture), and
+      // materialize it CONCURRENTLY with the independent wave-0 index
+      // build (both read the fixture dump only; guide §2.6). The probe
+      // result itself must still be MATERIALIZED (parquet, not a persist()
+      // cache) before the append mutates the index: an evicted cache would
+      // silently recompute the probe against the post-append index, where
+      // every wave-1 conversation matches itself.
       val fps1 = Conversations.fingerprints(wave(1)).persist()
+      Dedup.runParallel(
+        () => Conversations.buildFingerprintIndex(wave(0), idx),
+        () => fps1.count())
       Conversations.dedupAgainstIndexWithFps(s, fps1, idx)
         .withColumn("wave", lit(1))
         .write.mode("overwrite").parquet(s"$idx/wave1_result")
@@ -2114,23 +2118,29 @@ object SparkEntry {
       Dedup.buildFingerprintIndex(
         docs.where(pmod(col("doc_id"), lit(3)) === 1), "doc_id", "text", idx,
         maxDf = Some(64))
-      Dedup.appendToFingerprintIndex(
-        docs.where(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text", idx)
       val probe = docs.where(pmod(col("doc_id"), lit(3)) === 0)
       // the probe SIDE is identical before and after compaction — persist
       // the two probeProjections tables and materialize them BEFORE the
       // rewrite, so the per-byte shingle+md5 work over the probe third is
       // paid once, not per probe (r6; caller-caches posture). Left cached:
       // the returned plan's second probe consumes them at bench count()
-      // time.
+      // time. The projections read only the manifest params (append
+      // changes nothing a probe validates) and the build-frozen hot list,
+      // while the append touches exact/ and shingles/ only — so construct
+      // the projections first (manifest read precedes the append's counter
+      // bump) and overlap the append with the probe-side shingle+md5
+      // materialization (guide §2.6; ONE action materializes both caches,
+      // the appendToFingerprintIndex snapshot shape).
       val (pHashes0, pSh0) = Dedup.probeProjections(probe, "doc_id", "text",
         idx)
       val pHashes = pHashes0.persist()
       val pSh = pSh0.persist()
-      // ONE action materializes both probe caches (two counts paid two
-      // job round-trips; r6 — the appendToFingerprintIndex snapshot shape)
-      pHashes.select(lit(1).as("one"))
-        .unionAll(pSh.select(lit(1).as("one"))).count()
+      Dedup.runParallel(
+        () => Dedup.appendToFingerprintIndex(
+          docs.where(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text",
+          idx),
+        () => pHashes.select(lit(1).as("one"))
+          .unionAll(pSh.select(lit(1).as("one"))).count())
       Dedup.dedupAgainstIndexWithProbes(s, pHashes, pSh, idx)
         .orderBy("doc_id", "match_id", "kind")
         .write.mode("overwrite").parquet(IdxCompactDumpPath)
@@ -2153,12 +2163,17 @@ object SparkEntry {
       val docs = docsPar(s, dir)
       val idx = java.nio.file.Files
         .createTempDirectory("graft-stream-fpidx-gate").toString
-      Dedup.buildFingerprintIndex(
-        docs.where(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text", idx,
-        maxDf = Some(64))
-      val probes = docs.where(pmod(col("doc_id"), lit(3)) === 0)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .collect().sortBy(_._1)
+      // the index build and the probe-side collect are independent scans of
+      // the documents table — overlap them (guide §2.6)
+      var probesV: Array[(Long, String)] = null
+      Dedup.runParallel(
+        () => Dedup.buildFingerprintIndex(
+          docs.where(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text",
+          idx, maxDf = Some(64)),
+        () => probesV = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .collect().sortBy(_._1))
+      val probes = probesV
       val out = java.nio.file.Files
         .createTempDirectory("graft-stream-dedup-gate").toString + "/matches"
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
