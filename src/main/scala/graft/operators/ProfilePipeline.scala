@@ -133,16 +133,39 @@ object ProfilePipeline {
       tol: Double = math.abs(math.log(1e-4))): DataFrame = {
     val spark = matches.sparkSession
     import spark.implicits._
-    val lik0 = matches
+    // localCheckpoint (eager), not cache: every iteration's plan would
+    // otherwise embed the whole upstream candidate lineage (classify +
+    // cascade + association chains) plus one join layer PER ITERATION, so
+    // driver analysis cost grew quadratically over the loop (guide §5 —
+    // lineage truncation for iterative intermediates whose fault
+    // tolerance is not critical; a lost block fails the job instead of
+    // recomputing, the documented trade for an EM loop that simply
+    // reruns).
+    val lik0raw = matches
       .withColumn("lik", col("match_cnt") / col("query_n"))
       .select("query_id", "ref", "lik", "query_n")
-      .cache()
-    val refs = lik0.select("ref").distinct().as[String].collect()
+      .localCheckpoint()
+    val refs = lik0raw.select("ref").distinct().as[String].collect()
     if (refs.isEmpty) { // empty input: empty assignment, not a div-by-zero
-      lik0.unpersist()
-      return lik0.select(col("query_id"), col("ref"),
+      lik0raw.unpersist()
+      return lik0raw.select(col("query_id"), col("ref"),
         lit(0.0).as("weight")).limit(0)
     }
+    // scale-adaptive loop partitioning (guide §2): the loop runs
+    // maxIters aggregation rounds over a candidate table that SHRINKS
+    // monotonically, so a partition count inherited from the upstream
+    // scan (or the session's shuffle.partitions) pays per-iteration
+    // scheduling for mostly-empty tasks at gate scale while still
+    // capping at the cluster's parallelism for huge inputs. The
+    // repartition is keyed on query_id and the checkpoint PRESERVES the
+    // partitioning, so the per-iteration groupBy(query_id) and the
+    // erase-step join need no further exchange.
+    val n = lik0raw.count()
+    val p = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      n / 2000000L + 1L)).toInt
+    val lik0 = lik0raw.repartition(p, col("query_id")).localCheckpoint()
+    lik0raw.unpersist()
     var priors = refs.map(_ -> 1.0 / refs.length).toMap
     var lastLl = Double.NegativeInfinity
     var iter = 0
@@ -193,18 +216,19 @@ object ProfilePipeline {
             col("n_cand")), "query_id")
           .where(col("n_cand") === 1 || col("ref") =!= col("__wref"))
           .select("query_id", "ref", "lik", "query_n")
-          .cache()
+          .localCheckpoint() // flat plan for the next iteration (see lik0)
         prevCur = cur // still needed until next's cache is populated
         cur = next
       }
       iter += 1
     }
-    // final assignment = last iteration's E-step; lastG stays cached (it is
-    // the only materialization the caller's actions touch — everything
-    // upstream is recomputable from `matches` if evicted)
+    // final assignment = last iteration's E-step; lastG stays cached. The
+    // final `cur` checkpoint must stay alive too: lastG's recompute path
+    // now ends at that truncated plan, so dropping its blocks would turn a
+    // cache eviction into a failure. Both are ContextCleaner-reclaimed
+    // once the caller releases the returned plan.
     if (prevCur != null && (prevCur ne lik0)) prevCur.unpersist()
-    if (cur ne lik0) cur.unpersist()
-    lik0.unpersist()
+    if (cur ne lik0) lik0.unpersist()
     lastG.select(col("query_id"), col("best.r").as("ref"),
       col("best.qn").cast("double").as("weight"))
   }
