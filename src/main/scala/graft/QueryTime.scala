@@ -72,6 +72,11 @@ object QueryTime {
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { i =>
+        // match the bench's per-query hygiene: without this, caches and
+        // GC debt left by earlier gates inflate later ones (observed:
+        // semdedup 2.5 s standalone vs 7.3 s ninth-in-session)
+        spark.catalog.clearCache()
+        System.gc()
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9

@@ -133,46 +133,48 @@ object ProfilePipeline {
       tol: Double = math.abs(math.log(1e-4))): DataFrame = {
     val spark = matches.sparkSession
     import spark.implicits._
-    // localCheckpoint (eager), not cache: every iteration's plan would
-    // otherwise embed the whole upstream candidate lineage (classify +
-    // cascade + association chains) plus one join layer PER ITERATION, so
-    // driver analysis cost grew quadratically over the loop (guide §5 —
-    // lineage truncation for iterative intermediates whose fault
-    // tolerance is not critical; a lost block fails the job instead of
-    // recomputing, the documented trade for an EM loop that simply
-    // reruns).
     val lik0raw = matches
       .withColumn("lik", col("match_cnt") / col("query_n"))
       .select("query_id", "ref", "lik", "query_n")
-      .localCheckpoint()
+      .cache()
     val refs = lik0raw.select("ref").distinct().as[String].collect()
     if (refs.isEmpty) { // empty input: empty assignment, not a div-by-zero
       lik0raw.unpersist()
       return lik0raw.select(col("query_id"), col("ref"),
         lit(0.0).as("weight")).limit(0)
     }
-    // scale-adaptive loop partitioning (guide §2): the loop runs
-    // maxIters aggregation rounds over a candidate table that SHRINKS
-    // monotonically, so a partition count inherited from the upstream
-    // scan (or the session's shuffle.partitions) pays per-iteration
-    // scheduling for mostly-empty tasks at gate scale while still
-    // capping at the cluster's parallelism for huge inputs. The
-    // repartition is keyed on query_id and the checkpoint PRESERVES the
-    // partitioning, so the per-iteration groupBy(query_id) and the
-    // erase-step join need no further exchange.
-    val n = lik0raw.count()
-    val p = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong,
-      n / 2000000L + 1L)).toInt
-    val lik0 = lik0raw.repartition(p, col("query_id")).localCheckpoint()
-    lik0raw.unpersist()
+    // maxIters <= 0 degrades to one E-step under uniform priors (the
+    // pre-erase-worst behaviour for that input), never a null assignment
+    val iterCap = math.max(1, maxIters)
+    // MULTI-iteration runs flatten and right-size the loop input (one
+    // E-step pays neither): localCheckpoint (eager), not cache — every
+    // iteration's plan would otherwise embed the whole upstream candidate
+    // lineage plus one join layer PER ITERATION (guide §5: lineage
+    // truncation for iterative intermediates whose fault tolerance is not
+    // critical; a lost block fails the job instead of recomputing — the
+    // documented trade for an EM loop that simply reruns). The loop also
+    // derives its partition count from the candidate row count (guide §2
+    // scale-adaptive partitioning): a count inherited from the scan or
+    // the session pays per-iteration scheduling for mostly-empty tasks at
+    // small scale, while huge inputs still cap at the cluster
+    // parallelism. The repartition is keyed on query_id and the
+    // checkpoint PRESERVES the partitioning, so the per-iteration
+    // groupBy(query_id) and the erase-step join need no further exchange.
+    val lik0 =
+      if (iterCap == 1) lik0raw
+      else {
+        val n = lik0raw.count()
+        val p = math.max(1L, math.min(
+          spark.sparkContext.defaultParallelism.toLong,
+          n / 2000000L + 1L)).toInt
+        val flat = lik0raw.repartition(p, col("query_id")).localCheckpoint()
+        lik0raw.unpersist()
+        flat
+      }
     var priors = refs.map(_ -> 1.0 / refs.length).toMap
     var lastLl = Double.NegativeInfinity
     var iter = 0
     var done = false
-    // maxIters <= 0 degrades to one E-step under uniform priors (the
-    // pre-erase-worst behaviour for that input), never a null assignment
-    val iterCap = math.max(1, maxIters)
     var cur = lik0
     var prevCur: DataFrame = null // unpersisted once its successor is live
     var lastG: DataFrame = null
@@ -222,13 +224,16 @@ object ProfilePipeline {
       }
       iter += 1
     }
-    // final assignment = last iteration's E-step; lastG stays cached. The
-    // final `cur` checkpoint must stay alive too: lastG's recompute path
-    // now ends at that truncated plan, so dropping its blocks would turn a
-    // cache eviction into a failure. Both are ContextCleaner-reclaimed
-    // once the caller releases the returned plan.
+    // final assignment = last iteration's E-step; lastG stays cached. In
+    // the checkpointed (multi-iteration) case the final `cur` checkpoint
+    // must stay alive too: lastG's recompute path ends at that truncated
+    // plan, so dropping its blocks would turn a cache eviction into a
+    // failure (ContextCleaner reclaims both once the caller releases the
+    // returned plan). In the one-E-step case lik0 is a plain cache with
+    // full lineage — release it as before.
     if (prevCur != null && (prevCur ne lik0)) prevCur.unpersist()
     if (cur ne lik0) lik0.unpersist()
+    else if (lik0 eq lik0raw) lik0raw.unpersist()
     lastG.select(col("query_id"), col("best.r").as("ref"),
       col("best.qn").cast("double").as("weight"))
   }
