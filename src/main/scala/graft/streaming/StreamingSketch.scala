@@ -59,7 +59,13 @@ object StreamingSketch {
       k: Int = 200,
       threshold: Double = 0.2): DataFrame = {
     val ks = kll_ks(col("kll"), lit(referenceKll))
-    turns.withWatermark("ts", watermark)
+    // drop null samples BEFORE the window agg: kll_agg skips nulls, so an
+    // all-null window would emit an n=0 blob and KllKs (which requires
+    // both sketches non-empty) would crash the continuously-running drift
+    // monitor at emit time — a data-quality blip must not kill the query.
+    // Identical output for windows with any non-null sample.
+    turns.where(col(xCol).isNotNull)
+      .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen))
       .agg(kll_agg(col(xCol), k).as("kll"))
       .select(col("window"), kll_n(col("kll")).as("n_rows"),
