@@ -137,6 +137,16 @@ object SparkEntry {
   private def docsPar(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
 
+  /** [[docsPar]] for the embeddings table: the sf-scale embeddings parquet
+    * is also ONE row group, so a quadratic cosine sweep rooted at its scan
+    * (BroadcastNestedLoopJoin stream side) runs in a single task. Applied
+    * ONLY where the sweep dominates (cosine_neardup_exact: A/B 1.25 →
+    * 0.44 s) — in the ANN/semdedup gates the added exchange cost more
+    * than the parallelism bought (A/B'd and reverted). Results are
+    * partitioning-invariant (row-local cosine, total-order tie-breaks). */
+  private def embPar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
+
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
   /** Corpus/query split of the documents table for classification demos:
@@ -854,7 +864,9 @@ object SparkEntry {
         .orderBy("doc_id")
     },
     "cosine_neardup_exact" -> { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
+      // quadratic cosine sweep: parallelize the stream side (embPar) — the
+      // one-row-group scan fed the BroadcastNestedLoopJoin as ONE task
+      val emb = embPar(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       emb.as("a").join(emb.as("b"), col("a.id") < col("b.id"))
         .withColumn("sim",
